@@ -1,0 +1,208 @@
+"""BM25 top-k search over the on-disk index (the IndexServer analog, ST2 —
+/root/reference/tantivy-cli/src/commands/serve.rs:314-419).
+
+One ``IndexSearcher`` per query actor: loads stats + docmeta norm arrays once
+(the fast-field / fieldnorm mmap analog), then serves queries by fetching the
+query terms' posting segments from the postings Parquet with predicate
+pushdown (row groups are term-sorted within each bucket file).
+
+Evaluation: conjunctive (AND) across terms — the reference neutralizes all
+operator syntax, so the product query algebra is AND of single-term
+two-field clauses (serve.rs:270-299,336-351).  Multi-term queries evaluate by
+sorted-list intersection ascending by df (the conjunctive equivalent of WAND
+skipping); single-term queries use segment-level block-max pruning: segments
+are visited in descending score upper bound (from max_tf + min fieldnorm
+metadata) and evaluation stops as soon as the k-th best score exceeds the
+next segment's bound.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from prosearch_ray.index import scoring
+from prosearch_ray.index.codec import decode_bitset, decode_deltas, decode_varints
+from prosearch_ray.index.fieldnorm import id_to_fieldnorm
+from prosearch_ray.query.snippet import make_snippet
+
+
+class _TermPostings:
+    """Decoded, bucket-ordered postings of one term."""
+
+    __slots__ = ("doc_ids", "tfs", "flags", "df_title", "df_body", "segments")
+
+    def __init__(self, rows: List[dict]):
+        rows.sort(key=lambda r: r["bucket"])
+        ids, tfs, fls = [], [], []
+        self.segments = []  # (start, end, max_tf, min_norm_body, min_norm_title)
+        pos = 0
+        for r in rows:
+            d = decode_deltas(r["doc_ids"]).astype(np.int64)
+            ids.append(d)
+            tfs.append(decode_varints(r["tfs"]).astype(np.int64))
+            fls.append(decode_bitset(r["title_flags"], len(d)))
+            self.segments.append(
+                (pos, pos + len(d), r["max_tf"], r["min_norm_body"], r["min_norm_title"]))
+            pos += len(d)
+        self.doc_ids = np.concatenate(ids) if ids else np.empty(0, np.int64)
+        self.tfs = np.concatenate(tfs) if tfs else np.empty(0, np.int64)
+        self.flags = np.concatenate(fls) if fls else np.empty(0, bool)
+        self.df_title = int(sum(r["df_title"] for r in rows))
+        self.df_body = int(sum(r["df_body"] for r in rows))
+
+
+class IndexSearcher:
+    def __init__(self, index_dir: str,
+                 boost_terms: frozenset = scoring.FIXTURE_BOOST_TERMS):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            st = json.load(f)
+        self.n_docs = st["n_docs"]
+        self.avgdl_title = st["avgdl_title"]
+        self.avgdl_body = st["avgdl_body"]
+        self.boost_terms = boost_terms
+
+        # docmeta fast fields: norm ids + doc keys indexed by compact doc_id.
+        meta_dir = os.path.join(index_dir, "docmeta")
+        metas = [pq.read_table(os.path.join(meta_dir, f),
+                               columns=["doc_id", "doc_key", "norm_title", "norm_body"])
+                 for f in sorted(os.listdir(meta_dir)) if f.endswith(".parquet")]
+        self.doc_keys: Optional[np.ndarray] = None
+        self.norm_title = np.zeros(self.n_docs, dtype=np.float64)
+        self.norm_body = np.zeros(self.n_docs, dtype=np.float64)
+        keys_arr = np.empty(self.n_docs, dtype=object)
+        for t in metas:
+            ids = t.column("doc_id").to_numpy()
+            self.norm_title[ids] = id_to_fieldnorm(t.column("norm_title").to_numpy())
+            self.norm_body[ids] = id_to_fieldnorm(t.column("norm_body").to_numpy())
+            keys_arr[ids] = np.asarray(t.column("doc_key").to_pylist(), dtype=object)
+        self.doc_keys = keys_arr
+        self._postings_ds = pads.dataset(os.path.join(index_dir, "postings"))
+        self._docs_ds = None  # lazy; only needed for snippets
+
+    # ------------------------------------------------------------------ fetch
+    def fetch_postings(self, terms: Sequence[str]) -> Dict[str, _TermPostings]:
+        if not terms:
+            return {}
+        tbl = self._postings_ds.to_table(
+            filter=pads.field("term").isin(list(terms)))
+        by_term: Dict[str, List[dict]] = {}
+        for row in tbl.to_pylist():
+            by_term.setdefault(row["term"], []).append(row)
+        return {t: _TermPostings(rows) for t, rows in by_term.items()}
+
+    # ------------------------------------------------------------------ score
+    def _term_scores(self, tp: _TermPostings, idx: np.ndarray, boost: float
+                     ) -> np.ndarray:
+        """Score contribution of one term at posting positions ``idx``."""
+        ids = tp.doc_ids[idx]
+        return scoring.score_components(
+            tp.tfs[idx], tp.flags[idx],
+            self.norm_title[ids], self.norm_body[ids],
+            scoring.idf([tp.df_title], self.n_docs)[0],
+            scoring.idf([tp.df_body], self.n_docs)[0],
+            self.avgdl_title, self.avgdl_body, boost)
+
+    def _segment_bound(self, tp: _TermPostings, seg, boost: float) -> float:
+        _, _, max_tf, mn_body, mn_title = seg
+        idf_t = scoring.idf([tp.df_title], self.n_docs)[0]
+        idf_b = scoring.idf([tp.df_body], self.n_docs)[0]
+        bound = 0.0
+        if tp.df_body and max_tf > 0:
+            bound += idf_b * scoring.tf_factor(
+                [max_tf], id_to_fieldnorm([mn_body]), self.avgdl_body)[0] * scoring.BODY_BOOST
+        if tp.df_title and mn_title < 255:
+            bound += idf_t * scoring.tf_factor(
+                [1.0], id_to_fieldnorm([mn_title]), self.avgdl_title)[0] * scoring.TITLE_BOOST
+        return boost * bound
+
+    def _search_single(self, tp: _TermPostings, boost: float, k: int
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+        """Single-term top-k with segment-level block-max pruning."""
+        segs = sorted(tp.segments,
+                      key=lambda s: -self._segment_bound(tp, s, boost))
+        heap: List[Tuple[float, int]] = []  # (score, -doc_id) min-heap
+        for seg in segs:
+            if len(heap) >= k and self._segment_bound(tp, seg, boost) < heap[0][0]:
+                break
+            idx = np.arange(seg[0], seg[1])
+            sc = self._term_scores(tp, idx, boost)
+            for s, d in zip(sc, tp.doc_ids[idx]):
+                item = (float(s), -int(d))
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+        hits = sorted(heap, key=lambda x: (-x[0], -x[1]))
+        ids = np.array([-d for _, d in hits], dtype=np.int64)
+        scs = np.array([s for s, _ in hits], dtype=np.float64)
+        return ids, scs
+
+    def search(self, query: str, k: int = scoring.DEFAULT_K
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (doc_ids, scores), rank-ordered by (-score, doc_id)."""
+        plan = scoring.query_plan(query, self.boost_terms)
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if not plan:
+            return empty
+        postings = self.fetch_postings([t for t, _ in plan])
+        if any(t not in postings for t, _ in plan):
+            return empty  # AND semantics: a zero-df term empties the result
+
+        if len(plan) == 1:
+            term, boost = plan[0]
+            return self._search_single(postings[term], boost, k)
+
+        # conjunctive multi-term: intersect ascending by df
+        plan_sorted = sorted(plan, key=lambda tb: len(postings[tb[0]].doc_ids))
+        cand = postings[plan_sorted[0][0]].doc_ids
+        for term, _ in plan_sorted[1:]:
+            cand = cand[np.isin(cand, postings[term].doc_ids, assume_unique=True)]
+            if len(cand) == 0:
+                return empty
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for term, boost in plan:
+            tp = postings[term]
+            pos = np.searchsorted(tp.doc_ids, cand)
+            scores += self._term_scores(tp, pos, boost)
+        top = scoring.top_k_indices(scores, cand, k)
+        return cand[top], scores[top]
+
+    # -------------------------------------------------------------- documents
+    def fetch_contents(self, doc_ids: np.ndarray) -> Dict[int, str]:
+        """Stored-doc fetch for snippet generation (top-k only; the analog of
+        searcher.doc() at serve.rs:428-433)."""
+        if self._docs_ds is None:
+            self._docs_ds = pads.dataset(os.path.join(self.index_dir, "staged"))
+        if len(doc_ids) == 0:
+            return {}
+        keys = [str(self.doc_keys[d]) for d in doc_ids]
+        tbl = self._docs_ds.to_table(
+            columns=["doc_key", "content"],
+            filter=pads.field("doc_key").isin(keys))
+        by_key = dict(zip(tbl.column("doc_key").to_pylist(),
+                          tbl.column("content").to_pylist()))
+        return {int(d): by_key.get(str(self.doc_keys[d]), "")
+                for d in doc_ids}
+
+    def search_with_snippets(self, query: str, k: int = scoring.DEFAULT_K
+                             ) -> List[dict]:
+        """Full SERP hits: doc_key + title + snippet, body dropped from the
+        stored doc before returning (M13, serve.rs:379-386)."""
+        ids, scores = self.search(query, k)
+        contents = self.fetch_contents(ids)
+        terms = [t for t, _ in scoring.query_plan(query, self.boost_terms)]
+        return [
+            {"doc_id": int(d), "doc_key": str(self.doc_keys[d]),
+             "title": str(self.doc_keys[d]), "score": float(s),
+             "snip": make_snippet(contents.get(int(d), ""), terms)}
+            for d, s in zip(ids, scores)
+        ]
