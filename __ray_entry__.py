@@ -1,44 +1,306 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (full inverted-index build + BM25
+actor-pool query) on sf0.001; ``queries()`` exposes one callable per
+implemented operator/pipeline from SURVEY.md §2 plus the training-data
+operator suite (dedup / similarity / text analysis / multimodal);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every SQL-expressible
+entry (rows-only ops: minhash/simhash LSH, approximate KNN, language-ID,
+fingerprinting, multimodal stub, full-engine code search).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in prosearch_ray) calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+TOK_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def _documents_as_corpus(sf_dir: str):
+    """Map the testdata ``documents`` table onto the engine corpus schema
+    (repo, path, commit, lang, content)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "lang", "source"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table({
+            "repo": t.column("source"),
+            "path": pa.array([f"docs/doc{int(i):07d}.txt" for i in ids], pa.string()),
+            "commit": pa.array(["0" * 40] * len(ids), pa.string()),
+            "lang": pa.array(["txt"] * len(ids), pa.string()),
+            "content": t.column("text"),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def _index_dir_for(sf_dir: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return f"/tmp/prosearch_ray_idx/{tag}"
+
+
+def _build_docs_index(sf_dir: str) -> str:
+    import pyarrow.parquet as pq
+
+    from prosearch_ray.index.build import build_index
+
+    n_est = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_documents_as_corpus(sf_dir), index_dir,
+                docs_per_bucket=512, n_input_estimate=n_est, resume=True)
+    return index_dir
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the inverted index over sf0.001 documents (mapped to
+    the corpus schema), serve BM25 queries through the actor pool, return the
+    hits table."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from prosearch_ray.query.actor import search_dataset
+
+    sf_dir = "/root/testdata/sf0.001"
+    index_dir = _build_docs_index(sf_dir)
+    queries = rd.from_arrow(pa.table({
+        "qid": pa.array(range(6), pa.int32()),
+        "query": pa.array(["table", "hash value", "merge batch", "scan",
+                           "window sort", "zzznothing"], pa.string()),
+        "k": pa.array([10] * 6, pa.int32()),
+    }))
+    return search_dataset(queries, index_dir, concurrency=2, batch_size=4)
+
+
+def code_search_topk(sf_dir: str) -> Any:
+    """Full engine (code-aware tokenizer, fieldnorm quantization, block-max
+    pruning) over documents-as-corpus; rows-only driver check — the exact
+    conformance gate for this path is tests/test_conformance.py."""
+    import pyarrow as pa
+
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    index_dir = _build_docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    out_q, out_r, out_key, out_s = [], [], [], []
+    for qid, q in enumerate(["table", "hash value", "merge batch", "scan"]):
+        ids, scores = s.search(q, 10)
+        for rank, (d, sc) in enumerate(zip(ids, scores)):
+            out_q.append(qid)
+            out_r.append(rank)
+            out_key.append(str(s.doc_keys[int(d)]))
+            out_s.append(round(float(sc), 4))
+    return pa.table({
+        "qid": pa.array(out_q, pa.int32()),
+        "rank": pa.array(out_r, pa.int32()),
+        "doc_key": pa.array(out_key, pa.string()),
+        "score": pa.array(out_s, pa.float64()),
+    })
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from prosearch_ray.pipelines import (dedup, docsearch, multimodal,
+                                         relational, similarity, textstats)
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / crawl-state analogs (SURVEY.md §2.5-2.8)
+        "stats_rollup": relational.stats_rollup,
+        "per_lang_count": relational.per_lang_count,
+        "distinct_sources": relational.distinct_sources,
+        "seed_backfill": relational.seed_backfill,
+        "upsert_last_wins": relational.upsert_last_wins,
+        "tpch_q1": relational.tpch_q1,
+        "union_counts": relational.union_counts,
+        "topk_orders": relational.topk_orders,
+        "doc_length_measure": relational.doc_length_measure,
+        "join_orders_customers": relational.join_orders_customers,
+        "events_window_stats": relational.events_window_stats,
+        # text / search core (SQL-checkable simple-tokenizer variants)
+        "term_df": docsearch.term_df,
+        "token_counts": docsearch.token_counts,
+        "bm25_topk": docsearch.bm25_topk,
+        "exact_dedup": docsearch.exact_dedup,
+        # full engine over documents-as-corpus (rows-only)
+        "code_search_topk": code_search_topk,
+        # dedup suite
+        "jaccard_pairs": dedup.jaccard_pairs,
+        "minhash_dup_pairs": dedup.minhash_dup_pairs,
+        "simhash_dup_pairs": dedup.simhash_dup_pairs,
+        "embedding_dup_pairs": dedup.embedding_dup_pairs,
+        # similarity search
+        "knn_cosine": similarity.knn_cosine,
+        "lsh_knn": similarity.lsh_knn,
+        # text analysis
+        "lang_id": textstats.lang_id,
+        "quality_score": textstats.quality_score,
+        "fingerprint": textstats.fingerprint,
+        # multimodal plumbing (stub decode kernel)
+        "media_features": multimodal.media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "stats_rollup": """
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars
+            FROM documents GROUP BY source ORDER BY n_docs DESC, source
+        """,
+        "per_lang_count": """
+            SELECT lang, count(*)::BIGINT AS n_docs FROM documents
+            WHERE lang IN ('en','de','fr') GROUP BY lang
+        """,
+        "distinct_sources": "SELECT DISTINCT source FROM documents ORDER BY source",
+        "seed_backfill": """
+            WITH seeds(source) AS (
+                SELECT 'src' || i::VARCHAR FROM generate_series(0, 19) t(i)
+                UNION ALL SELECT * FROM (VALUES ('src90'), ('src91'))
+            ),
+            counts AS (SELECT source, count(*)::BIGINT n FROM documents GROUP BY source)
+            SELECT s.source, coalesce(c.n, 0)::BIGINT AS n_docs
+            FROM seeds s LEFT JOIN counts c USING (source)
+        """,
+        "upsert_last_wins": """
+            SELECT o_custkey, o_orderkey FROM (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+                FROM orders) WHERE rn = 1
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-03'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "union_counts": """
+            SELECT nationkey, count(*)::BIGINT AS n_members FROM (
+                SELECT c_nationkey::BIGINT AS nationkey FROM customer
+                UNION ALL SELECT s_nationkey::BIGINT FROM supplier)
+            GROUP BY nationkey
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "doc_length_measure": """
+            SELECT doc_id, length(text)::BIGINT AS len_text,
+                   length(text) = n_chars AS matches_stored
+            FROM documents
+        """,
+        "join_orders_customers": """
+            SELECT c_mktsegment AS segment, count(*)::BIGINT AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "events_window_stats": """
+            SELECT event_type, floor(epoch(ts) / 3600)::BIGINT AS hour_bucket,
+                   count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "term_df": f"""
+            WITH tok AS (SELECT doc_id, unnest(list_distinct({TOK_SQL})) AS term
+                         FROM documents)
+            SELECT term, count(*)::BIGINT AS df FROM tok
+            GROUP BY term ORDER BY df DESC, term LIMIT 100
+        """,
+        "token_counts": f"""
+            SELECT doc_id, len({TOK_SQL})::BIGINT AS n_tokens FROM documents
+        """,
+        "bm25_topk": f"""
+            WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE dl FROM tok GROUP BY 1),
+            st AS (SELECT (SELECT count(*)::DOUBLE FROM documents) n,
+                          (SELECT sum(dl) FROM dl) / (SELECT count(*)::DOUBLE FROM documents) avgdl),
+            q(term) AS (VALUES ('table'), ('hash')),
+            df AS (SELECT q.term, count(*)::DOUBLE df FROM tf JOIN q USING (term) GROUP BY 1),
+            sc AS (SELECT tf.doc_id,
+                          sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                              * tf.tf * 2.2
+                              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) score,
+                          count(*) nm
+                   FROM tf JOIN q ON tf.term = q.term
+                        JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN st
+                   GROUP BY tf.doc_id)
+            SELECT doc_id, round(score, 4) AS score FROM sc
+            WHERE nm = (SELECT count(*) FROM q)
+            ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS sha, min(doc_id)::BIGINT AS keeper,
+                   count(*)::BIGINT AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "jaccard_pairs": f"""
+            WITH toks AS (SELECT doc_id, {TOK_SQL} t FROM documents),
+            sh AS (SELECT doc_id,
+                          unnest(list_distinct(list_transform(
+                              generate_series(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i + 1]))) shingle
+                   FROM toks WHERE len(t) >= 2),
+            sz AS (SELECT doc_id, count(*)::DOUBLE sz FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id ida, b.doc_id idb, count(*)::DOUBLE inter
+                      FROM sh a JOIN sh b
+                           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT ida, idb, round(inter / (sa.sz + sb.sz - inter), 4) AS jac
+            FROM inter JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id
+            WHERE inter / (sa.sz + sb.sz - inter) >= 0.6
+            ORDER BY ida, idb
+        """,
+        "embedding_dup_pairs": """
+            WITH p AS (
+                SELECT a.vec_id ida, b.vec_id idb,
+                       list_sum(list_transform(generate_series(1, len(a.embedding)),
+                           i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) dot,
+                       sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) na,
+                       sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))) nb
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            SELECT ida, idb, round(dot / (na * nb), 4) AS cos FROM p
+            WHERE dot / (na * nb) >= 0.3 ORDER BY ida, idb
+        """,
+        "knn_cosine": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id IN (0, 1, 2, 3, 4)),
+            p AS (SELECT q.vec_id qid, e.vec_id nid,
+                         list_sum(list_transform(generate_series(1, len(q.embedding)),
+                             i -> q.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+                         / (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                            * sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))) cos
+                  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id)
+            SELECT qid, nid, round(cos, 4) AS cos FROM (
+                SELECT *, row_number() OVER (PARTITION BY qid
+                    ORDER BY cos DESC, nid) rn FROM p)
+            WHERE rn <= 10 ORDER BY qid, nid
+        """,
+        "quality_score": f"""
+            WITH t AS (SELECT doc_id, {TOK_SQL} toks FROM documents)
+            SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+                   len(list_distinct(toks))::BIGINT AS n_uniq,
+                   round(CASE WHEN len(toks) = 0 THEN 0
+                         ELSE len(list_distinct(toks))::DOUBLE / len(toks) END, 4) AS ttr,
+                   round(CASE WHEN len(toks) = 0 THEN 0
+                         ELSE list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                              / len(toks) END, 4) AS mean_tok_len
+            FROM t
+        """,
+    }

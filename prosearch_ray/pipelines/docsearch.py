@@ -1,0 +1,175 @@
+"""Distributed text/search pipelines over the ``documents`` testdata table,
+each with an exact DuckDB oracle (see __ray_entry__.oracle_sql).
+
+These use the SQL-expressible ``simple_tokenize`` (lowercase + split on
+non-[a-z0-9] runs — text/tokenizer.py) so the whole distributed path —
+tokenize → partial aggregate → shuffle → score — is value-checked against a
+pure-SQL reimplementation.  The full code-aware engine (camelCase splitting,
+fieldnorm quantization, block-max pruning) is conformance-checked against the
+brute-force oracle in tests/test_conformance.py instead.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+from typing import Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Min, Sum
+
+from prosearch_ray.index.scoring import B, K1
+from prosearch_ray.pipelines.common import read, sql_round
+from prosearch_ray.state.broadcast import bget, bput
+from prosearch_ray.text.tokenizer import simple_tokenize
+
+# Fixed query for the SQL-checked BM25 pipeline (both terms exist in the
+# synthetic documents vocabulary).
+BM25_QUERY_TERMS: Tuple[str, ...] = ("table", "hash")
+BM25_K = 10
+
+
+def term_df(sf_dir: str, limit: int = 100) -> pa.Table:
+    """Top terms by document frequency (A5 df statistics analog).
+
+    Scale pattern: per-batch partial df (set-of-terms per doc, then a
+    within-batch combiner) -> small groupby(term).sum -> top-k."""
+    docs = read(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in t.column("text").to_pylist():
+            c.update(set(simple_tokenize(text)))
+        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
+                         "df_part": pa.array(list(c.values()), pa.int64())})
+
+    agg = docs.map_batches(partial, batch_format="pyarrow").groupby(
+        "term").aggregate(Sum("df_part", alias_name="df"))
+    rows = agg.take_all()
+    rows.sort(key=lambda r: (-r["df"], r["term"]))
+    rows = rows[:limit]
+    return pa.table({
+        "term": pa.array([r["term"] for r in rows], pa.string()),
+        "df": pa.array([int(r["df"]) for r in rows], pa.int64()),
+    })
+
+
+def token_counts(sf_dir: str) -> "rd.Dataset":
+    """Per-doc token count (M6/M7 length measure with the simple tokenizer)."""
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = [len(simple_tokenize(x)) for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tokens": pa.array(n, pa.int64())})
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def bm25_topk(sf_dir: str, terms: Sequence[str] = BM25_QUERY_TERMS,
+              k: int = BM25_K) -> pa.Table:
+    """Distributed BM25 top-k with AND semantics over documents.text.
+
+    Three-stage Ray pipeline (no full materialization):
+      1. map_batches: per-doc tf for each query term + doc length
+         (only docs matching ALL terms survive — conjunctive pre-filter);
+      2. tiny global aggregates for N, avgdl, df (partial per batch);
+      3. map_batches rescoring with broadcast stats + per-batch local top-k
+         prune, then a driver-side merge of ≤ k rows per batch.
+
+    Scores use exact doc lengths (no fieldnorm quantization) so the DuckDB
+    oracle can reproduce them bit-for-bit at round(.,4).
+    """
+    terms = list(terms)
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf_batch(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        out = {"doc_id": [], "dl": []}
+        tf_cols = {f"tf_{i}": [] for i in range(len(terms))}
+        for doc_id, text in zip(ids, t.column("text").to_pylist()):
+            toks = simple_tokenize(text)
+            c = Counter(toks)
+            out["doc_id"].append(doc_id)
+            out["dl"].append(len(toks))
+            for i, term in enumerate(terms):
+                tf_cols[f"tf_{i}"].append(c.get(term, 0))
+        tbl = pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "dl": pa.array(out["dl"], pa.int64()),
+            **{name: pa.array(vals, pa.int64()) for name, vals in tf_cols.items()},
+        })
+        return tbl
+
+    tf_ds = docs.map_batches(tf_batch, batch_format="pyarrow")
+
+    # global stats in ONE pass over the (small, term-count-wide) tf dataset
+    def stats_partial(t: pa.Table) -> pa.Table:
+        row = {"n_part": [t.num_rows], "dl_part": [int(pc.sum(t.column("dl")).as_py() or 0)]}
+        for i in range(len(terms)):
+            row[f"df_{i}"] = [int(pc.sum(pc.cast(pc.greater(
+                t.column(f"tf_{i}"), 0), pa.int64())).as_py() or 0)]
+        return pa.table(row)
+
+    stats_rows = tf_ds.map_batches(stats_partial, batch_format="pyarrow").take_all()
+    n_docs = sum(r["n_part"] for r in stats_rows)
+    if n_docs == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    avgdl = sum(r["dl_part"] for r in stats_rows) / n_docs
+    dfs = [sum(r[f"df_{i}"] for r in stats_rows) for i in range(len(terms))]
+    idfs = [float(np.log1p((n_docs - df + 0.5) / (df + 0.5))) for df in dfs]
+    ref = bput({"avgdl": avgdl, "idfs": idfs})
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        st = bget(ref)
+        mask = np.ones(t.num_rows, dtype=bool)
+        for i in range(len(terms)):
+            mask &= t.column(f"tf_{i}").to_numpy() > 0
+        if not mask.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        dl = t.column("dl").to_numpy()[mask].astype(np.float64)
+        score = np.zeros(mask.sum(), dtype=np.float64)
+        for i in range(len(terms)):
+            tf = t.column(f"tf_{i}").to_numpy()[mask].astype(np.float64)
+            score += st["idfs"][i] * tf * (K1 + 1.0) / (
+                tf + K1 * (1.0 - B + B * dl / st["avgdl"]))
+        ids = t.column("doc_id").to_numpy()[mask]
+        order = np.lexsort((ids, -score))[:k]  # local top-k prune
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "score": pa.array(score[order], pa.float64())})
+
+    cand = tf_ds.map_batches(score_batch, batch_format="pyarrow").take_all()
+    ids = np.array([r["doc_id"] for r in cand], dtype=np.int64)
+    scores = np.array([r["score"] for r in cand], dtype=np.float64)
+    order = np.lexsort((ids, -scores))[:k]
+    return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                     "score": pa.array(sql_round(scores[order], 4), pa.float64())})
+
+
+def exact_dedup(sf_dir: str) -> "rd.Dataset":
+    """Exact-content dedup groups (D1; checksum dedup CrawlerRunner.java:134):
+    per md5(text) keep min doc_id + group size."""
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def hash_batch(t: pa.Table) -> pa.Table:
+        md5s = [hashlib.md5(x.encode("utf-8")).hexdigest()
+                for x in t.column("text").to_pylist()]
+        return pa.table({"sha": pa.array(md5s, pa.string()),
+                         "doc_id": t.column("doc_id")})
+
+    agg = docs.map_batches(hash_batch, batch_format="pyarrow").groupby(
+        "sha").aggregate(Min("doc_id", alias_name="keeper"),
+                         Count(alias_name="n_copies"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "sha": t.column("sha"),
+            "keeper": pc.cast(t.column("keeper"), pa.int64()),
+            "n_copies": pc.cast(t.column("n_copies"), pa.int64()),
+        }),
+        batch_format="pyarrow")

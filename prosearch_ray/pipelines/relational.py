@@ -1,0 +1,251 @@
+"""Relational pipelines over the driver testdata — the reference's crawl-state
+queries (SURVEY.md §2.5-2.8) re-expressed as Ray Data transforms over the
+TPC-H-ish tables, each with a DuckDB oracle in __ray_entry__.oracle_sql().
+
+Every function takes ``sf_dir`` and returns a Dataset / pyarrow Table whose
+column names AND value rounding match the oracle SQL exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from prosearch_ray.pipelines.common import read, sql_round
+from prosearch_ray.state.broadcast import bget, bput
+
+# Seeds for the zero-crawl backfill (J6 analog — the reference left-extends
+# stats with seed hosts that have no crawled pages,
+# StatisticsHttpHandler.java:97-114). src90/src91 never occur in testdata.
+SEED_SOURCES = [f"src{i}" for i in range(20)] + ["src90", "src91"]
+
+
+def stats_rollup(sf_dir: str) -> "rd.Dataset":
+    """Per-source page count + total bytes, ordered desc — the /stats/ page
+    rollup (A2; StatisticsHttpHandler.java:33-45)."""
+    docs = read(sf_dir, "documents", columns=["source", "n_chars"])
+    agg = docs.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"),
+    ).sort(key=["n_docs", "source"], descending=[True, False])
+    return agg.map_batches(
+        lambda t: pa.table({
+            "source": t.column("source"),
+            "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
+            "total_chars": pc.cast(t.column("total_chars"), pa.int64()),
+        }),
+        batch_format="pyarrow")
+
+
+def per_lang_count(sf_dir: str) -> "rd.Dataset":
+    """Content-type gate analog (M3; Manager.java:319-330): accept only a
+    fixed lang set, count per lang (A1)."""
+    accepted = pa.array(["en", "de", "fr"])
+    docs = read(sf_dir, "documents", columns=["lang"])
+    docs = docs.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("lang"), value_set=accepted)),
+        batch_format="pyarrow")
+    return docs.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+def distinct_sources(sf_dir: str) -> pa.Table:
+    """Distinct queued hosts analog (A3; JdbcStoreEngine.java:343-353)."""
+    vals = sorted(read(sf_dir, "documents", columns=["source"]).unique("source"))
+    return pa.table({"source": pa.array(vals, pa.string())})
+
+
+def seed_backfill(sf_dir: str) -> pa.Table:
+    """LEFT-extend per-source stats with seed sources having zero docs (J6).
+    Small-side broadcast instead of a shuffle join."""
+    counts = read(sf_dir, "documents", columns=["source"]).groupby(
+        "source").aggregate(Count(alias_name="n_docs"))
+    got = {r["source"]: r["n_docs"] for r in counts.take_all()}
+    return pa.table({
+        "source": pa.array(SEED_SOURCES, pa.string()),
+        "n_docs": pa.array([int(got.get(s, 0)) for s in SEED_SOURCES], pa.int64()),
+    })
+
+
+def upsert_last_wins(sf_dir: str) -> "rd.Dataset":
+    """Last-write-wins per key (D3; TantivyCommitter delete-then-insert):
+    per customer keep the latest order by (o_orderdate, o_orderkey)."""
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def latest(group: pa.Table) -> pa.Table:
+        dates = group.column("o_orderdate").to_numpy()
+        keys = group.column("o_orderkey").to_numpy()
+        i = int(np.lexsort((keys, dates))[-1])
+        return pa.table({
+            "o_custkey": group.column("o_custkey").slice(i, 1),
+            "o_orderkey": group.column("o_orderkey").slice(i, 1),
+        })
+
+    return orders.groupby("o_custkey").map_groups(latest, batch_format="pyarrow")
+
+
+def tpch_q1(sf_dir: str) -> "rd.Dataset":
+    """Pricing-summary aggregate over lineitem (the classic groupby shape;
+    exercises partial->final aggregation and multi-key sort)."""
+    li = read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_linestatus", "l_quantity",
+                       "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("l_shipdate"),
+                             pa.scalar(np.datetime64("1998-09-03", "us"))))
+        disc = pc.multiply(t.column("l_extendedprice"),
+                           pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "l_quantity": t.column("l_quantity"),
+            "l_extendedprice": t.column("l_extendedprice"),
+            "disc_price": disc,
+            "l_discount": t.column("l_discount"),
+        })
+
+    agg = li.map_batches(prep, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="count_order"),
+    )
+
+    def round_cols(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            # money sums rounded to 2dp: double-summation order differs
+            # between Ray's per-block partial sums and DuckDB, so 4dp on a
+            # ~1e9 magnitude would sit inside the accumulation noise
+            "sum_qty": pa.array(sql_round(t.column("sum_qty").to_numpy(), 2)),
+            "sum_base_price": pa.array(sql_round(t.column("sum_base_price").to_numpy(), 2)),
+            "sum_disc_price": pa.array(sql_round(t.column("sum_disc_price").to_numpy(), 2)),
+            "avg_disc": pa.array(sql_round(t.column("avg_disc").to_numpy(), 4)),
+            "count_order": pc.cast(t.column("count_order"), pa.int64()),
+        })
+
+    return agg.map_batches(round_cols, batch_format="pyarrow")
+
+
+def union_counts(sf_dir: str) -> "rd.Dataset":
+    """Union of two keyed sources then group-count (J4/D5 analog —
+    queued ∪ domain_stats count restore, Manager.java:209-229)."""
+    cust = read(sf_dir, "customer", columns=["c_nationkey"]).map_batches(
+        lambda t: pa.table({"nationkey": pc.cast(t.column("c_nationkey"), pa.int64())}),
+        batch_format="pyarrow")
+    supp = read(sf_dir, "supplier", columns=["s_nationkey"]).map_batches(
+        lambda t: pa.table({"nationkey": pc.cast(t.column("s_nationkey"), pa.int64())}),
+        batch_format="pyarrow")
+    return cust.union(supp).groupby("nationkey").aggregate(
+        Count(alias_name="n_members"))
+
+
+def topk_orders(sf_dir: str) -> pa.Table:
+    """Global top-k by value with deterministic tie-break (T1/T3 shape):
+    per-batch local prune -> tiny global sort (never a full global sort)."""
+    k = 10
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        price = t.column("o_totalprice").to_numpy()
+        keys = t.column("o_orderkey").to_numpy()
+        order = np.lexsort((keys, -price))[:k]
+        return pa.table({"o_orderkey": pa.array(keys[order]),
+                         "o_totalprice": pa.array(price[order])})
+
+    cand = orders.map_batches(local_topk, batch_format="pyarrow").take_all()
+    keys = np.array([r["o_orderkey"] for r in cand])
+    price = np.array([r["o_totalprice"] for r in cand])
+    order = np.lexsort((keys, -price))[:k]
+    return pa.table({
+        "o_orderkey": pa.array(keys[order], pa.int64()),
+        "o_totalprice": pa.array(sql_round(price[order], 2), pa.float64()),
+    })
+
+
+def doc_length_measure(sf_dir: str) -> "rd.Dataset":
+    """Indexed-length measure (M6; serve.rs:495-501): recompute utf8 length
+    per doc and keep docs where it matches the stored n_chars."""
+    docs = read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ln = pc.cast(pc.utf8_length(t.column("text")), pa.int64())
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "len_text": ln,
+            "matches_stored": pc.equal(ln, t.column("n_chars")),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def join_orders_customers(sf_dir: str) -> "rd.Dataset":
+    """Broadcast hash join (small dimension side shipped once via ray.put,
+    looked up per batch — never a shuffle): order count + revenue per
+    customer market segment."""
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).take_all()
+    seg_by_key = {r["c_custkey"]: r["c_mktsegment"] for r in cust}
+    ref = bput(seg_by_key)
+
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        m = bget(ref)
+        segs = [m.get(k) for k in t.column("o_custkey").to_pylist()]
+        out = pa.table({
+            "segment": pa.array(segs, pa.string()),
+            "o_totalprice": t.column("o_totalprice"),
+        })
+        return out.filter(pc.is_valid(out.column("segment")))
+
+    agg = orders.map_batches(attach, batch_format="pyarrow").groupby(
+        "segment").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("o_totalprice", alias_name="revenue"))
+
+    def round_rev(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "segment": t.column("segment"),
+            "n_orders": pc.cast(t.column("n_orders"), pa.int64()),
+            "revenue": pa.array(sql_round(t.column("revenue").to_numpy(), 2)),
+        })
+
+    return agg.map_batches(round_rev, batch_format="pyarrow")
+
+
+def events_window_stats(sf_dir: str) -> "rd.Dataset":
+    """Tumbling-window aggregate over the events stream table (streaming
+    analog per guide: groupby key, window = floor(ts/1h)): per (event_type,
+    hour) count + mean value."""
+    ev = read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy()  # datetime64[us]
+        hour = (ts.astype("datetime64[h]").astype("int64")).astype(np.int64)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "hour_bucket": pa.array(hour, pa.int64()),
+            "value": t.column("value"),
+        })
+
+    agg = ev.map_batches(add_window, batch_format="pyarrow").groupby(
+        ["event_type", "hour_bucket"]).aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "hour_bucket": t.column("hour_bucket"),
+            "n_events": pc.cast(t.column("n_events"), pa.int64()),
+            "sum_value": pa.array(sql_round(t.column("sum_value").to_numpy(), 4)),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
