@@ -1,0 +1,166 @@
+"""Benchmark harness — prints ONE JSON line with the headline metrics.
+
+Default: the flagship index-build + BM25-query pipeline over a deterministic
+synthetic code corpus sized by the scale factor of $GRAFT_SF_DIR (default
+/root/testdata/sf0.1 -> 50k docs), plus timed runs of the other headline
+pipelines over the testdata tables, under
+ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32).
+
+``--scaling``: runs the headline index build twice in fresh processes
+(num_cpus=8 then 32) on the SAME corpus and reports both throughputs plus
+scaling efficiency = (T_8 / T_32) / 4 (the sandbox stand-in for the N vs 4N
+node criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_ROOT = "/tmp/prosearch_bench"
+DOCS_PER_SF = 500_000  # sf0.1 -> 50k docs
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _percentile(vals, p):
+    import numpy as np
+
+    return float(np.percentile(np.asarray(vals), p)) if len(vals) else 0.0
+
+
+def run_bench(sf_dir: str, ncpu: int) -> dict:
+    import ray
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+
+    from prosearch_ray.fixtures.gen_fast import write_bench_corpus
+    from prosearch_ray.index.build import build_index
+    from prosearch_ray.query.actor import search_dataset
+
+    sf = _sf_of(sf_dir)
+    n_docs = max(2000, int(DOCS_PER_SF * sf))
+    corpus_root = write_bench_corpus(os.path.join(BENCH_ROOT, f"sf{sf}"), n_docs)
+    corpus_dir = os.path.join(corpus_root, "corpus")
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    corpus_bytes = 0
+    for f in os.listdir(corpus_dir):
+        with open(os.path.join(corpus_dir, f), "rb") as fh:
+            corpus_bytes += len(fh.read())
+
+    timings: dict = {}
+
+    # ---- headline: fresh index build ----
+    index_dir = os.path.join(BENCH_ROOT, f"idx-sf{sf}-cpu{ncpu}")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    # bucket size: small enough that bucket-count >> cpu-count (parallelism +
+    # skew-proofing), large enough that per-bucket overhead stays amortized
+    docs_per_bucket = min(4096, max(256, n_docs // 128))
+    t0 = time.perf_counter()
+    report = build_index(corpus_dir, index_dir, docs_per_bucket=docs_per_bucket)
+    build_sec = time.perf_counter() - t0
+    timings["index_build"] = round(build_sec, 3)
+
+    # ---- headline: query latency over the fixture query set ----
+    queries = rd.read_parquet(os.path.join(corpus_root, "queries.parquet"))
+    t0 = time.perf_counter()
+    hits = search_dataset(queries, index_dir,
+                          concurrency=min(8, max(2, ncpu // 4)), batch_size=4)
+    hit_rows = hits.take_all()
+    timings["query_all"] = round(time.perf_counter() - t0, 3)
+    lat_by_q = {}
+    for r in hit_rows:
+        lat_by_q[r["qid"]] = r["latency_us"]
+    lats = sorted(lat_by_q.values())
+
+    # ---- secondary pipelines over the testdata tables ----
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in ("bm25_topk", "term_df", "minhash_dup_pairs", "knn_cosine",
+                 "stats_rollup", "tpch_q1"):
+        t0 = time.perf_counter()
+        res = qs[name](sf_dir)
+        if hasattr(res, "materialize"):
+            res.materialize()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = sum(timings.values())
+    out = {
+        "metric": "prosearch_ray headline: index build + BM25 query + pipeline suite (sec)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": ncpu,
+        "index": {
+            "n_docs": report["n_docs"],
+            "n_terms": report["n_terms"],
+            "num_buckets": report["num_buckets"],
+            "corpus_mb": round(corpus_bytes / 1e6, 1),
+            "build_files_per_sec": round(report["n_docs"] / build_sec, 1),
+            "build_gb_per_hr": round(corpus_bytes / 1e9 / (build_sec / 3600), 2),
+            "query_p50_ms": round(_percentile(lats, 50) / 1000, 3),
+            "query_p99_ms": round(_percentile(lats, 99) / 1000, 3),
+        },
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling(sf_dir: str, cpus=(8, 32)) -> dict:
+    """Same corpus, fresh process per num_cpus level; headline = build_sec."""
+    results = {}
+    for ncpu in cpus:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                             env=env, capture_output=True, text=True, cwd=REPO)
+        if out.returncode != 0:
+            raise RuntimeError(f"bench at num_cpus={ncpu} failed:\n{out.stderr[-2000:]}")
+        results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
+    lo, hi = cpus
+    t_lo = results[lo]["queries"]["index_build"]
+    t_hi = results[hi]["queries"]["index_build"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "index-build scaling efficiency (num_cpus stand-in for cluster sizes)",
+        "cpus": list(cpus),
+        "build_sec": {str(lo): t_lo, str(hi): t_hi},
+        "files_per_sec": {str(lo): results[lo]["index"]["build_files_per_sec"],
+                          str(hi): results[hi]["index"]["build_files_per_sec"]},
+        "gb_per_hr": {str(lo): results[lo]["index"]["build_gb_per_hr"],
+                      str(hi): results[hi]["index"]["build_gb_per_hr"]},
+        "scaling_efficiency": round(eff, 3),
+        "sf": results[hi]["sf"],
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        print(json.dumps(run_bench(sf_dir, ncpu)))
+
+
+if __name__ == "__main__":
+    main()

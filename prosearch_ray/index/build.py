@@ -49,7 +49,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from prosearch_ray.index import docid
+from prosearch_ray.index import docid, layout
 from prosearch_ray.index.segment import build_segment
 from prosearch_ray.state.broadcast import bget, bput
 
@@ -163,14 +163,14 @@ def _stage_a_writer(staged_dir: str):
 
 
 def _build_bucket(index_dir: str):
-    """Stage-B task body: one bucket -> postings + docmeta + manifest."""
+    """Stage-B task body: one bucket -> segment postings + docmeta + manifest."""
     def fn(item: dict) -> dict:
         t0 = time.perf_counter()
         bucket = int(item["bucket"])
         docs = pq.read_table(item["staged_path"])
         postings, docmeta = build_segment(bucket, docs, int(item["base_doc_id"]))
         name = f"bucket={bucket:08d}.parquet"
-        pbytes = _atomic_write_table(postings, os.path.join(index_dir, "postings", name))
+        pbytes = _atomic_write_table(postings, os.path.join(index_dir, "segments", name))
         _atomic_write_table(docmeta, os.path.join(index_dir, "docmeta", name))
         manifest = {
             "bucket": bucket,
@@ -193,6 +193,31 @@ def _fingerprint(staged_path: str, n_docs: int) -> str:
     return f"{n_docs}:{os.path.getsize(staged_path)}"
 
 
+def _merge_writer(index_dir: str):
+    """groupby(part).map_groups body: one term-hash partition -> final
+    postings file (all of a term's bucket segments, (term, bucket)-sorted,
+    small row groups for point lookups) + its dict shard (df totals,
+    computed in-task — no separate dict pass)."""
+    def fn(group: pa.Table) -> pa.Table:
+        part = int(group.column("part")[0].as_py())
+        tbl = group.drop_columns(["part"]).sort_by(
+            [("term", "ascending"), ("bucket", "ascending")])
+        name = f"part={part:05d}.parquet"
+        pbytes = _atomic_write_table(
+            tbl, os.path.join(index_dir, "postings", name),
+            row_group_size=layout.POSTINGS_ROW_GROUP)
+        d = pa.TableGroupBy(
+            tbl.select(["term", "df", "df_title", "df_body"]), "term"
+        ).aggregate([("df", "sum"), ("df_title", "sum"), ("df_body", "sum")])
+        d = d.rename_columns(["term", "df", "df_title", "df_body"]).sort_by("term")
+        _atomic_write_table(d, os.path.join(index_dir, "dict", name))
+        return pa.table({"part": pa.array([part], pa.int32()),
+                         "n_rows": pa.array([tbl.num_rows], pa.int64()),
+                         "n_terms": pa.array([d.num_rows], pa.int64()),
+                         "bytes": pa.array([pbytes], pa.int64())})
+    return fn
+
+
 def build_index(
     source: SourceT,
     index_dir: str,
@@ -206,7 +231,12 @@ def build_index(
     report. ``source`` is a corpus parquet path/dir or a Dataset with columns
     (repo, path, commit, lang, content)."""
     t_start = time.perf_counter()
-    for sub in ("staged", "postings", "docmeta", "manifest", "dict"):
+    phase_t: Dict[str, float] = {}
+
+    def _mark(name: str, t0: float) -> None:
+        phase_t[name] = round(time.perf_counter() - t0, 3)
+
+    for sub in ("staged", "segments", "postings", "docmeta", "manifest", "dict"):
         os.makedirs(os.path.join(index_dir, sub), exist_ok=True)
 
     if isinstance(source, str):
@@ -226,6 +256,7 @@ def build_index(
         staged_fresh = False
     else:
         # ----- pass 1: key-space dedup decisions (no content shuffled) -----
+        t0 = time.perf_counter()
         keys_ds = ds_raw.map_batches(_keys_batch(langs), batch_format="pyarrow",
                                      zero_copy_batch=True)
         agg1 = keys_ds.groupby("doc_key").aggregate(
@@ -244,30 +275,52 @@ def build_index(
                 "winner_sha": pa.array([w.rsplit("|", 1)[1] for w in winners], pa.string()),
             })
 
-        # Persist the per-key aggregate once: it has two downstream consumers
-        # (contested-key scan + content-dup groupby) and re-running pass 1 for
-        # each would hash the whole corpus again.
-        keys_staged = os.path.join(staged_dir, "_keys")
-        if os.path.isdir(keys_staged):
-            for f in os.listdir(keys_staged):
-                os.remove(os.path.join(keys_staged, f))
-        agg1.map_batches(_winner_sha, batch_format="pyarrow").write_parquet(keys_staged)
+        # The per-key aggregate has two consumers (contested-key scan +
+        # content-dup groupby). Small inputs: pull it to the driver once and
+        # finish both in memory (saves two Dataset executions of fixed
+        # overhead). Large inputs: persist to parquet once so neither
+        # consumer re-hashes the corpus, and keep both follow-ups distributed.
+        if n_est <= 2_000_000:
+            seen_sha: Dict[str, str] = {}
+            for b in agg1.map_batches(_winner_sha,
+                                      batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"):
+                for row in b.to_pylist():
+                    if row["n_rows"] > 1:
+                        contested[row["doc_key"]] = row["winner"]
+                    s = row["winner_sha"]
+                    cur = seen_sha.get(s)
+                    if cur is None:
+                        seen_sha[s] = row["doc_key"]
+                    else:
+                        dup_sha[s] = min(cur, row["doc_key"])
+                        seen_sha[s] = dup_sha[s]
+        else:
+            keys_staged = os.path.join(staged_dir, "_keys")
+            if os.path.isdir(keys_staged):
+                for f in os.listdir(keys_staged):
+                    os.remove(os.path.join(keys_staged, f))
+            agg1.map_batches(_winner_sha,
+                             batch_format="pyarrow").write_parquet(keys_staged)
 
-        agg1w = ray.data.read_parquet(keys_staged)
-        for b in agg1w.iter_batches(batch_format="pyarrow"):
-            m = pc.greater(b.column("n_rows"), 1)
-            for row in b.filter(m).select(["doc_key", "winner"]).to_pylist():
-                contested[row["doc_key"]] = row["winner"]
-        sha_agg = ray.data.read_parquet(
-            keys_staged, columns=["winner_sha", "doc_key"]).groupby(
-            "winner_sha").aggregate(
-            Count(alias_name="n_keys"), Min("doc_key", alias_name="keeper"))
-        for b in sha_agg.iter_batches(batch_format="pyarrow"):
-            m = pc.greater(b.column("n_keys"), 1)
-            for row in b.filter(m).select(["winner_sha", "keeper"]).to_pylist():
-                dup_sha[row["winner_sha"]] = row["keeper"]
+            agg1w = ray.data.read_parquet(keys_staged)
+            for b in agg1w.iter_batches(batch_format="pyarrow"):
+                m = pc.greater(b.column("n_rows"), 1)
+                for row in b.filter(m).select(["doc_key", "winner"]).to_pylist():
+                    contested[row["doc_key"]] = row["winner"]
+            sha_agg = ray.data.read_parquet(
+                keys_staged, columns=["winner_sha", "doc_key"]).groupby(
+                "winner_sha").aggregate(
+                Count(alias_name="n_keys"), Min("doc_key", alias_name="keeper"))
+            for b in sha_agg.iter_batches(batch_format="pyarrow"):
+                m = pc.greater(b.column("n_keys"), 1)
+                for row in b.filter(m).select(["winner_sha", "keeper"]).to_pylist():
+                    dup_sha[row["winner_sha"]] = row["keeper"]
+
+        _mark("pass1_dedup_keys", t0)
 
         # ----- pass 2: normalize + filter + the one content shuffle -----
+        t0 = time.perf_counter()
         contested_ref = bput(contested)
         dupsha_ref = bput(dup_sha)
         norm = ds_raw.map_batches(
@@ -282,6 +335,7 @@ def build_index(
              "n_docs": int(sum(counts.values()))},
             offsets_path)
         staged_fresh = True
+        _mark("pass2_stage_bucketed_docs", t0)
 
     offsets = docid.bucket_offsets(counts)
     n_docs = int(sum(counts.values()))
@@ -304,7 +358,7 @@ def build_index(
             name = f"bucket={bucket:08d}.parquet"
             outputs_ok = (
                 m is not None and m.get("fingerprint") == fp
-                and os.path.exists(os.path.join(index_dir, "postings", name))
+                and os.path.exists(os.path.join(index_dir, "segments", name))
                 and os.path.exists(os.path.join(index_dir, "docmeta", name))
             )
             if resume and outputs_ok:
@@ -321,9 +375,11 @@ def build_index(
         })
 
     if work:
+        t0 = time.perf_counter()
         ray.data.from_items(work).map(_build_bucket(index_dir)).materialize()
+        _mark("stage_b_segments", t0)
 
-    # ----- dict + stats -----
+    # ----- merge: term-partitioned postings + dict (forcemerge analog) -----
     manifests = []
     for fn in sorted(os.listdir(manifest_dir)):
         if fn.endswith(".json"):
@@ -331,29 +387,43 @@ def build_index(
     total_lt = sum(m["sum_len_title"] for m in manifests)
     total_lb = sum(m["sum_len_body"] for m in manifests)
 
-    dict_dir = os.path.join(index_dir, "dict")
-    for fn in os.listdir(dict_dir):
-        os.remove(os.path.join(dict_dir, fn))
+    total_seg_rows = sum(m["n_terms"] for m in manifests)
+    num_parts = layout.num_parts_for(total_seg_rows)
+    merge_fp = hashlib.md5(json.dumps(
+        [(m["bucket"], m["fingerprint"], m["n_terms"]) for m in manifests]
+        + [num_parts]).encode()).hexdigest()
+    merge_path = os.path.join(index_dir, "_merge.json")
+    merge_state = None
+    if resume and os.path.exists(merge_path):
+        try:
+            ms = json.load(open(merge_path))
+            if ms.get("fingerprint") == merge_fp:
+                merge_state = ms
+        except (ValueError, OSError):
+            pass
 
-    def _df_partial(batch: pa.Table) -> pa.Table:
-        # per-batch partial aggregation before the term shuffle (A5 pattern)
-        return pa.TableGroupBy(batch, "term").aggregate(
-            [("df", "sum"), ("df_title", "sum"), ("df_body", "sum")]
-        ).rename_columns(["term", "df", "df_title", "df_body"])
-
-    n_terms = 0
-    if manifests:
-        pds = ray.data.read_parquet(os.path.join(index_dir, "postings"),
-                                    columns=["term", "df", "df_title", "df_body"])
-        dict_ds = pds.map_batches(_df_partial, batch_format="pyarrow").groupby(
-            "term").aggregate(
-                Sum("df", alias_name="df"),
-                Sum("df_title", alias_name="df_title"),
-                Sum("df_body", alias_name="df_body"))
-        dict_ds.write_parquet(dict_dir)
-        n_terms = sum(
-            pq.read_metadata(os.path.join(dict_dir, f)).num_rows
-            for f in os.listdir(dict_dir) if f.endswith(".parquet"))
+    t0 = time.perf_counter()
+    if merge_state is None and manifests:
+        seg_ds = ray.data.read_parquet(os.path.join(index_dir, "segments"))
+        part_rows = seg_ds.map_batches(
+            layout.add_part_column(num_parts), batch_format="pyarrow"
+        ).groupby("part").map_groups(
+            _merge_writer(index_dir), batch_format="pyarrow").take_all()
+        n_terms = int(sum(r["n_terms"] for r in part_rows))
+        # drop stale part files from an earlier layout
+        live = {f"part={int(r['part']):05d}.parquet" for r in part_rows}
+        for sub in ("postings", "dict"):
+            for f in os.listdir(os.path.join(index_dir, sub)):
+                if f.endswith(".parquet") and f not in live:
+                    os.remove(os.path.join(index_dir, sub, f))
+        merge_state = {"fingerprint": merge_fp, "num_parts": num_parts,
+                       "n_terms": n_terms}
+        _atomic_write_json(merge_state, merge_path)
+        merged = True
+    else:
+        n_terms = int(merge_state["n_terms"]) if merge_state else 0
+        merged = False
+    _mark("merge_postings_dict", t0)
 
     stats = {
         "n_docs": n_docs,
@@ -364,8 +434,9 @@ def build_index(
         "avgdl_title": (total_lt / n_docs) if n_docs else 0.0,
         "avgdl_body": (total_lb / n_docs) if n_docs else 0.0,
         "n_terms": n_terms,
+        "num_parts": num_parts,
         "langs": sorted(langs),
-        "format_version": 1,
+        "format_version": 2,
     }
     _atomic_write_json(stats, os.path.join(index_dir, "stats.json"))
 
@@ -373,6 +444,8 @@ def build_index(
         **stats,
         "built_buckets": len(work),
         "skipped_buckets": skipped,
+        "merged": merged,
         "staged_fresh": staged_fresh,
+        "phases": phase_t,
         "wall_s": time.perf_counter() - t_start,
     }

@@ -25,10 +25,11 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
-from prosearch_ray.index import scoring
+from prosearch_ray.index import layout, scoring
 from prosearch_ray.index.codec import decode_bitset, decode_deltas, decode_varints
 from prosearch_ray.index.fieldnorm import id_to_fieldnorm
 from prosearch_ray.query.snippet import make_snippet
@@ -85,18 +86,58 @@ class IndexSearcher:
             self.norm_body[ids] = id_to_fieldnorm(t.column("norm_body").to_numpy())
             keys_arr[ids] = np.asarray(t.column("doc_key").to_pylist(), dtype=object)
         self.doc_keys = keys_arr
-        self._postings_ds = pads.dataset(os.path.join(index_dir, "postings"))
+        self.num_parts = st.get("num_parts", 0)
+        self._part_cache: Dict[int, tuple] = {}
         self._docs_ds = None  # lazy; only needed for snippets
 
     # ------------------------------------------------------------------ fetch
+    def _part_handle(self, part: int):
+        """Cached (ParquetFile, per-row-group (min_term, max_term)) for one
+        term-hash partition — the term-dictionary/posting-seek analog: a term
+        maps to one file and, via row-group stats, ~one row group."""
+        h = self._part_cache.get(part)
+        if h is None:
+            path = os.path.join(self.index_dir, "postings",
+                                f"part={part:05d}.parquet")
+            if not os.path.exists(path):
+                h = (None, [])
+            else:
+                pf = pq.ParquetFile(path)
+                term_idx = pf.schema_arrow.get_field_index("term")
+                ranges = []
+                for rg in range(pf.metadata.num_row_groups):
+                    stats = pf.metadata.row_group(rg).column(term_idx).statistics
+                    if stats is None or not stats.has_min_max:
+                        ranges.append((None, None))  # no stats: always read
+                    else:
+                        ranges.append((stats.min, stats.max))
+                h = (pf, ranges)
+            self._part_cache[part] = h
+        return h
+
     def fetch_postings(self, terms: Sequence[str]) -> Dict[str, _TermPostings]:
         if not terms:
             return {}
-        tbl = self._postings_ds.to_table(
-            filter=pads.field("term").isin(list(terms)))
+        by_part: Dict[int, List[str]] = {}
+        for t in terms:
+            by_part.setdefault(layout.term_part(t, self.num_parts), []).append(t)
         by_term: Dict[str, List[dict]] = {}
-        for row in tbl.to_pylist():
-            by_term.setdefault(row["term"], []).append(row)
+        for part, part_terms in by_part.items():
+            pf, ranges = self._part_handle(part)
+            if pf is None:
+                continue
+            rgs = sorted({
+                rg for rg, (mn, mx) in enumerate(ranges)
+                for t in part_terms
+                if mn is None or (mn <= t <= mx)
+            })
+            if not rgs:
+                continue
+            tbl = pf.read_row_groups(rgs)
+            tbl = tbl.filter(pc.is_in(tbl.column("term"),
+                                      value_set=pa.array(part_terms)))
+            for row in tbl.to_pylist():
+                by_term.setdefault(row["term"], []).append(row)
         return {t: _TermPostings(rows) for t, rows in by_term.items()}
 
     # ------------------------------------------------------------------ score

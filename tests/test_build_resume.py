@@ -65,7 +65,7 @@ def test_partial_resume_rebuilds_only_missing(built, tiny_corpus):
     # simulate a kill after some buckets: destroy one bucket's outputs
     victim = sorted(manifests_before)[0]
     name = f"bucket={victim:08d}"
-    os.remove(os.path.join(index_dir, "postings", name + ".parquet"))
+    os.remove(os.path.join(index_dir, "segments", name + ".parquet"))
     os.remove(os.path.join(index_dir, "manifest", name + ".json"))
 
     report = build_index(rd.from_arrow(tiny_corpus), index_dir, docs_per_bucket=64)
