@@ -5,22 +5,24 @@ Replaces the reference's crawl→commit→tantivy-segment path
 /root/reference/tantivy-cli/src/commands/index.rs:20-148) with:
 
     read_parquet(corpus)
-      ── pass 1 (keys only): map_batches(doc_key+sha256) → groupby(doc_key)
-         → upsert winners; → groupby(sha) over winners → content-dup winners
-         (both results are SMALL: only actually-contested keys are broadcast)
-      ── pass 2: map_batches(normalize + sha256 + lang filter + broadcast
-         dedup filters + bucket assign) → groupby(bucket).map_groups(stage-A
-         writer: sort by doc_key, write docs/bucket parquet atomically)
+      ── stage A: map_batches(normalize + sha256 + lang filter + bucket) →
+         groupby(bucket).map_groups(writer: in-bucket last-write-wins upsert,
+         sort by doc_key, write docs/bucket parquet atomically) — the ONLY
+         pass over content and the ONLY content shuffle
+      ── content-dedup fixup: scan staged KEY columns (doc_key, sha, bucket),
+         pick min-doc_key winner per sha, rewrite just the buckets holding
+         losers (cross-bucket dups are rare; the scan never touches content)
       ── per-bucket offsets (tiny driver-side cumsum) → doc_ids
       ── stage B: Dataset of bucket work-items → one task per bucket:
-         tokenize, build posting segments, write postings+docmeta+manifest
+         tokenize, build segment postings, write segments+docmeta+manifest
          atomically (resume skips buckets with a valid manifest)
-      ── dict/stats: partial per-batch df aggregation → groupby(term).sum →
-         dict.parquet; stats.json from manifest rows.
+      ── merge: segments → groupby(hash(term) % P).map_groups → final
+         term-partitioned postings + dict shards (forcemerge analog).
 
 Scale notes (explicitly designed for the 100 TB case):
-- exactly ONE full-content shuffle (the bucket groupby); dedup decisions ride
-  key-only aggregates whose contested subset is broadcast (bget);
+- exactly ONE pass over content and ONE content shuffle (the bucket
+  groupby); upsert dedup is in-bucket (doc_key ⇒ bucket), content dedup is a
+  key-column scan + loser-bucket rewrite — content is never re-read;
 - skew: the shuffle key is ``bucket`` — uniformly distributed by md5 and
   bounded at ``docs_per_bucket`` docs, so no Zipf-heavy term or repo can
   create a straggler group (the bucket is the salt; see segment.py);
@@ -81,50 +83,26 @@ def _doc_keys_column(repos, paths) -> list:
     return [docid.doc_key(r, p) for r, p in zip(repos, paths)]
 
 
-def _keys_batch(langs: FrozenSet[str]):
-    """Pass-1 projection: (doc_key, commit_sha) for lang-accepted rows."""
-    def fn(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch.column("lang"), value_set=pa.array(sorted(langs)))
-        batch = batch.filter(mask)
-        keys = _doc_keys_column(batch.column("repo").to_pylist(),
-                                batch.column("path").to_pylist())
-        shas = _sha256_hex_column(batch.column("content").to_pylist())
-        commit_sha = [c + "|" + s for c, s in
-                      zip(batch.column("commit").to_pylist(), shas)]
-        return pa.table({"doc_key": pa.array(keys, pa.string()),
-                         "commit_sha": pa.array(commit_sha, pa.string())})
-    return fn
+def _normalize_batch(langs: FrozenSet[str], num_buckets: int):
+    """Normalize: lang filter (M3), doc_key (M1), sha256 (D1 invariant),
+    title fallback (M5), n_chars (M6), bucket assignment.
 
-
-def _normalize_batch(langs: FrozenSet[str], num_buckets: int,
-                     contested_ref, dupsha_ref):
-    """Pass-2 normalize: lang filter (M3), doc_key (M1), sha256 (D1 invariant),
-    title fallback (M5), n_chars (M6), broadcast dedup filters, bucket."""
+    No dedup here: upsert duplicates share a doc_key, hence a bucket, and are
+    resolved inside the bucket writer; cross-bucket content duplicates are
+    resolved by the staged-key fixup pass (no extra pass over content)."""
     def fn(batch: pa.Table) -> pa.Table:
-        contested: Dict[str, str] = bget(contested_ref)
-        dup_sha: Dict[str, str] = bget(dupsha_ref)
         mask = pc.is_in(batch.column("lang"), value_set=pa.array(sorted(langs)))
         batch = batch.filter(mask)
         repos = batch.column("repo").to_pylist()
         paths = batch.column("path").to_pylist()
-        commits = batch.column("commit").to_pylist()
         contents = batch.column("content").to_pylist()
         keys = _doc_keys_column(repos, paths)
         shas = _sha256_hex_column(contents)
-        keep = np.ones(len(keys), dtype=bool)
-        for i, (k, c, s) in enumerate(zip(keys, commits, shas)):
-            w = contested.get(k)
-            if w is not None and (c + "|" + s) != w:
-                keep[i] = False  # upsert loser (delete-then-reinsert analog)
-                continue
-            ks = dup_sha.get(s)
-            if ks is not None and k != ks:
-                keep[i] = False  # exact-content duplicate, first-key-wins
         n_chars = pc.add(
             pc.utf8_length(batch.column("content")),
             pc.utf8_length(pa.array(keys, pa.string())),
         )
-        out = pa.table({
+        return pa.table({
             "doc_key": pa.array(keys, pa.string()),
             "repo": batch.column("repo"),
             "path": batch.column("path"),
@@ -137,29 +115,150 @@ def _normalize_batch(langs: FrozenSet[str], num_buckets: int,
             "n_chars": pc.cast(n_chars, pa.int64()),
             "bucket": pa.array(docid.buckets_of(keys, num_buckets), pa.int32()),
         })
-        return out.filter(pa.array(keep))
     return fn
 
 
-def _stage_a_writer(staged_dir: str):
+def _stage_a_writer(staged_dir: str, return_keys: bool):
     """groupby(bucket).map_groups body: canonical in-bucket order + atomic
-    docs file; emits (bucket, n_docs)."""
+    docs file; emits (bucket, n_docs).
+
+    Performs the last-write-wins upsert (D3; delete-then-reinsert analog,
+    TantivyCommitter.java:48-82) IN-bucket: all rows of a doc_key hash to the
+    same bucket, so sorting by (doc_key asc, commit desc, sha desc) and
+    keeping the first row per key implements max-(commit, sha) globally with
+    no extra shuffle."""
     def fn(group: pa.Table) -> pa.Table:
         bucket = int(group.column("bucket")[0].as_py())
-        group = group.sort_by([("doc_key", "ascending")])
+        group = group.sort_by([("doc_key", "ascending"),
+                               ("commit", "descending"),
+                               ("sha_hex", "descending")])
         keys = group.column("doc_key").to_pylist()
-        # drop full duplicates of the same doc_key (identical commit+sha rows
-        # that both survived the upsert filter): keep the first
         keep = np.ones(len(keys), dtype=bool)
         for i in range(1, len(keys)):
             if keys[i] == keys[i - 1]:
                 keep[i] = False
         group = group.filter(pa.array(keep))
         path = os.path.join(staged_dir, f"bucket={bucket:08d}.parquet")
-        _atomic_write_table(group.drop_columns(["sha_hex"]), path)
+        _atomic_write_table(group, path)
+        if return_keys:
+            # ship the (tiny) key columns back with the counts so the
+            # content-dedup fixup needs no re-scan of staged files
+            return pa.table({
+                "bucket": pa.array([bucket] * group.num_rows, pa.int32()),
+                "n_docs": pa.array([group.num_rows] * group.num_rows, pa.int64()),
+                "doc_key": group.column("doc_key"),
+                "sha_hex": group.column("sha_hex"),
+            })
         return pa.table({"bucket": pa.array([bucket], pa.int32()),
-                         "n_docs": pa.array([group.num_rows], pa.int64())})
+                         "n_docs": pa.array([group.num_rows], pa.int64()),
+                         "doc_key": pa.array([None], pa.string()),
+                         "sha_hex": pa.array([None], pa.string())})
     return fn
+
+
+def _dup_losers_from_keys(rows) -> Dict[int, set]:
+    """min-doc_key-per-sha winners from an iterable of (doc_key, sha, bucket);
+    returns losers per bucket."""
+    best: Dict[str, str] = {}
+    owner: Dict[str, int] = {}
+    losers_by_bucket: Dict[int, set] = {}
+    for key, sha, bucket in rows:
+        cur = best.get(sha)
+        if cur is None:
+            best[sha] = key
+            owner[sha] = bucket
+        elif key < cur:
+            losers_by_bucket.setdefault(owner[sha], set()).add(cur)
+            best[sha] = key
+            owner[sha] = bucket
+        else:
+            losers_by_bucket.setdefault(bucket, set()).add(key)
+    return losers_by_bucket
+
+
+def _rewrite_one_loser_bucket(staged_dir: str, bucket: int, losers) -> int:
+    path = os.path.join(staged_dir, f"bucket={bucket:08d}.parquet")
+    tbl = pq.read_table(path)
+    mask = pa.array([k not in losers
+                     for k in tbl.column("doc_key").to_pylist()])
+    tbl = tbl.filter(mask)
+    _atomic_write_table(tbl, path)
+    return tbl.num_rows
+
+
+def _rewrite_loser_buckets(staged_dir: str, counts: Dict[int, int],
+                           losers_by_bucket: Dict[int, set]) -> Dict[int, int]:
+    items = sorted(losers_by_bucket.items())
+    if len(items) > 8:  # parallel rewrite (one Ray task per affected bucket)
+        def fn(item: dict) -> dict:
+            n = _rewrite_one_loser_bucket(staged_dir, int(item["bucket"]),
+                                          set(item["losers"]))
+            return {"bucket": item["bucket"], "n_docs": n}
+
+        rows = ray.data.from_items(
+            [{"bucket": b, "losers": sorted(l)} for b, l in items]).map(fn).take_all()
+        for r in rows:
+            counts[int(r["bucket"])] = int(r["n_docs"])
+    else:
+        for bucket, losers in items:
+            counts[bucket] = _rewrite_one_loser_bucket(staged_dir, bucket, losers)
+    return counts
+
+
+def _content_dedup_fixup(staged_dir: str, counts: Dict[int, int],
+                         driver_threshold: int = 2_000_000) -> Dict[int, int]:
+    """Exact content dedup across buckets (D1; checksum dedup analog,
+    CrawlerRunner.java:134): scan ONLY the staged key columns
+    (doc_key, sha_hex, bucket), keep the min doc_key per sha, and rewrite
+    just the buckets that contain losers.  Under ``driver_threshold`` docs the
+    scan runs on the driver via pyarrow; above it, the duplicate-sha detection
+    is a distributed groupby whose (tiny) loser list comes back to the driver.
+    """
+    import pyarrow.dataset as pads
+
+    files = sorted(f for f in os.listdir(staged_dir)
+                   if f.startswith("bucket=") and f.endswith(".parquet"))
+    if not files:
+        return counts
+    paths = [os.path.join(staged_dir, f) for f in files]
+    n_total = sum(counts.values())
+    losers_by_bucket: Dict[int, set] = {}
+    if n_total <= driver_threshold:
+        tbl = pads.dataset(paths).to_table(columns=["doc_key", "sha_hex", "bucket"])
+        losers_by_bucket = _dup_losers_from_keys(
+            zip(tbl.column("doc_key").to_pylist(),
+                tbl.column("sha_hex").to_pylist(),
+                tbl.column("bucket").to_pylist()))
+    else:
+        keys_ds = ray.data.read_parquet(staged_dir,
+                                        columns=["doc_key", "sha_hex", "bucket"])
+        agg = keys_ds.groupby("sha_hex").aggregate(
+            Count(alias_name="n_keys"), Min("doc_key", alias_name="keeper"))
+        dup = {r["sha_hex"]: r["keeper"] for r in
+               agg.map_batches(
+                   lambda t: t.filter(pc.greater(t.column("n_keys"), 1)),
+                   batch_format="pyarrow").take_all()}
+        if dup:
+            ref = bput(dup)
+
+            def find_losers(t: pa.Table) -> pa.Table:
+                d = bget(ref)
+                ks, bs = [], []
+                for key, sha, bucket in zip(t.column("doc_key").to_pylist(),
+                                            t.column("sha_hex").to_pylist(),
+                                            t.column("bucket").to_pylist()):
+                    keeper = d.get(sha)
+                    if keeper is not None and key != keeper:
+                        ks.append(key)
+                        bs.append(bucket)
+                return pa.table({"doc_key": pa.array(ks, pa.string()),
+                                 "bucket": pa.array(bs, pa.int32())})
+
+            for r in keys_ds.map_batches(find_losers,
+                                         batch_format="pyarrow").take_all():
+                losers_by_bucket.setdefault(r["bucket"], set()).add(r["doc_key"])
+
+    return _rewrite_loser_buckets(staged_dir, counts, losers_by_bucket)
 
 
 def _build_bucket(index_dir: str):
@@ -240,7 +339,10 @@ def build_index(
         os.makedirs(os.path.join(index_dir, sub), exist_ok=True)
 
     if isinstance(source, str):
-        ds_raw = ray.data.read_parquet(source, columns=CORPUS_COLUMNS)
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        ds_raw = ray.data.read_parquet(
+            source, columns=CORPUS_COLUMNS,
+            override_num_blocks=max(2 * ncpu, 8))
     else:
         ds_raw = source
     n_est = n_input_estimate if n_input_estimate is not None else ds_raw.count()
@@ -255,87 +357,40 @@ def build_index(
         counts = {int(k): v for k, v in off["counts"].items()}
         staged_fresh = False
     else:
-        # ----- pass 1: key-space dedup decisions (no content shuffled) -----
+        # ----- stage A: normalize + the ONE content shuffle + in-bucket upsert
         t0 = time.perf_counter()
-        keys_ds = ds_raw.map_batches(_keys_batch(langs), batch_format="pyarrow",
-                                     zero_copy_batch=True)
-        agg1 = keys_ds.groupby("doc_key").aggregate(
-            Count(alias_name="n_rows"),
-            Max("commit_sha", alias_name="winner"),
-        )
-        contested: Dict[str, str] = {}
-        dup_sha: Dict[str, str] = {}
+        return_keys = n_est <= 2_000_000
+        norm = ds_raw.map_batches(_normalize_batch(langs, num_buckets),
+                                  batch_format="pyarrow", zero_copy_batch=True)
+        result_ds = norm.groupby("bucket").map_groups(
+            _stage_a_writer(staged_dir, return_keys), batch_format="pyarrow")
+        counts = {}
+        key_cols, sha_cols, bucket_cols = [], [], []
+        for b in result_ds.iter_batches(batch_format="pyarrow"):
+            for bk, nd in zip(b.column("bucket").to_pylist(),
+                              b.column("n_docs").to_pylist()):
+                counts[int(bk)] = int(nd)
+            if return_keys:
+                key_cols.extend(b.column("doc_key").to_pylist())
+                sha_cols.extend(b.column("sha_hex").to_pylist())
+                bucket_cols.extend(b.column("bucket").to_pylist())
+        _mark("stage_a_bucketed_docs", t0)
 
-        def _winner_sha(batch: pa.Table) -> pa.Table:
-            winners = batch.column("winner").to_pylist()
-            return pa.table({
-                "doc_key": batch.column("doc_key"),
-                "n_rows": batch.column("n_rows"),
-                "winner": batch.column("winner"),
-                "winner_sha": pa.array([w.rsplit("|", 1)[1] for w in winners], pa.string()),
-            })
-
-        # The per-key aggregate has two consumers (contested-key scan +
-        # content-dup groupby). Small inputs: pull it to the driver once and
-        # finish both in memory (saves two Dataset executions of fixed
-        # overhead). Large inputs: persist to parquet once so neither
-        # consumer re-hashes the corpus, and keep both follow-ups distributed.
-        if n_est <= 2_000_000:
-            seen_sha: Dict[str, str] = {}
-            for b in agg1.map_batches(_winner_sha,
-                                      batch_format="pyarrow").iter_batches(
-                    batch_format="pyarrow"):
-                for row in b.to_pylist():
-                    if row["n_rows"] > 1:
-                        contested[row["doc_key"]] = row["winner"]
-                    s = row["winner_sha"]
-                    cur = seen_sha.get(s)
-                    if cur is None:
-                        seen_sha[s] = row["doc_key"]
-                    else:
-                        dup_sha[s] = min(cur, row["doc_key"])
-                        seen_sha[s] = dup_sha[s]
+        # ----- content dedup fixup: key columns only, rewrite losers only
+        t0 = time.perf_counter()
+        if return_keys:
+            losers = _dup_losers_from_keys(zip(key_cols, sha_cols, bucket_cols))
+            counts = _rewrite_loser_buckets(staged_dir, counts, losers)
         else:
-            keys_staged = os.path.join(staged_dir, "_keys")
-            if os.path.isdir(keys_staged):
-                for f in os.listdir(keys_staged):
-                    os.remove(os.path.join(keys_staged, f))
-            agg1.map_batches(_winner_sha,
-                             batch_format="pyarrow").write_parquet(keys_staged)
+            counts = _content_dedup_fixup(staged_dir, counts)
+        _mark("content_dedup_fixup", t0)
 
-            agg1w = ray.data.read_parquet(keys_staged)
-            for b in agg1w.iter_batches(batch_format="pyarrow"):
-                m = pc.greater(b.column("n_rows"), 1)
-                for row in b.filter(m).select(["doc_key", "winner"]).to_pylist():
-                    contested[row["doc_key"]] = row["winner"]
-            sha_agg = ray.data.read_parquet(
-                keys_staged, columns=["winner_sha", "doc_key"]).groupby(
-                "winner_sha").aggregate(
-                Count(alias_name="n_keys"), Min("doc_key", alias_name="keeper"))
-            for b in sha_agg.iter_batches(batch_format="pyarrow"):
-                m = pc.greater(b.column("n_keys"), 1)
-                for row in b.filter(m).select(["winner_sha", "keeper"]).to_pylist():
-                    dup_sha[row["winner_sha"]] = row["keeper"]
-
-        _mark("pass1_dedup_keys", t0)
-
-        # ----- pass 2: normalize + filter + the one content shuffle -----
-        t0 = time.perf_counter()
-        contested_ref = bput(contested)
-        dupsha_ref = bput(dup_sha)
-        norm = ds_raw.map_batches(
-            _normalize_batch(langs, num_buckets, contested_ref, dupsha_ref),
-            batch_format="pyarrow", zero_copy_batch=True)
-        counts_rows = norm.groupby("bucket").map_groups(
-            _stage_a_writer(staged_dir), batch_format="pyarrow").take_all()
-        counts = {int(r["bucket"]): int(r["n_docs"]) for r in counts_rows}
         _atomic_write_json(
             {"num_buckets": num_buckets,
              "counts": {str(k): v for k, v in counts.items()},
              "n_docs": int(sum(counts.values()))},
             offsets_path)
         staged_fresh = True
-        _mark("pass2_stage_bucketed_docs", t0)
 
     offsets = docid.bucket_offsets(counts)
     n_docs = int(sum(counts.values()))

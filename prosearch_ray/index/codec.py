@@ -85,6 +85,52 @@ def decode_deltas(buf: bytes) -> np.ndarray:
     return np.cumsum(gaps, dtype=np.uint64)
 
 
+def _varint_byte_lengths(vals: np.ndarray) -> np.ndarray:
+    """Per-value encoded byte length (vectorized)."""
+    if len(vals) == 0:
+        return np.empty(0, dtype=np.int64)
+    shifts = (np.arange(_MAX_GROUPS, dtype=np.uint64) * np.uint64(7))
+    groups = (vals[:, None] >> shifts[None, :]) & np.uint64(0x7F)
+    nonzero = groups != 0
+    highest = _MAX_GROUPS - np.argmax(nonzero[:, ::-1], axis=1)
+    return np.where(nonzero.any(axis=1), highest, 1).astype(np.int64)
+
+
+def encode_varints_grouped(values: np.ndarray, group_lengths: np.ndarray):
+    """Encode a concatenation of groups in ONE vectorized pass and return the
+    per-group byte strings.  Equivalent to
+    ``[encode_varints(g) for g in split(values, group_lengths)]`` but without
+    per-group numpy call overhead — the per-group work is a memoryview slice.
+    """
+    vals = np.asarray(values, dtype=np.uint64)
+    glens = np.asarray(group_lengths, dtype=np.int64)
+    buf = encode_varints(vals)
+    blens = _varint_byte_lengths(vals)
+    ends = np.cumsum(blens)
+    val_ends = np.cumsum(glens)
+    byte_ends = np.concatenate(([0], ends))[val_ends]
+    byte_starts = np.concatenate(([0], byte_ends[:-1]))
+    mv = memoryview(buf)
+    return [bytes(mv[s:e]) for s, e in zip(byte_starts, byte_ends)]
+
+
+def encode_deltas_grouped(doc_ids: np.ndarray, group_lengths: np.ndarray):
+    """Per-group delta-gap varint encoding of a concatenated id array (each
+    group strictly increasing), vectorized: gaps computed globally, group
+    heads reset to their absolute id."""
+    ids = np.asarray(doc_ids, dtype=np.uint64)
+    glens = np.asarray(group_lengths, dtype=np.int64)
+    if len(ids) == 0:
+        return [b""] * len(glens)
+    gaps = np.empty_like(ids)
+    gaps[0] = ids[0]
+    np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+    starts = np.concatenate(([0], np.cumsum(glens)[:-1]))
+    starts = starts[glens > 0]
+    gaps[starts] = ids[starts]
+    return encode_varints_grouped(gaps, glens)
+
+
 def encode_bitset(flags) -> bytes:
     """Pack a boolean array LSB-first into bytes."""
     arr = np.asarray(flags, dtype=bool)

@@ -21,7 +21,7 @@ import numpy as np
 import pyarrow as pa
 
 POSTINGS_ROW_GROUP = 2048
-SEG_ROWS_PER_PART = 131072
+SEG_ROWS_PER_PART = 16384
 
 
 def term_part(term: str, num_parts: int) -> int:
@@ -31,7 +31,10 @@ def term_part(term: str, num_parts: int) -> int:
 
 def num_parts_for(total_segment_rows: int,
                   rows_per_part: int = SEG_ROWS_PER_PART) -> int:
-    return max(4, -(-int(total_segment_rows) // int(rows_per_part)))
+    # Keep part cardinality comfortably above worker count: Ray's
+    # sort-based groupby range-partitions on the key, and a low-cardinality
+    # key collapses the shuffle onto a handful of reducers.
+    return max(16, -(-int(total_segment_rows) // int(rows_per_part)))
 
 
 def add_part_column(num_parts: int):

@@ -11,19 +11,32 @@ Because bucket size is bounded by construction, NO term â€” however Zipf-heavy â
 ever produces a group larger than one bucket's postings: this is the explicit
 skew/salting design required by the north rule (the bucket id acts as the
 salt; final per-term merge is a cheap concat of segments in bucket order).
+
+The kernel is vectorized end-to-end:
+  Arrow ``utf8_split_whitespace`` (raw whitespace tokens, identical multiset
+  to Python ``str.split``) â†’ ``dictionary_encode`` so the code-aware
+  ``expand_token`` runs once per DISTINCT raw token (Zipf â‡’ tiny) â†’ numpy
+  ragged gathers expand the token stream to term ids â†’ one ``np.unique`` over
+  packed (term, doc) keys yields tfs â†’ grouped varint/delta encoders emit all
+  posting bytes in one pass.  tests/test_conformance.py pins exactness
+  against the row-at-a-time oracle.
 """
 
 from __future__ import annotations
 
-from collections import Counter
-from typing import Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from prosearch_ray.index.codec import encode_bitset, encode_deltas, encode_varints
+from prosearch_ray.index.codec import (
+    encode_bitset,
+    encode_deltas_grouped,
+    encode_varints_grouped,
+)
 from prosearch_ray.index.fieldnorm import fieldnorm_to_id
-from prosearch_ray.text.tokenizer import tokenize
+from prosearch_ray.text.tokenizer import expand_token
 
 POSTINGS_SCHEMA = pa.schema([
     ("term", pa.string()),
@@ -52,6 +65,62 @@ DOCMETA_SCHEMA = pa.schema([
 ])
 
 
+def _tokenize_column(col: "pa.ChunkedArray | pa.Array",
+                     vocab: Dict[str, int], vocab_list: List[str]
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized tokenization of a string column.
+
+    Returns (doc_of_token, term_id_of_token, n_tokens_per_doc); term ids
+    index into the shared ``vocab``/``vocab_list`` (mutated in place).
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n_docs = len(col)
+    split = pc.utf8_split_whitespace(col)
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    raw_counts = np.diff(split.offsets.to_numpy().astype(np.int64))
+    flat = split.flatten()
+    if len(flat) == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.zeros(n_docs, np.int64))
+    de = flat.dictionary_encode()
+    uidx = de.indices.to_numpy().astype(np.int64)
+    uniq = de.dictionary.to_pylist()
+
+    # expansion table: one expand_token call per DISTINCT raw token
+    exp_tids: List[int] = []
+    exp_starts = np.empty(len(uniq) + 1, dtype=np.int64)
+    exp_starts[0] = 0
+    for i, raw in enumerate(uniq):
+        for t in expand_token(raw):
+            tid = vocab.get(t)
+            if tid is None:
+                tid = len(vocab_list)
+                vocab[t] = tid
+                vocab_list.append(t)
+            exp_tids.append(tid)
+        exp_starts[i + 1] = len(exp_tids)
+    tid_flat = np.asarray(exp_tids, dtype=np.int64)
+    exp_len_u = np.diff(exp_starts)
+
+    # ragged gather: expand each raw-token occurrence to its term ids
+    exp_len = exp_len_u[uidx]
+    total = int(exp_len.sum())
+    doc_of_raw = np.repeat(np.arange(n_docs, dtype=np.int64), raw_counts)
+    if total == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.zeros(n_docs, np.int64))
+    grp_start = np.repeat(exp_starts[uidx], exp_len)
+    ends = np.cumsum(exp_len)
+    within = np.arange(total, dtype=np.int64) - np.repeat(ends - exp_len, exp_len)
+    term_ids = tid_flat[grp_start + within]
+    doc_of_token = np.repeat(doc_of_raw, exp_len)
+    n_tokens = np.zeros(n_docs, dtype=np.int64)
+    np.add.at(n_tokens, doc_of_raw, exp_len)
+    return doc_of_token, term_ids, n_tokens
+
+
 def build_segment(
     bucket: int, docs: pa.Table, base_doc_id: int
 ) -> Tuple[pa.Table, pa.Table]:
@@ -62,63 +131,94 @@ def build_segment(
     ``base_doc_id + row_index``.
     """
     n = docs.num_rows
-    titles = docs.column("title").to_pylist()
-    contents = docs.column("content").to_pylist()
-
-    # term -> ([local doc idx], [tf_body], [in_title])
-    post: dict = {}
-    len_title = np.zeros(n, dtype=np.int32)
-    len_body = np.zeros(n, dtype=np.int32)
-    for i in range(n):
-        t_toks = tokenize(titles[i])
-        b_toks = tokenize(contents[i])
-        len_title[i] = len(t_toks)
-        len_body[i] = len(b_toks)
-        body_tf = Counter(b_toks)
-        title_set = set(t_toks)
-        for term in title_set | body_tf.keys():
-            entry = post.setdefault(term, ([], [], []))
-            entry[0].append(i)
-            entry[1].append(body_tf.get(term, 0))
-            entry[2].append(term in title_set)
+    vocab: Dict[str, int] = {}
+    vocab_list: List[str] = []
+    t_doc, t_tid, len_title = _tokenize_column(docs.column("title"), vocab, vocab_list)
+    b_doc, b_tid, len_body = _tokenize_column(docs.column("content"), vocab, vocab_list)
+    nv = len(vocab_list)
 
     norm_title = fieldnorm_to_id(len_title)
     norm_body = fieldnorm_to_id(len_body)
 
-    terms = sorted(post)
-    cols = {k: [] for k in ("term", "bucket", "df", "df_title", "df_body",
-                            "doc_ids", "tfs", "title_flags", "max_tf",
-                            "min_norm_body", "min_norm_title")}
-    for term in terms:
-        idxs, tfs, flags = post[term]
-        idx_arr = np.asarray(idxs, dtype=np.int64)
-        tf_arr = np.asarray(tfs, dtype=np.uint64)
-        fl_arr = np.asarray(flags, dtype=bool)
-        cols["term"].append(term)
-        cols["bucket"].append(bucket)
-        cols["df"].append(len(idx_arr))
-        cols["df_title"].append(int(fl_arr.sum()))
-        cols["df_body"].append(int((tf_arr > 0).sum()))
-        cols["doc_ids"].append(encode_deltas((idx_arr + base_doc_id).astype(np.uint64)))
-        cols["tfs"].append(encode_varints(tf_arr))
-        cols["title_flags"].append(encode_bitset(fl_arr))
-        cols["max_tf"].append(int(tf_arr.max()) if len(tf_arr) else 0)
-        body_norms = norm_body[idx_arr[tf_arr > 0]]
-        title_norms = norm_title[idx_arr[fl_arr]]
-        cols["min_norm_body"].append(int(body_norms.min()) if len(body_norms) else 255)
-        cols["min_norm_title"].append(int(title_norms.min()) if len(title_norms) else 255)
+    # (term, doc) -> tf via one unique over packed keys (term-major order)
+    if len(b_tid):
+        b_keys, b_tf = np.unique(b_tid * n + b_doc, return_counts=True)
+        b_term = b_keys // n
+        b_docid = b_keys % n
+    else:
+        b_term = b_docid = b_tf = np.empty(0, np.int64)
+    if len(t_tid):
+        t_keys = np.unique(t_tid * n + t_doc)
+        t_term = t_keys // n
+        t_docid = t_keys % n
+    else:
+        t_term = t_docid = np.empty(0, np.int64)
 
-    postings = pa.table(
-        {name: pa.array(cols[name], POSTINGS_SCHEMA.field(name).type)
-         for name in POSTINGS_SCHEMA.names},
-        schema=POSTINGS_SCHEMA,
-    )
+    # merge body postings with title-only postings into one (term, doc) set:
+    # mark title presence, tf=0 for title-only entries
+    all_keys = np.concatenate([b_term * n + b_docid, t_term * n + t_docid])
+    if len(all_keys) == 0:
+        postings = pa.table(
+            {f.name: pa.array([], f.type) for f in POSTINGS_SCHEMA},
+            schema=POSTINGS_SCHEMA)
+    else:
+        keys, first_idx = np.unique(all_keys, return_index=True)
+        tf_by_key = np.zeros(len(keys), dtype=np.int64)
+        if len(b_term):
+            tf_by_key[np.searchsorted(keys, b_term * n + b_docid)] = b_tf
+        in_title = np.zeros(len(keys), dtype=bool)
+        if len(t_term):
+            in_title[np.searchsorted(keys, t_term * n + t_docid)] = True
+        terms_of_key = keys // n
+        docs_of_key = keys % n
+
+        # group boundaries per distinct term (keys are term-major sorted)
+        term_change = np.nonzero(np.diff(terms_of_key))[0] + 1
+        starts = np.concatenate(([0], term_change))
+        ends = np.concatenate((term_change, [len(keys)]))
+        glens = ends - starts
+        seg_terms = terms_of_key[starts]
+
+        doc_ids_enc = encode_deltas_grouped(
+            (docs_of_key + base_doc_id).astype(np.uint64), glens)
+        tfs_enc = encode_varints_grouped(tf_by_key.astype(np.uint64), glens)
+        flags_enc = [encode_bitset(in_title[s:e]) for s, e in zip(starts, ends)]
+
+        df = glens
+        df_title = np.add.reduceat(in_title.astype(np.int64), starts)
+        df_body = np.add.reduceat((tf_by_key > 0).astype(np.int64), starts)
+        max_tf = np.maximum.reduceat(tf_by_key, starts)
+        # min fieldnorm over member docs (255 when the field has no members)
+        nb = norm_body[docs_of_key].astype(np.int64)
+        nb_masked = np.where(tf_by_key > 0, nb, 256)
+        min_nb = np.minimum(np.minimum.reduceat(nb_masked, starts), 255)
+        nt = norm_title[docs_of_key].astype(np.int64)
+        nt_masked = np.where(in_title, nt, 256)
+        min_nt = np.minimum(np.minimum.reduceat(nt_masked, starts), 255)
+
+        term_strs = [vocab_list[t] for t in seg_terms]
+        order = np.argsort(np.asarray(term_strs, dtype=object), kind="stable")
+        postings = pa.table({
+            "term": pa.array([term_strs[i] for i in order], pa.string()),
+            "bucket": pa.array(np.full(len(order), bucket, np.int32), pa.int32()),
+            "df": pa.array(df[order].astype(np.uint32), pa.uint32()),
+            "df_title": pa.array(df_title[order].astype(np.uint32), pa.uint32()),
+            "df_body": pa.array(df_body[order].astype(np.uint32), pa.uint32()),
+            "doc_ids": pa.array([doc_ids_enc[i] for i in order], pa.binary()),
+            "tfs": pa.array([tfs_enc[i] for i in order], pa.binary()),
+            "title_flags": pa.array([flags_enc[i] for i in order], pa.binary()),
+            "max_tf": pa.array(max_tf[order].astype(np.uint32), pa.uint32()),
+            "min_norm_body": pa.array(min_nb[order].astype(np.uint8), pa.uint8()),
+            "min_norm_title": pa.array(min_nt[order].astype(np.uint8), pa.uint8()),
+        }, schema=POSTINGS_SCHEMA)
+        assert nv >= len(seg_terms)
+
     docmeta = pa.table({
         "doc_id": pa.array(base_doc_id + np.arange(n, dtype=np.int64), pa.int64()),
         "doc_key": docs.column("doc_key"),
         "bucket": pa.array(np.full(n, bucket, dtype=np.int32), pa.int32()),
-        "len_title": pa.array(len_title, pa.int32()),
-        "len_body": pa.array(len_body, pa.int32()),
+        "len_title": pa.array(len_title.astype(np.int32), pa.int32()),
+        "len_body": pa.array(len_body.astype(np.int32), pa.int32()),
         "norm_title": pa.array(norm_title, pa.uint8()),
         "norm_body": pa.array(norm_body, pa.uint8()),
         "sha256": docs.column("sha256"),

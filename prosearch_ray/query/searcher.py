@@ -18,9 +18,9 @@ next segment's bound.
 
 from __future__ import annotations
 
-import heapq
 import json
 import os
+from collections import OrderedDict
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -88,6 +88,10 @@ class IndexSearcher:
         self.doc_keys = keys_arr
         self.num_parts = st.get("num_parts", 0)
         self._part_cache: Dict[int, tuple] = {}
+        # per-actor LRU of decoded postings: query-term frequency is Zipfian,
+        # so hot terms (the boost set, stopword-grade tokens) stay resident
+        self._postings_lru: "OrderedDict[str, Optional[_TermPostings]]" = OrderedDict()
+        self._postings_lru_cap = 4096
         self._docs_ds = None  # lazy; only needed for snippets
 
     # ------------------------------------------------------------------ fetch
@@ -118,8 +122,20 @@ class IndexSearcher:
     def fetch_postings(self, terms: Sequence[str]) -> Dict[str, _TermPostings]:
         if not terms:
             return {}
-        by_part: Dict[int, List[str]] = {}
+        out: Dict[str, _TermPostings] = {}
+        missing: List[str] = []
         for t in terms:
+            if t in self._postings_lru:
+                self._postings_lru.move_to_end(t)
+                hit = self._postings_lru[t]
+                if hit is not None:
+                    out[t] = hit
+            else:
+                missing.append(t)
+        if not missing:
+            return out
+        by_part: Dict[int, List[str]] = {}
+        for t in missing:
             by_part.setdefault(layout.term_part(t, self.num_parts), []).append(t)
         by_term: Dict[str, List[dict]] = {}
         for part, part_terms in by_part.items():
@@ -138,7 +154,15 @@ class IndexSearcher:
                                       value_set=pa.array(part_terms)))
             for row in tbl.to_pylist():
                 by_term.setdefault(row["term"], []).append(row)
-        return {t: _TermPostings(rows) for t, rows in by_term.items()}
+        for t in missing:
+            rows = by_term.get(t)
+            tp = _TermPostings(rows) if rows else None
+            self._postings_lru[t] = tp
+            if len(self._postings_lru) > self._postings_lru_cap:
+                self._postings_lru.popitem(last=False)
+            if tp is not None:
+                out[t] = tp
+        return out
 
     # ------------------------------------------------------------------ score
     def _term_scores(self, tp: _TermPostings, idx: np.ndarray, boost: float
@@ -167,25 +191,41 @@ class IndexSearcher:
 
     def _search_single(self, tp: _TermPostings, boost: float, k: int
                        ) -> Tuple[np.ndarray, np.ndarray]:
-        """Single-term top-k with segment-level block-max pruning."""
-        segs = sorted(tp.segments,
-                      key=lambda s: -self._segment_bound(tp, s, boost))
-        heap: List[Tuple[float, int]] = []  # (score, -doc_id) min-heap
-        for seg in segs:
-            if len(heap) >= k and self._segment_bound(tp, seg, boost) < heap[0][0]:
+        """Single-term top-k with segment-level block-max pruning, fully
+        vectorized: segments are visited in descending score upper bound and
+        skipped once the running k-th score exceeds the next bound; collected
+        candidates are periodically compacted to the current top-k."""
+        bounds = [self._segment_bound(tp, s, boost) for s in tp.segments]
+        order = sorted(range(len(bounds)), key=lambda i: -bounds[i])
+        cand_ids: List[np.ndarray] = []
+        cand_scores: List[np.ndarray] = []
+        n_collected = 0
+        kth = -np.inf
+
+        def compact():
+            nonlocal cand_ids, cand_scores, n_collected, kth
+            ids = np.concatenate(cand_ids)
+            scs = np.concatenate(cand_scores)
+            top = scoring.top_k_indices(scs, ids, k)
+            cand_ids, cand_scores = [ids[top]], [scs[top]]
+            n_collected = len(top)
+            if n_collected >= k:
+                kth = float(cand_scores[0][-1])
+
+        for i in order:
+            if n_collected >= k and bounds[i] < kth:
                 break
+            seg = tp.segments[i]
             idx = np.arange(seg[0], seg[1])
-            sc = self._term_scores(tp, idx, boost)
-            for s, d in zip(sc, tp.doc_ids[idx]):
-                item = (float(s), -int(d))
-                if len(heap) < k:
-                    heapq.heappush(heap, item)
-                elif item > heap[0]:
-                    heapq.heapreplace(heap, item)
-        hits = sorted(heap, key=lambda x: (-x[0], -x[1]))
-        ids = np.array([-d for _, d in hits], dtype=np.int64)
-        scs = np.array([s for s, _ in hits], dtype=np.float64)
-        return ids, scs
+            cand_ids.append(tp.doc_ids[idx])
+            cand_scores.append(self._term_scores(tp, idx, boost))
+            n_collected += len(idx)
+            if n_collected >= k:
+                compact()
+        if not cand_ids:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        compact()
+        return cand_ids[0].astype(np.int64), cand_scores[0]
 
     def search(self, query: str, k: int = scoring.DEFAULT_K
                ) -> Tuple[np.ndarray, np.ndarray]:

@@ -36,6 +36,7 @@ byte-exact.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from typing import List
 
 # Camel / acronym / digit splitter: "HTTPServer2x" -> HTTP, Server, 2, x
@@ -56,8 +57,14 @@ def camel_digit_split(token: str) -> List[str]:
     return parts if parts else [token]
 
 
+@lru_cache(maxsize=262144)
 def expand_token(raw: str) -> List[str]:
-    """Emit the token list for one raw whitespace-delimited token (spec 2a-2c)."""
+    """Emit the token list for one raw whitespace-delimited token (spec 2a-2c).
+
+    Memoized per process: raw-token frequency is Zipfian, so in a hot build
+    loop the cache turns three regex passes per token into a dict hit for the
+    overwhelming majority of tokens. The returned list is shared — callers
+    must not mutate it."""
     core = _EDGE_RE.sub("", raw)
     if not core:
         return []
