@@ -96,9 +96,19 @@ def score_components(
 
 
 def top_k_indices(scores: np.ndarray, doc_ids: np.ndarray, k: int) -> np.ndarray:
-    """Indices of the top-k by (-score, doc_id) — deterministic tie-break."""
-    if len(scores) == 0:
+    """Indices of the top-k by (-score, doc_id) — deterministic tie-break.
+
+    For k << n uses argpartition to avoid a full lexsort: select everything
+    scoring at or above the k-th value (ties included), then order just that
+    slice."""
+    n = len(scores)
+    if n == 0:
         return np.empty(0, dtype=np.int64)
-    k = min(k, len(scores))
+    k = min(k, n)
+    if n > 4 * k and k > 0:
+        kth = np.partition(scores, n - k)[n - k]
+        sel = np.nonzero(scores >= kth)[0]
+        order = sel[np.lexsort((doc_ids[sel], -scores[sel]))]
+        return order[:k]
     order = np.lexsort((doc_ids, -scores))
     return order[:k]

@@ -36,26 +36,37 @@ from prosearch_ray.query.snippet import make_snippet
 
 
 class _TermPostings:
-    """Decoded, bucket-ordered postings of one term."""
+    """Decoded, bucket-ordered postings of one term with segment metadata as
+    numpy arrays (vectorized block-max bound computation)."""
 
-    __slots__ = ("doc_ids", "tfs", "flags", "df_title", "df_body", "segments")
+    __slots__ = ("doc_ids", "tfs", "flags", "df_title", "df_body",
+                 "seg_starts", "seg_ends", "seg_max_tf", "seg_min_nb",
+                 "seg_min_nt")
 
     def __init__(self, rows: List[dict]):
         rows.sort(key=lambda r: r["bucket"])
         ids, tfs, fls = [], [], []
-        self.segments = []  # (start, end, max_tf, min_norm_body, min_norm_title)
+        starts, ends, mtf, mnb, mnt = [], [], [], [], []
         pos = 0
         for r in rows:
             d = decode_deltas(r["doc_ids"]).astype(np.int64)
             ids.append(d)
             tfs.append(decode_varints(r["tfs"]).astype(np.int64))
             fls.append(decode_bitset(r["title_flags"], len(d)))
-            self.segments.append(
-                (pos, pos + len(d), r["max_tf"], r["min_norm_body"], r["min_norm_title"]))
+            starts.append(pos)
+            ends.append(pos + len(d))
+            mtf.append(r["max_tf"])
+            mnb.append(r["min_norm_body"])
+            mnt.append(r["min_norm_title"])
             pos += len(d)
         self.doc_ids = np.concatenate(ids) if ids else np.empty(0, np.int64)
         self.tfs = np.concatenate(tfs) if tfs else np.empty(0, np.int64)
         self.flags = np.concatenate(fls) if fls else np.empty(0, bool)
+        self.seg_starts = np.asarray(starts, dtype=np.int64)
+        self.seg_ends = np.asarray(ends, dtype=np.int64)
+        self.seg_max_tf = np.asarray(mtf, dtype=np.int64)
+        self.seg_min_nb = np.asarray(mnb, dtype=np.uint8)
+        self.seg_min_nt = np.asarray(mnt, dtype=np.uint8)
         self.df_title = int(sum(r["df_title"] for r in rows))
         self.df_body = int(sum(r["df_body"] for r in rows))
 
@@ -176,56 +187,66 @@ class IndexSearcher:
             scoring.idf([tp.df_body], self.n_docs)[0],
             self.avgdl_title, self.avgdl_body, boost)
 
-    def _segment_bound(self, tp: _TermPostings, seg, boost: float) -> float:
-        _, _, max_tf, mn_body, mn_title = seg
+    def _segment_bounds(self, tp: _TermPostings, boost: float) -> np.ndarray:
+        """Vectorized per-segment score upper bounds from block-max metadata."""
         idf_t = scoring.idf([tp.df_title], self.n_docs)[0]
         idf_b = scoring.idf([tp.df_body], self.n_docs)[0]
-        bound = 0.0
-        if tp.df_body and max_tf > 0:
-            bound += idf_b * scoring.tf_factor(
-                [max_tf], id_to_fieldnorm([mn_body]), self.avgdl_body)[0] * scoring.BODY_BOOST
-        if tp.df_title and mn_title < 255:
-            bound += idf_t * scoring.tf_factor(
-                [1.0], id_to_fieldnorm([mn_title]), self.avgdl_title)[0] * scoring.TITLE_BOOST
-        return boost * bound
+        bounds = np.zeros(len(tp.seg_starts), dtype=np.float64)
+        if tp.df_body:
+            has_body = tp.seg_max_tf > 0
+            bounds += np.where(
+                has_body,
+                idf_b * scoring.tf_factor(
+                    tp.seg_max_tf, id_to_fieldnorm(tp.seg_min_nb),
+                    self.avgdl_body) * scoring.BODY_BOOST,
+                0.0)
+        if tp.df_title:
+            has_title = tp.seg_min_nt < 255
+            bounds += np.where(
+                has_title,
+                idf_t * scoring.tf_factor(
+                    np.ones(len(tp.seg_starts)), id_to_fieldnorm(tp.seg_min_nt),
+                    self.avgdl_title) * scoring.TITLE_BOOST,
+                0.0)
+        return boost * bounds
+
+    _CHUNK_DOCS = 65536
 
     def _search_single(self, tp: _TermPostings, boost: float, k: int
                        ) -> Tuple[np.ndarray, np.ndarray]:
-        """Single-term top-k with segment-level block-max pruning, fully
-        vectorized: segments are visited in descending score upper bound and
-        skipped once the running k-th score exceeds the next bound; collected
-        candidates are periodically compacted to the current top-k."""
-        bounds = [self._segment_bound(tp, s, boost) for s in tp.segments]
-        order = sorted(range(len(bounds)), key=lambda i: -bounds[i])
-        cand_ids: List[np.ndarray] = []
-        cand_scores: List[np.ndarray] = []
-        n_collected = 0
+        """Single-term top-k with segment-level block-max pruning: segments
+        are visited in descending bound order in CHUNKS of ~64k postings, each
+        chunk scored in one vectorized pass and compacted to the running
+        top-k; iteration stops when the next bound cannot beat the k-th
+        score.  (Conjunctive multi-term queries use intersection instead —
+        the product path's query algebra is AND-only, serve.rs:344.)"""
+        bounds = self._segment_bounds(tp, boost)
+        order = np.argsort(-bounds, kind="stable")
+        best_ids = np.empty(0, np.int64)
+        best_scores = np.empty(0, np.float64)
         kth = -np.inf
-
-        def compact():
-            nonlocal cand_ids, cand_scores, n_collected, kth
-            ids = np.concatenate(cand_ids)
-            scs = np.concatenate(cand_scores)
-            top = scoring.top_k_indices(scs, ids, k)
-            cand_ids, cand_scores = [ids[top]], [scs[top]]
-            n_collected = len(top)
-            if n_collected >= k:
-                kth = float(cand_scores[0][-1])
-
-        for i in order:
-            if n_collected >= k and bounds[i] < kth:
+        pos = 0
+        nseg = len(order)
+        while pos < nseg:
+            if len(best_ids) >= k and bounds[order[pos]] < kth:
                 break
-            seg = tp.segments[i]
-            idx = np.arange(seg[0], seg[1])
-            cand_ids.append(tp.doc_ids[idx])
-            cand_scores.append(self._term_scores(tp, idx, boost))
-            n_collected += len(idx)
-            if n_collected >= k:
-                compact()
-        if not cand_ids:
-            return np.empty(0, np.int64), np.empty(0, np.float64)
-        compact()
-        return cand_ids[0].astype(np.int64), cand_scores[0]
+            chunk, docs_in_chunk = [], 0
+            while pos < nseg and docs_in_chunk < self._CHUNK_DOCS and (
+                    len(best_ids) < k or bounds[order[pos]] >= kth):
+                s = order[pos]
+                chunk.append(np.arange(tp.seg_starts[s], tp.seg_ends[s]))
+                docs_in_chunk += int(tp.seg_ends[s] - tp.seg_starts[s])
+                pos += 1
+            if not chunk:
+                break
+            idx = np.concatenate(chunk)
+            ids = np.concatenate([best_ids, tp.doc_ids[idx]])
+            scs = np.concatenate([best_scores, self._term_scores(tp, idx, boost)])
+            top = scoring.top_k_indices(scs, ids, k)
+            best_ids, best_scores = ids[top], scs[top]
+            if len(best_ids) >= k:
+                kth = float(best_scores[-1])
+        return best_ids, best_scores
 
     def search(self, query: str, k: int = scoring.DEFAULT_K
                ) -> Tuple[np.ndarray, np.ndarray]:
@@ -242,18 +263,44 @@ class IndexSearcher:
             term, boost = plan[0]
             return self._search_single(postings[term], boost, k)
 
-        # conjunctive multi-term: intersect ascending by df
-        plan_sorted = sorted(plan, key=lambda tb: len(postings[tb[0]].doc_ids))
-        cand = postings[plan_sorted[0][0]].doc_ids
-        for term, _ in plan_sorted[1:]:
-            cand = cand[np.isin(cand, postings[term].doc_ids, assume_unique=True)]
+        # conjunctive multi-term: AND across terms.  Dense path: one pass of
+        # presence counting over the compact doc-id space (sequential memory,
+        # no per-term sort/searchsorted); falls back to sorted-array
+        # intersection when the doc space dwarfs the posting sizes (sharded
+        # deployments where a shard's id range is large).
+        if self.n_docs <= 8_000_000:
+            presence = np.zeros(self.n_docs, dtype=np.uint8)
+            for term, _ in plan:
+                presence[postings[term].doc_ids] += 1
+            cand = np.nonzero(presence == len(plan))[0]
             if len(cand) == 0:
                 return empty
-        scores = np.zeros(len(cand), dtype=np.float64)
-        for term, boost in plan:
-            tp = postings[term]
-            pos = np.searchsorted(tp.doc_ids, cand)
-            scores += self._term_scores(tp, pos, boost)
+            scores = np.zeros(len(cand), dtype=np.float64)
+            for term, boost in plan:
+                tp = postings[term]
+                tf_dense = np.zeros(self.n_docs, dtype=np.int64)
+                tf_dense[tp.doc_ids] = tp.tfs
+                fl_dense = np.zeros(self.n_docs, dtype=bool)
+                fl_dense[tp.doc_ids] = tp.flags
+                scores += scoring.score_components(
+                    tf_dense[cand], fl_dense[cand],
+                    self.norm_title[cand], self.norm_body[cand],
+                    scoring.idf([tp.df_title], self.n_docs)[0],
+                    scoring.idf([tp.df_body], self.n_docs)[0],
+                    self.avgdl_title, self.avgdl_body, boost)
+        else:
+            plan_sorted = sorted(plan, key=lambda tb: len(postings[tb[0]].doc_ids))
+            cand = postings[plan_sorted[0][0]].doc_ids
+            for term, _ in plan_sorted[1:]:
+                cand = cand[np.isin(cand, postings[term].doc_ids,
+                                    assume_unique=True)]
+                if len(cand) == 0:
+                    return empty
+            scores = np.zeros(len(cand), dtype=np.float64)
+            for term, boost in plan:
+                tp = postings[term]
+                pos = np.searchsorted(tp.doc_ids, cand)
+                scores += self._term_scores(tp, pos, boost)
         top = scoring.top_k_indices(scores, cand, k)
         return cand[top], scores[top]
 

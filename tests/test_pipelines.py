@@ -1,0 +1,124 @@
+"""Pipeline operator tests over the driver testdata (sf0.001): dedup family
+agreement, ANN recall, text analysis determinism, multimodal plumbing."""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _ray(ray_session):
+    return ray_session
+
+
+def test_minhash_finds_exact_jaccard_pairs():
+    """LSH candidates + exact verification must agree with the exact O(n^2)
+    join at this threshold (16 bands x 4 rows @ 0.6 -> recall ~1 here)."""
+    from prosearch_ray.pipelines.dedup import jaccard_pairs, minhash_dup_pairs
+
+    exact = {(r["ida"], r["idb"]): r["jac"]
+             for r in jaccard_pairs(SF).to_pylist()}
+    lsh = {(r["ida"], r["idb"]): r["jac"]
+           for r in minhash_dup_pairs(SF).to_pylist()}
+    assert set(lsh) == set(exact)
+    for k in lsh:
+        assert abs(lsh[k] - exact[k]) < 1e-9
+
+
+def test_simhash_pairs_are_symmetric_and_verified():
+    from prosearch_ray.pipelines.dedup import simhash64, simhash_dup_pairs
+
+    pairs = simhash_dup_pairs(SF).to_pylist()
+    assert all(r["ida"] < r["idb"] for r in pairs)
+    assert all(0 <= r["hamming"] <= 3 for r in pairs)
+    # deterministic fingerprint function
+    assert simhash64("hash table merge") == simhash64("hash table merge")
+
+
+def test_lsh_knn_scores_are_genuine_cosines():
+    """The testdata embeddings are near-orthogonal (best cos ~0.37), so there
+    are no true near-neighbors for LSH to recall — assert the mechanism
+    instead: every (qid, nid, cos) the bucketed path returns must carry the
+    same cosine the brute-force path computes for that pair, and candidates
+    must come k-bounded, self-excluded, and sorted within each query."""
+    from prosearch_ray.pipelines.dedup import embedding_dup_pairs  # noqa: F401
+    from prosearch_ray.pipelines.similarity import lsh_knn
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pydict()
+    mats = {v: np.asarray(e, dtype=np.float64)
+            for v, e in zip(emb["vec_id"], emb["embedding"])}
+    for v in mats:
+        mats[v] = mats[v] / np.linalg.norm(mats[v])
+    rows = lsh_knn(SF).to_pylist()
+    assert rows, "LSH produced no candidates at all"
+    per_q = {}
+    for r in rows:
+        assert r["qid"] != r["nid"]
+        true_cos = float(mats[r["qid"]] @ mats[r["nid"]])
+        assert abs(true_cos - r["cos"]) < 1e-3  # r["cos"] rounded to 4dp
+        per_q.setdefault(r["qid"], []).append(r["cos"])
+    for q, cs in per_q.items():
+        assert len(cs) <= 10
+        assert cs == sorted(cs, reverse=True) or len(set(cs)) < len(cs)
+
+
+def test_knn_excludes_self_and_is_k_bounded():
+    from prosearch_ray.pipelines.similarity import knn_cosine
+
+    rows = knn_cosine(SF).to_pylist()
+    by_q = {}
+    for r in rows:
+        assert r["qid"] != r["nid"]
+        by_q.setdefault(r["qid"], []).append(r["cos"])
+    for q, cs in by_q.items():
+        assert len(cs) == 10
+
+
+def test_quality_score_bounds():
+    from prosearch_ray.pipelines.textstats import quality_score
+
+    rows = quality_score(SF).to_pandas()
+    assert (rows.n_uniq <= rows.n_tokens).all()
+    assert ((rows.ttr >= 0) & (rows.ttr <= 1)).all()
+    assert (rows.mean_tok_len > 0).all()
+
+
+def test_fingerprint_deterministic():
+    from prosearch_ray.pipelines.textstats import fingerprint
+
+    a = fingerprint(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = fingerprint(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert (a.n_fingerprints > 0).all()
+
+
+def test_langid_covers_all_docs():
+    from prosearch_ray.pipelines.textstats import lang_id
+
+    rows = lang_id(SF).to_pandas()
+    assert len(rows) == 500
+    assert rows.pred_lang.isin(["en", "de", "es", "fr", "zh"]).all()
+
+
+def test_multimodal_stub_plumbing():
+    from prosearch_ray.pipelines.multimodal import (decode_media,
+                                                    media_features,
+                                                    synthesize_media)
+
+    feats = media_features(SF).to_pandas()
+    assert len(feats) == 500
+    assert set(feats.columns) == {"media_id", "kind", "width", "height", "features"}
+    assert feats.features.map(len).eq(8).all()
+    # un-stubbed decode must refuse loudly (codecs not installed here)
+    with pytest.raises(NotImplementedError):
+        decode_media(synthesize_media(SF))
+
+
+def test_exact_dedup_has_no_false_groups():
+    from prosearch_ray.pipelines.docsearch import exact_dedup
+
+    rows = exact_dedup(SF).to_pandas()
+    assert rows.keeper.is_unique
+    assert (rows.n_copies >= 1).all()
