@@ -1,0 +1,251 @@
+"""Deletes + delta builds — the batch-engine replacement for the reference's
+live upsert path (delete-then-reinsert per url:
+/root/reference/src/main/java/com/milindmantri/TantivyCommitter.java:48-82,
+term-delete serve.rs:456-467, one-doc POST /index serve.rs:630-671).
+
+Model (mirrors tantivy's segments + deletes):
+- ``delete_docs``      appends doc_keys to a tombstone Parquet; the searcher
+  loads the tombstoned doc_id set once per actor and filters candidates.
+- ``add_documents``    builds DELTA buckets: new docs get fresh doc_ids above
+  the current max, one new bucket per ``docs_per_bucket`` chunk of the delta
+  (bucket ids continue past the base build's), tokenized/encoded by the same
+  vectorized segment kernel and re-merged into the term-partitioned postings.
+  Re-adding an existing doc_key tombstones the old doc first — last write
+  wins, exactly the reference's semantics.
+- ``compact``          full rebuild from the staged+delta docs drops
+  tombstones and re-packs doc_ids (the forcemerge + GC analog,
+  tantivy-cli/src/commands/merge.rs:18-32).
+
+Every write is temp+rename; the delta manifest rows live beside the base
+bucket manifests so resume/lineage accounting covers deltas too.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterable, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from prosearch_ray.index import docid
+from prosearch_ray.index.build import (
+    CORPUS_COLUMNS,
+    DEFAULT_LANGS,
+    _atomic_write_json,
+    _atomic_write_table,
+    _normalize_batch,
+    build_index,
+)
+
+TOMBSTONE_FILE = "tombstones.parquet"
+
+
+def _load_stats(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        return json.load(f)
+
+
+def load_tombstones(index_dir: str) -> pa.Table:
+    path = os.path.join(index_dir, TOMBSTONE_FILE)
+    if not os.path.exists(path):
+        return pa.table({"doc_key": pa.array([], pa.string()),
+                         "doc_id": pa.array([], pa.int64())})
+    return pq.read_table(path)
+
+
+def _doc_ids_for_keys(index_dir: str, keys: List[str]) -> pa.Table:
+    """doc_id lookup for keys via the docmeta files (column-pruned scan with
+    an isin filter — at scale this is a bucket-targeted read since
+    bucket(doc_key) is computable)."""
+    import pyarrow.dataset as pads
+
+    meta = pads.dataset(os.path.join(index_dir, "docmeta"))
+    return meta.to_table(columns=["doc_key", "doc_id"],
+                         filter=pads.field("doc_key").isin(keys))
+
+
+def delete_docs(index_dir: str, doc_keys: Iterable[str]) -> int:
+    """Tombstone the given doc_keys; returns how many docs were marked."""
+    keys = sorted(set(doc_keys))
+    if not keys:
+        return 0
+    hits = _doc_ids_for_keys(index_dir, keys)
+    existing = load_tombstones(index_dir)
+    merged = pa.concat_tables([existing, hits])
+    # dedup by doc_id
+    ids = merged.column("doc_id").to_numpy()
+    _, first = np.unique(ids, return_index=True)
+    merged = merged.take(pa.array(np.sort(first), pa.int64()))
+    _atomic_write_table(merged, os.path.join(index_dir, TOMBSTONE_FILE))
+    return hits.num_rows
+
+
+def add_documents(index_dir: str, source, *, langs=DEFAULT_LANGS,
+                  n_input_estimate: Optional[int] = None) -> dict:
+    """Delta build: upsert a corpus of new/changed docs into an existing
+    index.  Old versions of re-added doc_keys are tombstoned (delete-then-
+    reinsert); new docs are tokenized into fresh delta buckets and the
+    term-partitioned postings are re-merged (segments are NOT re-tokenized).
+    """
+    from prosearch_ray.index.segment import build_segment
+
+    stats = _load_stats(index_dir)
+    num_buckets = stats["num_buckets"]
+    docs_per_bucket = stats["docs_per_bucket"]
+
+    if isinstance(source, str):
+        ds_raw = ray.data.read_parquet(source, columns=CORPUS_COLUMNS)
+    else:
+        ds_raw = source
+
+    # normalize the delta with the SAME kernel (bucket column unused here)
+    norm = ds_raw.map_batches(_normalize_batch(langs, num_buckets),
+                              batch_format="pyarrow", zero_copy_batch=True)
+    batches = [b for b in norm.iter_batches(batch_format="pyarrow")
+               if b.num_rows]
+    if not batches:
+        return {"added": 0, "tombstoned": 0}
+    delta = pa.concat_tables(batches, promote_options="default")
+    # in-delta upsert: keep max (commit, sha) per doc_key
+    delta = delta.sort_by([("doc_key", "ascending"), ("commit", "descending"),
+                           ("sha_hex", "descending")])
+    keys = delta.column("doc_key").to_pylist()
+    keep = np.ones(len(keys), dtype=bool)
+    for i in range(1, len(keys)):
+        if keys[i] == keys[i - 1]:
+            keep[i] = False
+    delta = delta.filter(pa.array(keep))
+
+    # delete-then-reinsert: tombstone existing versions of these keys
+    tombstoned = delete_docs(index_dir, delta.column("doc_key").to_pylist())
+
+    # fresh doc_ids above everything assigned so far (base + prior deltas)
+    off = json.load(open(os.path.join(index_dir, "staged", "_offsets.json")))
+    next_id = int(off.get("next_doc_id", off["n_docs"]))
+    manifest_dir = os.path.join(index_dir, "manifest")
+    existing_buckets = [int(f.split("=")[1].split(".")[0])
+                        for f in os.listdir(manifest_dir) if f.endswith(".json")]
+    next_bucket = max(existing_buckets, default=num_buckets - 1) + 1
+    next_bucket = max(next_bucket, num_buckets)
+
+    added = delta.num_rows
+    pos = 0
+    chunk_idx = 0
+    while pos < added:
+        chunk = delta.slice(pos, docs_per_bucket)
+        bucket = next_bucket + chunk_idx
+        base_doc_id = next_id + pos
+        name = f"bucket={bucket:08d}.parquet"
+        _atomic_write_table(chunk.drop_columns(["bucket"]) if "bucket" in
+                            chunk.column_names else chunk,
+                            os.path.join(index_dir, "staged", name))
+        postings, docmeta = build_segment(bucket, chunk, base_doc_id)
+        _atomic_write_table(postings, os.path.join(index_dir, "segments", name))
+        _atomic_write_table(docmeta, os.path.join(index_dir, "docmeta", name))
+        _atomic_write_json({
+            "bucket": bucket, "n_docs": chunk.num_rows,
+            "base_doc_id": base_doc_id, "n_terms": postings.num_rows,
+            "sum_len_title": int(pc.sum(docmeta.column("len_title")).as_py() or 0),
+            "sum_len_body": int(pc.sum(docmeta.column("len_body")).as_py() or 0),
+            "postings_bytes": 0, "wall_ms": 0, "attempt": 1,
+            "fingerprint": f"delta:{chunk.num_rows}",
+            "delta": True,
+        }, os.path.join(manifest_dir, f"bucket={bucket:08d}.json"))
+        pos += chunk.num_rows
+        chunk_idx += 1
+
+    off["next_doc_id"] = next_id + added
+    off["counts"].update({str(next_bucket + i): 0 for i in range(chunk_idx)})
+    _atomic_write_json(off, os.path.join(index_dir, "staged", "_offsets.json"))
+
+    # re-merge postings/dict + refresh stats (segments are reused as-is)
+    report = _refresh_merge_and_stats(index_dir, stats, added)
+    return {"added": added, "tombstoned": tombstoned, **report}
+
+
+def _refresh_merge_and_stats(index_dir: str, stats: dict, added: int) -> dict:
+    """Rebuild the merged postings/dict from ALL segments and refresh
+    stats.json (N, avgdl include delta docs; tombstoned docs still count in
+    corpus stats until compaction, matching tantivy's deleted-doc
+    accounting)."""
+    import hashlib as _hashlib
+
+    from prosearch_ray.index import layout
+    from prosearch_ray.index.build import _merge_writer
+
+    manifest_dir = os.path.join(index_dir, "manifest")
+    manifests = [json.load(open(os.path.join(manifest_dir, f)))
+                 for f in sorted(os.listdir(manifest_dir)) if f.endswith(".json")]
+    total_seg_rows = sum(m["n_terms"] for m in manifests)
+    num_parts = layout.num_parts_for(total_seg_rows)
+    merge_fp = _hashlib.md5(json.dumps(
+        [(m["bucket"], m["fingerprint"], m["n_terms"]) for m in manifests]
+        + [num_parts]).encode()).hexdigest()
+
+    seg_ds = ray.data.read_parquet(os.path.join(index_dir, "segments"))
+    part_rows = seg_ds.map_batches(
+        layout.add_part_column(num_parts), batch_format="pyarrow"
+    ).groupby("part").map_groups(
+        _merge_writer(index_dir), batch_format="pyarrow").take_all()
+    n_terms = int(sum(r["n_terms"] for r in part_rows))
+    live = {f"part={int(r['part']):05d}.parquet" for r in part_rows}
+    for sub in ("postings", "dict"):
+        for f in os.listdir(os.path.join(index_dir, sub)):
+            if f.endswith(".parquet") and f not in live:
+                os.remove(os.path.join(index_dir, sub, f))
+    _atomic_write_json({"fingerprint": merge_fp, "num_parts": num_parts,
+                        "n_terms": n_terms},
+                       os.path.join(index_dir, "_merge.json"))
+
+    n_docs = sum(m["n_docs"] for m in manifests)
+    total_lt = sum(m["sum_len_title"] for m in manifests)
+    total_lb = sum(m["sum_len_body"] for m in manifests)
+    stats.update({
+        "n_docs": n_docs,
+        "total_len_title": total_lt,
+        "total_len_body": total_lb,
+        "avgdl_title": (total_lt / n_docs) if n_docs else 0.0,
+        "avgdl_body": (total_lb / n_docs) if n_docs else 0.0,
+        "n_terms": n_terms,
+        "num_parts": num_parts,
+    })
+    _atomic_write_json(stats, os.path.join(index_dir, "stats.json"))
+    return {"n_docs": n_docs, "n_terms": n_terms}
+
+
+def compact(index_dir: str, out_dir: str, *, docs_per_bucket: Optional[int] = None,
+            langs=DEFAULT_LANGS) -> dict:
+    """Full compaction: rebuild a fresh index from the live (non-tombstoned)
+    staged docs — drops deletes, re-packs doc_ids contiguously (forcemerge +
+    garbage-collect analog)."""
+    stats = _load_stats(index_dir)
+    tomb = set(load_tombstones(index_dir).column("doc_key").to_pylist())
+    staged = os.path.join(index_dir, "staged")
+    files = [os.path.join(staged, f) for f in sorted(os.listdir(staged))
+             if f.startswith("bucket=") and f.endswith(".parquet")]
+    live = ray.data.read_parquet(files, columns=["repo", "path", "commit",
+                                                 "lang", "content", "doc_key"])
+    if tomb:
+        from prosearch_ray.state.broadcast import bget, bput
+        ref = bput(tomb)
+
+        def drop(t: pa.Table) -> pa.Table:
+            ts = bget(ref)
+            mask = pa.array([k not in ts for k in t.column("doc_key").to_pylist()])
+            return t.filter(mask)
+
+        live = live.map_batches(drop, batch_format="pyarrow")
+    live = live.map_batches(lambda t: t.drop_columns(["doc_key"]),
+                            batch_format="pyarrow")
+    n_est = sum(json.load(open(os.path.join(index_dir, "manifest", f)))["n_docs"]
+                for f in os.listdir(os.path.join(index_dir, "manifest"))
+                if f.endswith(".json"))
+    return build_index(live, out_dir,
+                       docs_per_bucket=docs_per_bucket or stats["docs_per_bucket"],
+                       langs=langs, n_input_estimate=max(1, n_est))

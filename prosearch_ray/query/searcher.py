@@ -97,6 +97,17 @@ class IndexSearcher:
             self.norm_body[ids] = id_to_fieldnorm(t.column("norm_body").to_numpy())
             keys_arr[ids] = np.asarray(t.column("doc_key").to_pylist(), dtype=object)
         self.doc_keys = keys_arr
+        # tombstones (delete-then-reinsert upsert support, serve.rs:456-467
+        # analog): deleted doc_ids are filtered from every candidate set;
+        # corpus stats keep counting them until compaction (tantivy-style
+        # deleted-doc accounting)
+        tomb_path = os.path.join(index_dir, "tombstones.parquet")
+        if os.path.exists(tomb_path):
+            self.tombstones = np.sort(
+                pq.read_table(tomb_path, columns=["doc_id"])
+                .column("doc_id").to_numpy().astype(np.int64))
+        else:
+            self.tombstones = np.empty(0, np.int64)
         self.num_parts = st.get("num_parts", 0)
         self._part_cache: Dict[int, tuple] = {}
         # per-actor LRU of decoded postings: query-term frequency is Zipfian,
@@ -240,6 +251,10 @@ class IndexSearcher:
             if not chunk:
                 break
             idx = np.concatenate(chunk)
+            if len(self.tombstones):
+                alive = ~np.isin(tp.doc_ids[idx], self.tombstones,
+                                 assume_unique=True)
+                idx = idx[alive]
             ids = np.concatenate([best_ids, tp.doc_ids[idx]])
             scs = np.concatenate([best_scores, self._term_scores(tp, idx, boost)])
             top = scoring.top_k_indices(scs, ids, k)
@@ -272,6 +287,8 @@ class IndexSearcher:
             presence = np.zeros(self.n_docs, dtype=np.uint8)
             for term, _ in plan:
                 presence[postings[term].doc_ids] += 1
+            if len(self.tombstones):
+                presence[self.tombstones] = 0
             cand = np.nonzero(presence == len(plan))[0]
             if len(cand) == 0:
                 return empty
@@ -291,6 +308,8 @@ class IndexSearcher:
         else:
             plan_sorted = sorted(plan, key=lambda tb: len(postings[tb[0]].doc_ids))
             cand = postings[plan_sorted[0][0]].doc_ids
+            if len(self.tombstones):
+                cand = cand[~np.isin(cand, self.tombstones, assume_unique=True)]
             for term, _ in plan_sorted[1:]:
                 cand = cand[np.isin(cand, postings[term].doc_ids,
                                     assume_unique=True)]
