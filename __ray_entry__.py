@@ -51,14 +51,23 @@ def _index_dir_for(sf_dir: str) -> str:
 
 
 def _build_docs_index(sf_dir: str) -> str:
+    import shutil
+
     import pyarrow.parquet as pq
 
     from prosearch_ray.index.build import build_index
 
     n_est = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
     index_dir = _index_dir_for(sf_dir)
-    build_index(_documents_as_corpus(sf_dir), index_dir,
-                docs_per_bucket=512, n_input_estimate=n_est, resume=True)
+    try:
+        build_index(_documents_as_corpus(sf_dir), index_dir,
+                    docs_per_bucket=512, n_input_estimate=n_est, resume=True)
+    except Exception:
+        # stale/incompatible leftovers under /tmp from an earlier run: wipe
+        # the cached index once and rebuild fresh
+        shutil.rmtree(index_dir, ignore_errors=True)
+        build_index(_documents_as_corpus(sf_dir), index_dir,
+                    docs_per_bucket=512, n_input_estimate=n_est, resume=False)
     return index_dir
 
 

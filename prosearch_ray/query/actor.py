@@ -30,6 +30,7 @@ class QueryStage:
                  with_snippets: bool = False):
         self.searcher = IndexSearcher(index_dir, boost_terms=boost_terms)
         self.with_snippets = with_snippets
+        self.searcher.prewarm()  # hot-term postings into the LRU, once/actor
         for q in _WARMUP_QUERIES:
             self.searcher.search(q, 3)
 

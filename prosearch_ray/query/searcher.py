@@ -116,6 +116,21 @@ class IndexSearcher:
         self._postings_lru_cap = 4096
         self._docs_ds = None  # lazy; only needed for snippets
 
+    def prewarm(self, n_top_terms: int = 64) -> int:
+        """Prefetch + decode the highest-df terms into the postings LRU
+        (SearchWarmer analog, serve.rs:219-257): the expensive cold fetches
+        are exactly the stopword-grade terms, which the dict identifies
+        without touching postings. Returns how many terms were warmed."""
+        dict_dir = os.path.join(self.index_dir, "dict")
+        if not os.path.isdir(dict_dir) or not os.listdir(dict_dir):
+            return 0
+        d = pads.dataset(dict_dir).to_table(columns=["term", "df"])
+        df = d.column("df").to_numpy()
+        order = np.argsort(-df, kind="stable")[:n_top_terms]
+        terms = [d.column("term")[int(i)].as_py() for i in order]
+        self.fetch_postings(terms)
+        return len(terms)
+
     # ------------------------------------------------------------------ fetch
     def _part_handle(self, part: int):
         """Cached (ParquetFile, per-row-group (min_term, max_term)) for one

@@ -1,0 +1,30 @@
+"""SERP assembly — the reference's JSON wire shape
+(``Serp { q, hits: [{doc, snip}], timings }``,
+/root/reference/tantivy-cli/src/commands/serve.rs:301-312,561-597), with the
+body dropped from each stored doc before returning (M13, serve.rs:379-386).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+from prosearch_ray.index import scoring
+from prosearch_ray.query.searcher import IndexSearcher
+
+
+def serp(searcher: IndexSearcher, q: str,
+         nhits: int = scoring.DEFAULT_K) -> dict:
+    t0 = time.perf_counter()
+    hits = searcher.search_with_snippets(q, nhits)
+    dt_us = int((time.perf_counter() - t0) * 1e6)
+    return {
+        "q": q,
+        "hits": [
+            {"doc": {"title": [h["title"]], "url": [h["doc_key"]]},
+             "snip": h["snip"],
+             "score": h["score"]}
+            for h in hits
+        ],
+        "timings": {"timings": [{"name": "search", "duration": dt_us}]},
+    }

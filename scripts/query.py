@@ -1,0 +1,72 @@
+"""CLI / ``ray job submit`` entry point for BM25 search.
+
+    python scripts/query.py --index DIR "merge hash" [--k 10] [--serp]
+    python scripts/query.py --index DIR --queries queries.parquet --out hits/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="BM25 top-k search")
+    p.add_argument("query", nargs="?", help="a single query string")
+    p.add_argument("--index", required=True)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--serp", action="store_true",
+                   help="print the reference-shaped SERP JSON (with snippets)")
+    p.add_argument("--queries", help="parquet of (qid, query[, k]) to run "
+                                     "through the actor pool")
+    p.add_argument("--out", help="output dir for --queries results")
+    p.add_argument("--concurrency", type=int, default=4)
+    p.add_argument("--num-cpus", type=int,
+                   default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    args = p.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    if args.queries:
+        import ray.data as rd
+
+        from prosearch_ray.query.actor import search_dataset
+
+        hits = search_dataset(rd.read_parquet(args.queries), args.index,
+                              concurrency=args.concurrency)
+        if args.out:
+            hits.write_parquet(args.out)
+            print(json.dumps({"written": args.out}))
+        else:
+            for row in hits.take_all():
+                print(json.dumps(row))
+    else:
+        if not args.query:
+            p.error("either a query string or --queries is required")
+        from prosearch_ray.query.searcher import IndexSearcher
+        from prosearch_ray.query.serp import serp
+
+        s = IndexSearcher(args.index)
+        if args.serp:
+            print(json.dumps(serp(s, args.query, args.k), indent=2))
+        else:
+            ids, scores = s.search(args.query, args.k)
+            for rank, (d, sc) in enumerate(zip(ids, scores)):
+                print(json.dumps({"rank": rank, "doc_id": int(d),
+                                  "doc_key": str(s.doc_keys[int(d)]),
+                                  "score": round(float(sc), 4)}))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

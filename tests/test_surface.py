@@ -1,0 +1,118 @@
+"""Coverage tests for the operator surface: JSONL source, SERP shape,
+inspect, stage pipeline, prewarm."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+
+def test_jsonl_source_roundtrip(ray_session, tmp_path):
+    from prosearch_ray.sources import read_corpus
+
+    path = tmp_path / "docs.jsonl"
+    rows = [
+        {"repo": "r/a", "path": "x.py", "commit": "c" * 40, "lang": "py",
+         "content": "hello world"},
+        {"repo": "r/a", "path": "y.py", "commit": "c" * 40, "lang": "py",
+         "content": "merge hash"},
+        {"repo": "r/a", "path": "bad.py", "commit": "c" * 40, "lang": "py"},
+    ]
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    ds = read_corpus(str(path), "jsonl")
+    got = ds.take_all()
+    # the row with the missing content column is dropped (skip-bad-docs)
+    assert len(got) == 2
+    assert {r["path"] for r in got} == {"x.py", "y.py"}
+
+
+def test_jsonl_source_buildable(ray_session, tmp_path):
+    from prosearch_ray.index.build import build_index
+    from prosearch_ray.query.searcher import IndexSearcher
+    from prosearch_ray.sources import read_corpus
+
+    path = tmp_path / "docs.jsonl"
+    with open(path, "w") as f:
+        for i in range(30):
+            f.write(json.dumps({
+                "repo": "r/a", "path": f"f{i}.py", "commit": "c" * 40,
+                "lang": "py", "content": f"alpha beta doc{i} gamma"}) + "\n")
+    idx = str(tmp_path / "idx")
+    rep = build_index(read_corpus(str(path)), idx, docs_per_bucket=16,
+                      n_input_estimate=30)
+    assert rep["n_docs"] == 30
+    ids, _ = IndexSearcher(idx).search("alpha", 5)
+    assert len(ids) == 5
+
+
+def test_serp_shape(tiny_index):
+    from prosearch_ray.query.searcher import IndexSearcher
+    from prosearch_ray.query.serp import serp
+
+    index_dir, _ = tiny_index
+    out = serp(IndexSearcher(index_dir), "merge hash", 3)
+    assert out["q"] == "merge hash"
+    assert len(out["hits"]) <= 3
+    for h in out["hits"]:
+        assert set(h["doc"]) == {"title", "url"}   # body dropped (M13)
+        assert "snip" in h
+    assert out["timings"]["timings"][0]["name"] == "search"
+
+
+def test_index_stats(tiny_index, tiny_oracle):
+    from prosearch_ray.index.inspect import index_stats
+
+    index_dir, report = tiny_index
+    st = index_stats(index_dir, top_terms=5)
+    assert st["n_docs"] == tiny_oracle.n
+    assert st["n_terms"] == report["n_terms"]
+    assert len(st["top_terms"]) == 5
+    # highest-df term must match the oracle's df
+    top = st["top_terms"][0]
+    oracle_df = len(set(tiny_oracle.title_postings.get(top["term"], {}))
+                    | set(tiny_oracle.body_postings.get(top["term"], {})))
+    assert top["df"] == oracle_df
+
+
+def test_stage_pipeline_hooks(ray_session):
+    import ray.data as rd
+
+    from prosearch_ray.stages import Stage, StagePipeline
+
+    def add_one(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.set_column(0, "id", pc.add(t.column("id"), 1))
+
+    def double(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.set_column(0, "id", pc.multiply(t.column("id"), 2))
+
+    ds = rd.from_arrow(pa.table({"id": list(range(5))}))
+    pipe = StagePipeline([Stage("inc", add_one), Stage("dbl", double)])
+    assert sorted(r["id"] for r in pipe.apply(ds).take_all()) == [2, 4, 6, 8, 10]
+
+    # user hook: swap order via replace/insert (FastQueuePipeline analog)
+    pipe2 = StagePipeline([Stage("inc", add_one)])
+    pipe2.insert_before("inc", Stage("dbl", double))
+    assert pipe2.names() == ["dbl", "inc"]
+    assert sorted(r["id"] for r in pipe2.apply(ds).take_all()) == [1, 3, 5, 7, 9]
+    pipe2.remove("dbl")
+    assert pipe2.names() == ["inc"]
+    with pytest.raises(KeyError):
+        pipe2.replace("nope", Stage("x", add_one))
+
+
+def test_prewarm_fills_lru(tiny_index):
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    index_dir, _ = tiny_index
+    s = IndexSearcher(index_dir)
+    assert len(s._postings_lru) == 0
+    n = s.prewarm(16)
+    assert n == 16
+    assert len(s._postings_lru) >= 16
