@@ -27,10 +27,14 @@ _WARMUP_QUERIES = ("the", "merge hash", "zzznothing")
 class QueryStage:
     def __init__(self, index_dir: str,
                  boost_terms: frozenset = scoring.FIXTURE_BOOST_TERMS,
-                 with_snippets: bool = False):
+                 with_snippets: bool = False, prewarm_terms: int = 0):
         self.searcher = IndexSearcher(index_dir, boost_terms=boost_terms)
         self.with_snippets = with_snippets
-        self.searcher.prewarm()  # hot-term postings into the LRU, once/actor
+        if prewarm_terms:
+            # opt-in: on corpora with a small Zipfian vocabulary the top-df
+            # postings are near-full doc lists and bulk-decoding them per
+            # actor costs more than the cold misses it avoids
+            self.searcher.prewarm(prewarm_terms)
         for q in _WARMUP_QUERIES:
             self.searcher.search(q, 3)
 
