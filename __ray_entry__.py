@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_measure": relational.doc_length_measure,
         "join_orders_customers": relational.join_orders_customers,
         "events_window_stats": relational.events_window_stats,
+        "quota_filter": relational.quota_filter,
+        "user_sessions": relational.user_sessions,
         # text / search core (SQL-checkable simple-tokenizer variants)
         "term_df": docsearch.term_df,
         "token_counts": docsearch.token_counts,
@@ -222,6 +224,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, floor(epoch(ts) / 3600)::BIGINT AS hour_bucket,
                    count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "quota_filter": """
+            SELECT source, doc_id FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (PARTITION BY source ORDER BY doc_id) rn
+                FROM documents) WHERE rn <= 20
+        """,
+        "user_sessions": """
+            WITH ordered AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) prev_ts
+                FROM events),
+            flags AS (
+                SELECT user_id,
+                       CASE WHEN prev_ts IS NULL
+                                 OR epoch(ts) - epoch(prev_ts) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM ordered)
+            SELECT user_id, sum(new_session)::BIGINT AS n_sessions,
+                   count(*)::BIGINT AS n_events
+            FROM flags GROUP BY user_id
         """,
         "term_df": f"""
             WITH tok AS (SELECT doc_id, unnest(list_distinct({TOK_SQL})) AS term

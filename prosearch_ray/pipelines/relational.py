@@ -249,3 +249,50 @@ def events_window_stats(sf_dir: str) -> "rd.Dataset":
         })
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def quota_filter(sf_dir: str, limit: int = 20) -> "rd.Dataset":
+    """Per-key quota gate — the reference's per-host crawl limit
+    (``per-host-crawling-limit`` default 10000; fast-reject M10/M11,
+    Manager.java:151-160,336-345): keep only the first ``limit`` docs per
+    source, ordered by doc_id.
+
+    Scale pattern: per-batch LOCAL prune to ``limit`` per key first (so no
+    group ever carries more than limit × n_batches rows into the shuffle —
+    the combiner analog), then the exact per-group head after the groupby."""
+    docs = read(sf_dir, "documents", columns=["source", "doc_id"])
+
+    def local_prune(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas().sort_values("doc_id")
+        return pa.Table.from_pandas(
+            df.groupby("source", sort=False).head(limit),
+            preserve_index=False)
+
+    def head_per_group(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("doc_id", "ascending")])
+        return g.slice(0, limit)
+
+    return docs.map_batches(local_prune, batch_format="pyarrow").groupby(
+        "source").map_groups(head_per_group, batch_format="pyarrow")
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30) -> "rd.Dataset":
+    """Sessionization over the events stream table (the streaming-shaped
+    workload pattern: partition by key, sort by ts within the group, derive
+    sessions from gaps > ``gap_minutes``): per user, number of sessions and
+    events."""
+    ev = read(sf_dir, "events", columns=["user_id", "ts"])
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessions(g: pa.Table) -> pa.Table:
+        ts = np.sort(g.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64))
+        n_sessions = 1 + int((np.diff(ts) > gap_us).sum()) if len(ts) else 0
+        return pa.table({
+            "user_id": pa.array([g.column("user_id")[0].as_py()], pa.int64()),
+            "n_sessions": pa.array([n_sessions], pa.int64()),
+            "n_events": pa.array([len(ts)], pa.int64()),
+        })
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
