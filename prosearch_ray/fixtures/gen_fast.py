@@ -10,7 +10,6 @@ slower row-at-a-time generator stays the conformance fixture.
 
 from __future__ import annotations
 
-import hashlib
 import os
 from typing import Optional
 

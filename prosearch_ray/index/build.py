@@ -49,7 +49,7 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Count, Min
 
 from prosearch_ray.index import docid, layout
 from prosearch_ray.index.segment import build_segment

@@ -19,7 +19,7 @@ Pinned to the reference's tantivy defaults (SURVEY.md §2.4;
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

@@ -11,14 +11,13 @@ paths (no O(n^2) stage) and are checked by pytest against the exact variant.
 from __future__ import annotations
 
 import hashlib
-from typing import Dict, List, Set, Tuple
+from typing import Dict, Set
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count
 
 from prosearch_ray.pipelines.common import read, sql_round
 from prosearch_ray.state.broadcast import bget, bput

@@ -13,7 +13,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Mean, Sum
 
 from prosearch_ray.pipelines.common import read, sql_round
 from prosearch_ray.state.broadcast import bget, bput
@@ -263,8 +263,6 @@ def quota_filter(sf_dir: str, limit: int = 20) -> "rd.Dataset":
     docs = read(sf_dir, "documents", columns=["source", "doc_id"])
 
     def local_prune(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
         df = t.to_pandas().sort_values("doc_id")
         return pa.Table.from_pandas(
             df.groupby("source", sort=False).head(limit),

@@ -5,11 +5,8 @@ winnowing fingerprints are rows-only checks (heuristic / stateful kernels).
 
 from __future__ import annotations
 
-from collections import Counter
-
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray.data as rd
 

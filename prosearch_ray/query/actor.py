@@ -11,12 +11,8 @@ hit.  Use ``search_dataset`` to run a whole query table through the pool.
 from __future__ import annotations
 
 import time
-from typing import Optional
 
-import numpy as np
 import pyarrow as pa
-
-import ray.data
 
 from prosearch_ray.index import scoring
 from prosearch_ray.query.searcher import IndexSearcher

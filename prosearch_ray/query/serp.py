@@ -7,7 +7,6 @@ body dropped from each stored doc before returning (M13, serve.rs:379-386).
 from __future__ import annotations
 
 import time
-from typing import Optional
 
 from prosearch_ray.index import scoring
 from prosearch_ray.query.searcher import IndexSearcher

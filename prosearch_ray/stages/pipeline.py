@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import inspect as _inspect
 from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, List
+from typing import Any, Dict, List
 
 import ray.data as rd
 
