@@ -79,6 +79,27 @@ def _sha256_hex_column(contents) -> list:
     return [hashlib.sha256(c.encode("utf-8")).hexdigest() for c in contents]
 
 
+def _sha256_hex_arrow(col) -> list:
+    """sha256 per row straight off the Arrow string buffers — no per-row
+    Python string materialization/UTF-8 re-encode (the content column is the
+    fat one; this keeps the normalize stage zero-copy for it)."""
+    if isinstance(col, pa.ChunkedArray):
+        chunks = col.chunks
+    else:
+        chunks = [col]
+    out = []
+    for chunk in chunks:
+        bufs = chunk.buffers()
+        large = pa.types.is_large_string(chunk.type)
+        dt, width = (np.int64, 8) if large else (np.int32, 4)
+        offsets = np.frombuffer(bufs[1], dtype=dt,
+                                count=len(chunk) + 1, offset=chunk.offset * width)
+        data = memoryview(bufs[2])
+        for i in range(len(chunk)):
+            out.append(hashlib.sha256(data[offsets[i]:offsets[i + 1]]).hexdigest())
+    return out
+
+
 def _doc_keys_column(repos, paths) -> list:
     return [docid.doc_key(r, p) for r, p in zip(repos, paths)]
 
@@ -95,9 +116,8 @@ def _normalize_batch(langs: FrozenSet[str], num_buckets: int):
         batch = batch.filter(mask)
         repos = batch.column("repo").to_pylist()
         paths = batch.column("path").to_pylist()
-        contents = batch.column("content").to_pylist()
         keys = _doc_keys_column(repos, paths)
-        shas = _sha256_hex_column(contents)
+        shas = _sha256_hex_arrow(batch.column("content"))
         n_chars = pc.add(
             pc.utf8_length(batch.column("content")),
             pc.utf8_length(pa.array(keys, pa.string())),

@@ -1,0 +1,94 @@
+"""Degenerate inputs: empty corpus, all-filtered corpus, empty-index search,
+huge single doc, buffer-level sha correctness on sliced arrays."""
+
+import hashlib
+
+import pyarrow as pa
+import pytest
+
+
+def test_sha256_arrow_matches_python_on_slices():
+    from prosearch_ray.index.build import _sha256_hex_arrow, _sha256_hex_column
+
+    vals = ["", "a", "héllo wörld", "x" * 10000, "tail"]
+    arr = pa.chunked_array([pa.array(vals[:2]), pa.array(vals[2:])])
+    assert _sha256_hex_arrow(arr) == _sha256_hex_column(vals)
+    sliced = pa.array(vals).slice(1, 3)
+    assert _sha256_hex_arrow(sliced) == _sha256_hex_column(vals[1:4])
+
+
+@pytest.fixture()
+def empty_index(ray_session, tmp_path):
+    import ray.data as rd
+
+    from prosearch_ray.index.build import build_index
+
+    corpus = pa.table({
+        "repo": pa.array([], pa.string()),
+        "path": pa.array([], pa.string()),
+        "commit": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+        "content": pa.array([], pa.string()),
+    })
+    idx = str(tmp_path / "empty")
+    report = build_index(rd.from_arrow(corpus), idx, docs_per_bucket=64,
+                         n_input_estimate=0)
+    return idx, report
+
+
+def test_empty_corpus_builds_empty_index(empty_index):
+    idx, report = empty_index
+    assert report["n_docs"] == 0
+    assert report["n_terms"] == 0
+
+
+def test_empty_index_searchable(empty_index):
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    idx, _ = empty_index
+    s = IndexSearcher(idx)
+    ids, scores = s.search("anything at all", 10)
+    assert len(ids) == 0 and len(scores) == 0
+
+
+def test_all_rows_filtered_by_lang(ray_session, tmp_path):
+    import ray.data as rd
+
+    from prosearch_ray.index.build import build_index
+
+    corpus = pa.table({
+        "repo": ["r/a"] * 3,
+        "path": ["a.bin", "b.bin", "c.bin"],
+        "commit": ["c" * 40] * 3,
+        "lang": ["bin"] * 3,
+        "content": ["AAAA", "BBBB", "CCCC"],
+    })
+    idx = str(tmp_path / "binonly")
+    report = build_index(rd.from_arrow(corpus), idx, docs_per_bucket=64,
+                         n_input_estimate=3)
+    assert report["n_docs"] == 0
+
+
+def test_huge_single_doc(ray_session, tmp_path):
+    import ray.data as rd
+
+    from prosearch_ray.index.build import build_index
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    big = " ".join(f"tok{i % 997}" for i in range(200_000)) + " needleXYZ"
+    corpus = pa.table({
+        "repo": ["r/a", "r/a"],
+        "path": ["big.txt", "small.txt"],
+        "commit": ["c" * 40] * 2,
+        "lang": ["txt", "txt"],
+        "content": [big, "needleXYZ plus a little"],
+    })
+    idx = str(tmp_path / "big")
+    report = build_index(rd.from_arrow(corpus), idx, docs_per_bucket=64,
+                         n_input_estimate=2)
+    assert report["n_docs"] == 2
+    s = IndexSearcher(idx)
+    ids, scores = s.search("needleXYZ", 5)
+    assert len(ids) == 2
+    # the short doc scores higher (length normalization)
+    assert str(s.doc_keys[int(ids[0])]).endswith("small.txt")
