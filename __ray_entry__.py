@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine": similarity.knn_cosine,
         "lsh_knn": similarity.lsh_knn,
+        "ivf_knn": similarity.ivf_knn,
         # text analysis
         "lang_id": textstats.lang_id,
         "quality_score": textstats.quality_score,

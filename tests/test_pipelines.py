@@ -122,3 +122,28 @@ def test_exact_dedup_has_no_false_groups():
     rows = exact_dedup(SF).to_pandas()
     assert rows.keeper.is_unique
     assert (rows.n_copies >= 1).all()
+
+
+def test_ivf_full_probe_equals_brute_force():
+    """IVF with n_probe == n_clusters visits every cluster -> must be exactly
+    the brute-force result (same values, same rounding)."""
+    from prosearch_ray.pipelines.similarity import ivf_knn, knn_cosine
+
+    exact = knn_cosine(SF).to_pylist()
+    full = ivf_knn(SF, n_clusters=8, n_probe=8).to_pylist()
+    assert full == exact
+
+
+def test_ivf_partial_probe_recall():
+    from prosearch_ray.pipelines.similarity import ivf_knn, knn_cosine
+
+    exact = knn_cosine(SF).to_pylist()
+    approx = ivf_knn(SF, n_clusters=8, n_probe=3).to_pylist()
+    es, As = {}, {}
+    for r in exact:
+        es.setdefault(r["qid"], set()).add(r["nid"])
+    for r in approx:
+        As.setdefault(r["qid"], set()).add(r["nid"])
+    recalls = [len(es[q] & As.get(q, set())) / len(es[q]) for q in es]
+    assert np.mean(recalls) >= 0.3  # near-orthogonal vectors cluster poorly,
+    # but probing 3/8 cells must still recover a meaningful fraction
