@@ -118,6 +118,32 @@ def code_search_topk(sf_dir: str) -> Any:
     })
 
 
+def code_phrase_topk(sf_dir: str) -> Any:
+    """Exact phrase search over documents-as-corpus (body positions,
+    record:position analog); rows-only driver check — conformance vs the
+    brute-force oracle is in tests/test_phrase.py."""
+    import pyarrow as pa
+
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    index_dir = _build_docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    out_q, out_r, out_key, out_s = [], [], [], []
+    for qid, q in enumerate(["hash value", "merge batch", "key agg row"]):
+        ids, scores = s.search_phrase(q, 10)
+        for rank, (d, sc) in enumerate(zip(ids, scores)):
+            out_q.append(qid)
+            out_r.append(rank)
+            out_key.append(str(s.doc_keys[int(d)]))
+            out_s.append(round(float(sc), 4))
+    return pa.table({
+        "qid": pa.array(out_q, pa.int32()),
+        "rank": pa.array(out_r, pa.int32()),
+        "doc_key": pa.array(out_key, pa.string()),
+        "score": pa.array(out_s, pa.float64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from prosearch_ray.pipelines import (dedup, docsearch, multimodal,
                                          relational, similarity, textstats)
@@ -144,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": docsearch.exact_dedup,
         # full engine over documents-as-corpus (rows-only)
         "code_search_topk": code_search_topk,
+        "code_phrase_topk": code_phrase_topk,
         # dedup suite
         "jaccard_pairs": dedup.jaccard_pairs,
         "minhash_dup_pairs": dedup.minhash_dup_pairs,

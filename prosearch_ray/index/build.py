@@ -511,7 +511,7 @@ def build_index(
         "n_terms": n_terms,
         "num_parts": num_parts,
         "langs": sorted(langs),
-        "format_version": 2,
+        "format_version": 3,  # 3 = body positions column
     }
     _atomic_write_json(stats, os.path.join(index_dir, "stats.json"))
 

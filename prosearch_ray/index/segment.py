@@ -34,7 +34,7 @@ from prosearch_ray.index.codec import (
     encode_bitset,
     encode_deltas_grouped,
     encode_varints_grouped,
-)
+)  # noqa: F401
 from prosearch_ray.index.fieldnorm import fieldnorm_to_id
 from prosearch_ray.text.tokenizer import expand_token
 
@@ -50,7 +50,15 @@ POSTINGS_SCHEMA = pa.schema([
     ("max_tf", pa.uint32()),      # segment block-max metadata
     ("min_norm_body", pa.uint8()),
     ("min_norm_title", pa.uint8()),
+    # body positions (the reference indexes body with record: position,
+    # meta.json:26): per doc with tf>0, delta-varint of whitespace-token
+    # indices, concatenated in doc order; per-doc counts recoverable from
+    # tfs. A SEPARATE trailing column so the scoring path never reads it.
+    ("positions", pa.binary()),
 ])
+
+# columns the scoring path reads (everything except positions)
+SCORING_COLUMNS = [f.name for f in POSTINGS_SCHEMA if f.name != "positions"]
 
 DOCMETA_SCHEMA = pa.schema([
     ("doc_id", pa.int64()),
@@ -67,11 +75,14 @@ DOCMETA_SCHEMA = pa.schema([
 
 def _tokenize_column(col: "pa.ChunkedArray | pa.Array",
                      vocab: Dict[str, int], vocab_list: List[str]
-                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized tokenization of a string column.
 
-    Returns (doc_of_token, term_id_of_token, n_tokens_per_doc); term ids
-    index into the shared ``vocab``/``vocab_list`` (mutated in place).
+    Returns (doc_of_token, term_id_of_token, n_tokens_per_doc,
+    position_of_token); term ids index into the shared ``vocab``/
+    ``vocab_list`` (mutated in place).  position = index of the RAW
+    whitespace token within its doc (all expansions of one raw token share
+    its position — the synonym/position-increment-0 model).
     """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -83,7 +94,7 @@ def _tokenize_column(col: "pa.ChunkedArray | pa.Array",
     flat = split.flatten()
     if len(flat) == 0:
         return (np.empty(0, np.int64), np.empty(0, np.int64),
-                np.zeros(n_docs, np.int64))
+                np.zeros(n_docs, np.int64), np.empty(0, np.int64))
     de = flat.dictionary_encode()
     uidx = de.indices.to_numpy().astype(np.int64)
     uniq = de.dictionary.to_pylist()
@@ -110,7 +121,7 @@ def _tokenize_column(col: "pa.ChunkedArray | pa.Array",
     doc_of_raw = np.repeat(np.arange(n_docs, dtype=np.int64), raw_counts)
     if total == 0:
         return (np.empty(0, np.int64), np.empty(0, np.int64),
-                np.zeros(n_docs, np.int64))
+                np.zeros(n_docs, np.int64), np.empty(0, np.int64))
     grp_start = np.repeat(exp_starts[uidx], exp_len)
     ends = np.cumsum(exp_len)
     within = np.arange(total, dtype=np.int64) - np.repeat(ends - exp_len, exp_len)
@@ -118,7 +129,12 @@ def _tokenize_column(col: "pa.ChunkedArray | pa.Array",
     doc_of_token = np.repeat(doc_of_raw, exp_len)
     n_tokens = np.zeros(n_docs, dtype=np.int64)
     np.add.at(n_tokens, doc_of_raw, exp_len)
-    return doc_of_token, term_ids, n_tokens
+    # raw-token index within each doc, repeated per expansion
+    raw_starts = np.concatenate(([0], np.cumsum(raw_counts)[:-1]))
+    raw_pos = (np.arange(len(flat), dtype=np.int64)
+               - np.repeat(raw_starts, raw_counts))
+    pos_of_token = np.repeat(raw_pos, exp_len)
+    return doc_of_token, term_ids, n_tokens, pos_of_token
 
 
 def build_segment(
@@ -133,20 +149,32 @@ def build_segment(
     n = docs.num_rows
     vocab: Dict[str, int] = {}
     vocab_list: List[str] = []
-    t_doc, t_tid, len_title = _tokenize_column(docs.column("title"), vocab, vocab_list)
-    b_doc, b_tid, len_body = _tokenize_column(docs.column("content"), vocab, vocab_list)
+    t_doc, t_tid, len_title, _ = _tokenize_column(docs.column("title"), vocab, vocab_list)
+    b_doc, b_tid, len_body, b_pos = _tokenize_column(docs.column("content"), vocab, vocab_list)
     nv = len(vocab_list)
 
     norm_title = fieldnorm_to_id(len_title)
     norm_body = fieldnorm_to_id(len_body)
 
-    # (term, doc) -> tf via one unique over packed keys (term-major order)
+    # (term, doc) -> tf + in-order positions via ONE stable sort of the
+    # packed key stream (the stream is doc- and position-ordered, so a
+    # stable sort leaves each (term, doc) run position-ascending)
     if len(b_tid):
-        b_keys, b_tf = np.unique(b_tid * n + b_doc, return_counts=True)
+        key = b_tid * n + b_doc
+        order = np.argsort(key, kind="stable")
+        sk = key[order]
+        sp = b_pos[order]
+        change = np.nonzero(np.diff(sk))[0] + 1
+        kstarts = np.concatenate(([0], change))
+        b_tf = np.diff(np.concatenate((kstarts, [len(sk)])))
+        b_keys = sk[kstarts]
         b_term = b_keys // n
         b_docid = b_keys % n
+        # per-(term,doc) position blobs, in (term, doc) order
+        pos_blobs = encode_deltas_grouped(sp.astype(np.uint64), b_tf)
     else:
         b_term = b_docid = b_tf = np.empty(0, np.int64)
+        pos_blobs = []
     if len(t_tid):
         t_keys = np.unique(t_tid * n + t_doc)
         t_term = t_keys // n
@@ -162,10 +190,15 @@ def build_segment(
             {f.name: pa.array([], f.type) for f in POSTINGS_SCHEMA},
             schema=POSTINGS_SCHEMA)
     else:
-        keys, first_idx = np.unique(all_keys, return_index=True)
+        keys = np.unique(all_keys)
         tf_by_key = np.zeros(len(keys), dtype=np.int64)
+        pos_by_key = np.empty(len(keys), dtype=object)
+        pos_by_key[:] = b""
         if len(b_term):
-            tf_by_key[np.searchsorted(keys, b_term * n + b_docid)] = b_tf
+            bidx = np.searchsorted(keys, b_term * n + b_docid)
+            tf_by_key[bidx] = b_tf
+            for j, blob in zip(bidx, pos_blobs):
+                pos_by_key[j] = blob
         in_title = np.zeros(len(keys), dtype=bool)
         if len(t_term):
             in_title[np.searchsorted(keys, t_term * n + t_docid)] = True
@@ -183,6 +216,7 @@ def build_segment(
             (docs_of_key + base_doc_id).astype(np.uint64), glens)
         tfs_enc = encode_varints_grouped(tf_by_key.astype(np.uint64), glens)
         flags_enc = [encode_bitset(in_title[s:e]) for s, e in zip(starts, ends)]
+        positions_enc = [b"".join(pos_by_key[s:e]) for s, e in zip(starts, ends)]
 
         df = glens
         df_title = np.add.reduceat(in_title.astype(np.int64), starts)
@@ -210,6 +244,7 @@ def build_segment(
             "max_tf": pa.array(max_tf[order].astype(np.uint32), pa.uint32()),
             "min_norm_body": pa.array(min_nb[order].astype(np.uint8), pa.uint8()),
             "min_norm_title": pa.array(min_nt[order].astype(np.uint8), pa.uint8()),
+            "positions": pa.array([positions_enc[i] for i in order], pa.binary()),
         }, schema=POSTINGS_SCHEMA)
         assert nv >= len(seg_terms)
 

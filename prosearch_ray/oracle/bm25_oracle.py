@@ -136,6 +136,62 @@ class BM25Oracle:
         top = scoring.top_k_indices(scores, cand_ids, k)
         return [(int(cand_ids[i]), self.doc_keys[cand_ids[i]], float(scores[i])) for i in top]
 
+    def _body_positions(self, term: str, doc: dict) -> np.ndarray:
+        from prosearch_ray.text.tokenizer import expand_token
+
+        out = []
+        for i, raw in enumerate(doc["content"].split()):
+            for tok in expand_token(raw):
+                if tok == term:
+                    out.append(i)
+        return np.asarray(out, dtype=np.int64)
+
+    def search_phrase(self, query: str, k: int = scoring.DEFAULT_K
+                      ) -> List[Tuple[int, str, float]]:
+        """Brute-force phrase search over the body field — same spec as
+        IndexSearcher.search_phrase (consecutive whitespace positions of the
+        lowercased raw tokens; tf = phrase occurrences; idf from the exact
+        phrase df)."""
+        import re
+
+        edge = re.compile(r"^[^0-9A-Za-z]+|[^0-9A-Za-z]+$")
+        tokens = [c.lower() for c in
+                  (edge.sub("", raw) for raw in query.split()) if c]
+        if not tokens:
+            return []
+        docs_by_id = {d["doc_id"]: d for d in self.docs}
+        hits: List[Tuple[int, float]] = []
+        if len(tokens) == 1:
+            bp = self.body_postings.get(tokens[0], {})
+            matched = [(doc, tf) for doc, tf in sorted(bp.items())]
+        else:
+            cand = None
+            for t in tokens:
+                docs = set(self.body_postings.get(t, ()))
+                cand = docs if cand is None else cand & docs
+                if not cand:
+                    return []
+            matched = []
+            for doc_id in sorted(cand):
+                occ = self._body_positions(tokens[0], docs_by_id[doc_id])
+                for t in tokens[1:]:
+                    occ = np.intersect1d(
+                        occ + 1, self._body_positions(t, docs_by_id[doc_id]))
+                    if len(occ) == 0:
+                        break
+                if len(occ):
+                    matched.append((doc_id, len(occ)))
+        if not matched:
+            return []
+        ids = np.array([d for d, _ in matched], dtype=np.int64)
+        tfs = np.array([c for _, c in matched], dtype=np.float64)
+        df_p = len(ids)
+        scores = (scoring.idf([df_p], self.n)[0]
+                  * scoring.tf_factor(tfs, self.norm_body[ids], self.avgdl_body))
+        top = scoring.top_k_indices(scores, ids, k)
+        return [(int(ids[i]), self.doc_keys[ids[i]], float(scores[i]))
+                for i in top]
+
     def search_all(self, queries: pa.Table) -> pa.Table:
         """expected_topk table: qid, rank, doc_id, doc_key, score."""
         qid_o, rank_o, id_o, key_o, sc_o = [], [], [], [], []

@@ -32,6 +32,7 @@ import pyarrow.parquet as pq
 from prosearch_ray.index import layout, scoring
 from prosearch_ray.index.codec import decode_bitset, decode_deltas, decode_varints
 from prosearch_ray.index.fieldnorm import id_to_fieldnorm
+from prosearch_ray.index.segment import SCORING_COLUMNS
 from prosearch_ray.query.snippet import make_snippet
 
 
@@ -186,7 +187,7 @@ class IndexSearcher:
             })
             if not rgs:
                 continue
-            tbl = pf.read_row_groups(rgs)
+            tbl = pf.read_row_groups(rgs, columns=SCORING_COLUMNS)
             tbl = tbl.filter(pc.is_in(tbl.column("term"),
                                       value_set=pa.array(part_terms)))
             for row in tbl.to_pylist():
@@ -337,6 +338,110 @@ class IndexSearcher:
                 scores += self._term_scores(tp, pos, boost)
         top = scoring.top_k_indices(scores, cand, k)
         return cand[top], scores[top]
+
+    # ----------------------------------------------------------------- phrase
+    def fetch_positions(self, terms: Sequence[str]) -> Dict[str, Dict[int, np.ndarray]]:
+        """Decoded body positions per term: {term: {doc_id: positions}}.
+        Reads the (trailing, otherwise untouched) positions column for just
+        the requested terms' row groups."""
+        out: Dict[str, Dict[int, np.ndarray]] = {}
+        by_part: Dict[int, List[str]] = {}
+        for t in terms:
+            by_part.setdefault(layout.term_part(t, self.num_parts), []).append(t)
+        for part, part_terms in by_part.items():
+            pf, ranges = self._part_handle(part)
+            if pf is None:
+                continue
+            rgs = sorted({rg for rg, (mn, mx) in enumerate(ranges)
+                          for t in part_terms if mn is None or (mn <= t <= mx)})
+            if not rgs:
+                continue
+            if "positions" not in pf.schema_arrow.names:
+                raise ValueError(
+                    "this index was built without body positions "
+                    "(format_version < 3); rebuild it to enable phrase search")
+            tbl = pf.read_row_groups(
+                rgs, columns=["term", "bucket", "doc_ids", "tfs", "positions"])
+            tbl = tbl.filter(pc.is_in(tbl.column("term"),
+                                      value_set=pa.array(part_terms)))
+            rows = sorted(tbl.to_pylist(), key=lambda r: (r["term"], r["bucket"]))
+            for r in rows:
+                ids = decode_deltas(r["doc_ids"]).astype(np.int64)
+                tfs = decode_varints(r["tfs"]).astype(np.int64)
+                flat = decode_varints(r["positions"]).astype(np.int64)
+                per_doc = np.split(flat, np.cumsum(tfs)[:-1])
+                d = out.setdefault(r["term"], {})
+                for doc, tf, gaps in zip(ids, tfs, per_doc):
+                    if tf > 0:
+                        d[int(doc)] = np.cumsum(gaps)
+        return out
+
+    def search_phrase(self, query: str, k: int = scoring.DEFAULT_K
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact phrase search over the BODY field (the reference stores body
+        with record: position, meta.json:26; title is record: basic and has
+        no positions, so phrases cannot match it — same as tantivy).
+
+        Phrase tokens are the lowercased raw whitespace tokens of the query,
+        each at consecutive whitespace positions.  Scoring spec (shared with
+        the oracle): BM25 with tf = number of phrase occurrences and
+        idf = ln(1 + (N - df_p + 0.5)/(df_p + 0.5)) where df_p = number of
+        docs containing the full phrase."""
+        from prosearch_ray.text.tokenizer import _EDGE_RE
+
+        tokens = [c.lower() for c in
+                  (_EDGE_RE.sub("", raw) for raw in query.split()) if c]
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if not tokens:
+            return empty
+        if len(tokens) == 1:
+            # degenerate phrase = body-only term query with body tf
+            postings = self.fetch_postings(tokens)
+            tp = postings.get(tokens[0])
+            if tp is None:
+                return empty
+            mask = tp.tfs > 0
+            ids = tp.doc_ids[mask]
+            if len(self.tombstones):
+                ids = ids[~np.isin(ids, self.tombstones, assume_unique=True)]
+            if len(ids) == 0:
+                return empty
+            tfs = tp.tfs[np.searchsorted(tp.doc_ids, ids)]
+            df_p = len(ids)
+            scores = (scoring.idf([df_p], self.n_docs)[0]
+                      * scoring.tf_factor(tfs, self.norm_body[ids],
+                                          self.avgdl_body))
+            top = scoring.top_k_indices(scores, ids, k)
+            return ids[top], scores[top]
+
+        pos = self.fetch_positions(tokens)
+        if any(t not in pos for t in tokens):
+            return empty
+        # candidates: docs containing every token in body
+        cand = set(pos[tokens[0]])
+        for t in tokens[1:]:
+            cand &= set(pos[t])
+        hits: List[Tuple[int, int]] = []
+        for doc in sorted(cand):
+            occ = pos[tokens[0]][doc]
+            for i, t in enumerate(tokens[1:], start=1):
+                occ = np.intersect1d(occ + 1, pos[t][doc], assume_unique=False)
+                if len(occ) == 0:
+                    break
+            if len(occ):
+                hits.append((doc, len(occ)))
+        if len(self.tombstones):
+            hits = [(d, c) for d, c in hits
+                    if not np.isin([d], self.tombstones)[0]]
+        if not hits:
+            return empty
+        ids = np.array([d for d, _ in hits], dtype=np.int64)
+        tfs = np.array([c for _, c in hits], dtype=np.float64)
+        df_p = len(ids)
+        scores = (scoring.idf([df_p], self.n_docs)[0]
+                  * scoring.tf_factor(tfs, self.norm_body[ids], self.avgdl_body))
+        top = scoring.top_k_indices(scores, ids, k)
+        return ids[top], scores[top]
 
     # -------------------------------------------------------------- documents
     def fetch_contents(self, doc_ids: np.ndarray) -> Dict[int, str]:

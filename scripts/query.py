@@ -19,6 +19,8 @@ def main() -> None:
     p.add_argument("query", nargs="?", help="a single query string")
     p.add_argument("--index", required=True)
     p.add_argument("--k", type=int, default=10)
+    p.add_argument("--phrase", action="store_true",
+                   help="exact phrase search over the body field")
     p.add_argument("--serp", action="store_true",
                    help="print the reference-shaped SERP JSON (with snippets)")
     p.add_argument("--queries", help="parquet of (qid, query[, k]) to run "
@@ -57,7 +59,13 @@ def main() -> None:
         from prosearch_ray.query.serp import serp
 
         s = IndexSearcher(args.index)
-        if args.serp:
+        if args.phrase:
+            ids, scores = s.search_phrase(args.query, args.k)
+            for rank, (d, sc) in enumerate(zip(ids, scores)):
+                print(json.dumps({"rank": rank, "doc_id": int(d),
+                                  "doc_key": str(s.doc_keys[int(d)]),
+                                  "score": round(float(sc), 4)}))
+        elif args.serp:
             print(json.dumps(serp(s, args.query, args.k), indent=2))
         else:
             ids, scores = s.search(args.query, args.k)
