@@ -479,7 +479,12 @@ def build_index(
 
     t0 = time.perf_counter()
     if merge_state is None and manifests:
-        seg_ds = ray.data.read_parquet(os.path.join(index_dir, "segments"))
+        # positions stay per-bucket in segments/ (they are phrase-only
+        # payload); pruning the column here keeps position bytes out of the
+        # merge shuffle entirely
+        from prosearch_ray.index.segment import SCORING_COLUMNS
+        seg_ds = ray.data.read_parquet(os.path.join(index_dir, "segments"),
+                                       columns=SCORING_COLUMNS)
         part_rows = seg_ds.map_batches(
             layout.add_part_column(num_parts), batch_format="pyarrow"
         ).groupby("part").map_groups(

@@ -188,7 +188,9 @@ def _refresh_merge_and_stats(index_dir: str, stats: dict, added: int) -> dict:
         [(m["bucket"], m["fingerprint"], m["n_terms"]) for m in manifests]
         + [num_parts]).encode()).hexdigest()
 
-    seg_ds = ray.data.read_parquet(os.path.join(index_dir, "segments"))
+    from prosearch_ray.index.segment import SCORING_COLUMNS
+    seg_ds = ray.data.read_parquet(os.path.join(index_dir, "segments"),
+                                   columns=SCORING_COLUMNS)
     part_rows = seg_ds.map_batches(
         layout.add_part_column(num_parts), batch_format="pyarrow"
     ).groupby("part").map_groups(

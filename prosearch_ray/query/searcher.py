@@ -115,6 +115,10 @@ class IndexSearcher:
         # so hot terms (the boost set, stopword-grade tokens) stay resident
         self._postings_lru: "OrderedDict[str, Optional[_TermPostings]]" = OrderedDict()
         self._postings_lru_cap = 4096
+        # separate (smaller) LRU for decoded phrase position keys — entries
+        # are fatter (one uint64 per occurrence)
+        self._positions_lru: "OrderedDict[str, Optional[np.ndarray]]" = OrderedDict()
+        self._positions_lru_cap = 512
         self._docs_ds = None  # lazy; only needed for snippets
 
     def prewarm(self, n_top_terms: int = 64) -> int:
@@ -340,41 +344,64 @@ class IndexSearcher:
         return cand[top], scores[top]
 
     # ----------------------------------------------------------------- phrase
-    def fetch_positions(self, terms: Sequence[str]) -> Dict[str, Dict[int, np.ndarray]]:
-        """Decoded body positions per term: {term: {doc_id: positions}}.
-        Reads the (trailing, otherwise untouched) positions column for just
-        the requested terms' row groups."""
-        out: Dict[str, Dict[int, np.ndarray]] = {}
-        by_part: Dict[int, List[str]] = {}
+    _POS_SHIFT = 22  # packed occurrence key = (doc_id << 22) | position
+
+    def fetch_position_keys(self, terms: Sequence[str]) -> Dict[str, np.ndarray]:
+        """Per term: SORTED unique packed occurrence keys
+        ``(doc_id << 22) | position`` over the body field.
+
+        Positions live in the per-bucket SEGMENT files (they are phrase-only
+        payload and deliberately don't ride the merge shuffle or the scoring
+        reads); this fetch scans segments/ with a term filter — parquet
+        row-group stats prune it to ~one row group per bucket file.  The
+        whole decode is vectorized: groupwise cumsum reconstructs absolute
+        positions from the delta blobs with no per-doc loop."""
+        out_cached: Dict[str, np.ndarray] = {}
+        missing: List[str] = []
         for t in terms:
-            by_part.setdefault(layout.term_part(t, self.num_parts), []).append(t)
-        for part, part_terms in by_part.items():
-            pf, ranges = self._part_handle(part)
-            if pf is None:
+            if t in self._positions_lru:
+                self._positions_lru.move_to_end(t)
+                hit = self._positions_lru[t]
+                if hit is not None:
+                    out_cached[t] = hit
+            else:
+                missing.append(t)
+        if not missing:
+            return out_cached
+        seg_dir = os.path.join(self.index_dir, "segments")
+        seg = pads.dataset(seg_dir)
+        if "positions" not in seg.schema.names:
+            raise ValueError(
+                "this index was built without body positions "
+                "(format_version < 3); rebuild it to enable phrase search")
+        tbl = seg.to_table(
+            columns=["term", "bucket", "doc_ids", "tfs", "positions"],
+            filter=pads.field("term").isin(missing))
+        acc: Dict[str, List[np.ndarray]] = {}
+        for r in tbl.to_pylist():
+            ids = decode_deltas(r["doc_ids"]).astype(np.int64)
+            tfs = decode_varints(r["tfs"]).astype(np.int64)
+            gaps = decode_varints(r["positions"]).astype(np.int64)
+            if len(gaps) == 0:
                 continue
-            rgs = sorted({rg for rg, (mn, mx) in enumerate(ranges)
-                          for t in part_terms if mn is None or (mn <= t <= mx)})
-            if not rgs:
-                continue
-            if "positions" not in pf.schema_arrow.names:
-                raise ValueError(
-                    "this index was built without body positions "
-                    "(format_version < 3); rebuild it to enable phrase search")
-            tbl = pf.read_row_groups(
-                rgs, columns=["term", "bucket", "doc_ids", "tfs", "positions"])
-            tbl = tbl.filter(pc.is_in(tbl.column("term"),
-                                      value_set=pa.array(part_terms)))
-            rows = sorted(tbl.to_pylist(), key=lambda r: (r["term"], r["bucket"]))
-            for r in rows:
-                ids = decode_deltas(r["doc_ids"]).astype(np.int64)
-                tfs = decode_varints(r["tfs"]).astype(np.int64)
-                flat = decode_varints(r["positions"]).astype(np.int64)
-                per_doc = np.split(flat, np.cumsum(tfs)[:-1])
-                d = out.setdefault(r["term"], {})
-                for doc, tf, gaps in zip(ids, tfs, per_doc):
-                    if tf > 0:
-                        d[int(doc)] = np.cumsum(gaps)
-        return out
+            # groupwise cumsum: group-first gap is the absolute position
+            c = np.cumsum(gaps)
+            starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+            nz = tfs > 0
+            base = np.where(starts[nz] > 0, c[starts[nz] - 1], 0)
+            pos = c - np.repeat(base, tfs[nz])
+            doc_rep = np.repeat(ids[nz], tfs[nz])
+            acc.setdefault(r["term"], []).append(
+                (doc_rep << self._POS_SHIFT) | pos)
+        for t in missing:
+            parts = acc.get(t)
+            arr = np.unique(np.concatenate(parts)) if parts else None
+            self._positions_lru[t] = arr
+            if len(self._positions_lru) > self._positions_lru_cap:
+                self._positions_lru.popitem(last=False)
+            if arr is not None:
+                out_cached[t] = arr
+        return out_cached
 
     def search_phrase(self, query: str, k: int = scoring.DEFAULT_K
                       ) -> Tuple[np.ndarray, np.ndarray]:
@@ -414,29 +441,30 @@ class IndexSearcher:
             top = scoring.top_k_indices(scores, ids, k)
             return ids[top], scores[top]
 
-        pos = self.fetch_positions(tokens)
-        if any(t not in pos for t in tokens):
+        keys = self.fetch_position_keys(tokens)
+        if any(t not in keys for t in tokens):
             return empty
-        # candidates: docs containing every token in body
-        cand = set(pos[tokens[0]])
-        for t in tokens[1:]:
-            cand &= set(pos[t])
-        hits: List[Tuple[int, int]] = []
-        for doc in sorted(cand):
-            occ = pos[tokens[0]][doc]
-            for i, t in enumerate(tokens[1:], start=1):
-                occ = np.intersect1d(occ + 1, pos[t][doc], assume_unique=False)
-                if len(occ) == 0:
-                    break
-            if len(occ):
-                hits.append((doc, len(occ)))
+        # vectorized adjacency: occurrence (d, p) of token0 survives iff
+        # (d, p+i) exists for every token_i — one sorted-membership probe
+        # per token over packed keys
+        occ = keys[tokens[0]]
+        for i, t in enumerate(tokens[1:], start=1):
+            target = occ + i
+            karr = keys[t]
+            idx = np.searchsorted(karr, target)
+            valid = idx < len(karr)
+            valid[valid] = karr[idx[valid]] == target[valid]
+            occ = occ[valid]
+            if len(occ) == 0:
+                return empty
+        docs_of_occ = occ >> self._POS_SHIFT
+        ids, counts = np.unique(docs_of_occ, return_counts=True)
         if len(self.tombstones):
-            hits = [(d, c) for d, c in hits
-                    if not np.isin([d], self.tombstones)[0]]
-        if not hits:
+            alive = ~np.isin(ids, self.tombstones, assume_unique=True)
+            ids, counts = ids[alive], counts[alive]
+        if len(ids) == 0:
             return empty
-        ids = np.array([d for d, _ in hits], dtype=np.int64)
-        tfs = np.array([c for _, c in hits], dtype=np.float64)
+        tfs = counts.astype(np.float64)
         df_p = len(ids)
         scores = (scoring.idf([df_p], self.n_docs)[0]
                   * scoring.tf_factor(tfs, self.norm_body[ids], self.avgdl_body))
