@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_stats": relational.events_window_stats,
         "quota_filter": relational.quota_filter,
         "user_sessions": relational.user_sessions,
+        "asof_last_event": relational.asof_last_event,
         # text / search core (SQL-checkable simple-tokenizer variants)
         "term_df": docsearch.term_df,
         "token_counts": docsearch.token_counts,
@@ -258,6 +259,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT source, doc_id,
                        row_number() OVER (PARTITION BY source ORDER BY doc_id) rn
                 FROM documents) WHERE rn <= 20
+        """,
+        "asof_last_event": """
+            SELECT o_orderkey, o_custkey::BIGINT AS o_custkey,
+                   coalesce((
+                       SELECT e.event_id FROM events e
+                       WHERE e.user_id = o_custkey AND e.ts <= o_orderdate
+                       ORDER BY e.ts DESC, e.event_id DESC LIMIT 1
+                   ), -1)::BIGINT AS last_event_id
+            FROM orders
         """,
         "user_sessions": """
             WITH ordered AS (

@@ -294,3 +294,65 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30) -> "rd.Dataset":
         })
 
     return ev.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
+def asof_last_event(sf_dir: str) -> "rd.Dataset":
+    """As-of join — a custom operator Ray Data lacks natively: for every
+    order, the latest event of that customer with ts <= o_orderdate
+    (ties on ts broken by max event_id; -1 when no prior event).
+
+    Pattern (per the guide): tag both sides, ONE co-grouping shuffle on the
+    key, and a sorted searchsorted lookup inside each group — the
+    bucketed-merge_asof shape that scales to range joins."""
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+    events = read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(t.column("o_custkey"), pa.int64()),
+            "kind": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+            "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "ts": pc.cast(t.column("o_orderdate"), pa.timestamp("us")),
+            "event_id": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+        })
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(t.column("user_id"), pa.int64()),
+            "kind": pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
+            "o_orderkey": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+            "ts": pc.cast(t.column("ts"), pa.timestamp("us")),
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+        })
+
+    both = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        events.map_batches(tag_events, batch_format="pyarrow"))
+
+    def asof_group(g: pa.Table) -> pa.Table:
+        kind = g.column("kind").to_numpy()
+        ts = g.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        ev_mask = kind == 1
+        ord_mask = ~ev_mask
+        if not ord_mask.any():
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "o_custkey": pa.array([], pa.int64()),
+                             "last_event_id": pa.array([], pa.int64())})
+        okeys = g.column("o_orderkey").to_numpy()[ord_mask]
+        odates = ts[ord_mask]
+        key = int(g.column("key")[0].as_py())
+        ev_ts = ts[ev_mask]
+        ev_id = g.column("event_id").to_numpy()[ev_mask]
+        if len(ev_ts) == 0:
+            last = np.full(len(okeys), -1, np.int64)
+        else:
+            order_ev = np.lexsort((ev_id, ev_ts))
+            ev_ts, ev_id = ev_ts[order_ev], ev_id[order_ev]
+            idx = np.searchsorted(ev_ts, odates, side="right") - 1
+            last = np.where(idx >= 0, ev_id[np.clip(idx, 0, None)], -1)
+        return pa.table({
+            "o_orderkey": pa.array(okeys, pa.int64()),
+            "o_custkey": pa.array(np.full(len(okeys), key, np.int64), pa.int64()),
+            "last_event_id": pa.array(last, pa.int64()),
+        })
+
+    return both.groupby("key").map_groups(asof_group, batch_format="pyarrow")
