@@ -142,6 +142,11 @@ def write_bench_corpus(out_dir: str, n_docs: int, seed: int = 42,
         return out_dir
     corpus_dir = os.path.join(out_dir, "corpus")
     os.makedirs(corpus_dir, exist_ok=True)
+    for f in os.listdir(corpus_dir):  # drop leftovers from other sizes
+        os.remove(os.path.join(corpus_dir, f))
+    for f in os.listdir(out_dir):     # invalidate old size markers
+        if f.startswith("_bench_") and f.endswith(".done"):
+            os.remove(os.path.join(out_dir, f))
     table = generate_corpus_fast(n_docs, seed=seed)
     n_files = max(1, -(-table.num_rows // rows_per_file))
     step = -(-table.num_rows // n_files)
