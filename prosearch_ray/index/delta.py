@@ -160,8 +160,18 @@ def add_documents(index_dir: str, source, *, langs=DEFAULT_LANGS,
         pos += chunk.num_rows
         chunk_idx += 1
 
+    # record REAL per-bucket counts: doc_ids are contiguous, so the
+    # bucket-sorted cumsum of counts reproduces every base_doc_id (base and
+    # delta alike) — a later build_index(resume=True) then computes correct
+    # offsets and n_docs instead of under-counting delta docs.
     off["next_doc_id"] = next_id + added
-    off["counts"].update({str(next_bucket + i): 0 for i in range(chunk_idx)})
+    pos2, i2 = 0, 0
+    while pos2 < added:
+        n = min(docs_per_bucket, added - pos2)
+        off["counts"][str(next_bucket + i2)] = n
+        pos2 += n
+        i2 += 1
+    off["n_docs"] = int(sum(off["counts"].values()))
     _atomic_write_json(off, os.path.join(index_dir, "staged", "_offsets.json"))
 
     # re-merge postings/dict + refresh stats (segments are reused as-is)
@@ -227,27 +237,42 @@ def compact(index_dir: str, out_dir: str, *, docs_per_bucket: Optional[int] = No
     staged docs — drops deletes, re-packs doc_ids contiguously (forcemerge +
     garbage-collect analog)."""
     stats = _load_stats(index_dir)
-    tomb = set(load_tombstones(index_dir).column("doc_key").to_pylist())
+    # Tombstones must be applied by doc_id, NOT doc_key: add_documents
+    # tombstones the OLD doc_id of every re-added key while the key stays
+    # live in a delta bucket — filtering by key would drop both the old and
+    # the new version of any upserted doc. doc_id is reconstructible: each
+    # staged bucket file's rows map positionally to
+    # manifest[bucket].base_doc_id + row_index (build_segment contract).
+    tomb_ids = set(load_tombstones(index_dir).column("doc_id").to_pylist())
+    manifest_dir = os.path.join(index_dir, "manifest")
+    manifests = [json.load(open(os.path.join(manifest_dir, f)))
+                 for f in sorted(os.listdir(manifest_dir)) if f.endswith(".json")]
     staged = os.path.join(index_dir, "staged")
-    files = [os.path.join(staged, f) for f in sorted(os.listdir(staged))
-             if f.startswith("bucket=") and f.endswith(".parquet")]
-    live = ray.data.read_parquet(files, columns=["repo", "path", "commit",
-                                                 "lang", "content", "doc_key"])
-    if tomb:
-        from prosearch_ray.state.broadcast import bget, bput
-        ref = bput(tomb)
+    work = [{"path": os.path.join(staged, f"bucket={m['bucket']:08d}.parquet"),
+             "base": int(m["base_doc_id"])}
+            for m in manifests if m["n_docs"]]
 
-        def drop(t: pa.Table) -> pa.Table:
-            ts = bget(ref)
-            mask = pa.array([k not in ts for k in t.column("doc_key").to_pylist()])
-            return t.filter(mask)
+    from prosearch_ray.state.broadcast import bget, bput
+    ref = bput(np.array(sorted(tomb_ids), dtype=np.int64))
 
-        live = live.map_batches(drop, batch_format="pyarrow")
-    live = live.map_batches(lambda t: t.drop_columns(["doc_key"]),
-                            batch_format="pyarrow")
-    n_est = sum(json.load(open(os.path.join(index_dir, "manifest", f)))["n_docs"]
-                for f in os.listdir(os.path.join(index_dir, "manifest"))
-                if f.endswith(".json"))
+    def read_live(items: pa.Table) -> pa.Table:
+        ts = bget(ref)
+        out = []
+        for path, base in zip(items.column("path").to_pylist(),
+                              items.column("base").to_pylist()):
+            tbl = pq.read_table(path, columns=["repo", "path", "commit",
+                                               "lang", "content"])
+            if ts.size:
+                mask = ~np.isin(base + np.arange(tbl.num_rows, dtype=np.int64), ts)
+                tbl = tbl.filter(pa.array(mask))
+            out.append(tbl)
+        return pa.concat_tables(out) if out else pa.table(
+            {c: pa.array([], pa.string())
+             for c in ("repo", "path", "commit", "lang", "content")})
+
+    live = ray.data.from_items(work).map_batches(
+        read_live, batch_format="pyarrow", batch_size=1)
+    n_est = sum(m["n_docs"] for m in manifests)
     return build_index(live, out_dir,
                        docs_per_bucket=docs_per_bucket or stats["docs_per_bucket"],
                        langs=langs, n_input_estimate=max(1, n_est))

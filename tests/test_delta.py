@@ -84,6 +84,85 @@ def test_add_documents_upserts(small_index):
         "deltaorg/deltarepo/src/new_doc.py"}
 
 
+def test_compact_after_upsert_keeps_new_version(small_index, tmp_path):
+    """Regression: compact() must filter by tombstoned doc_id, not doc_key —
+    an upserted doc tombstones its OLD doc_id while the key stays live, so a
+    key-based filter silently drops BOTH versions."""
+    import ray.data as rd
+
+    from prosearch_ray.index.delta import add_documents, compact, delete_docs
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    index_dir, report, _ = small_index
+    delta = pa.table({
+        "repo": ["deltaorg/deltarepo"] * 2,
+        "path": ["src/kept.py", "src/doomed.py"],
+        "commit": ["f" * 40] * 2,
+        "lang": ["py", "py"],
+        "content": ["first version aafirst", "doomed doc aadoomed"],
+    })
+    add_documents(index_dir, rd.from_arrow(delta))
+    # upsert kept.py (tombstones its old doc_id, key stays live)
+    delta2 = pa.table({
+        "repo": ["deltaorg/deltarepo"],
+        "path": ["src/kept.py"],
+        "commit": ["f" * 40],
+        "lang": ["py"],
+        "content": ["second version aasecond"],
+    })
+    add_documents(index_dir, rd.from_arrow(delta2))
+    # and a pure delete of the other delta doc
+    delete_docs(index_dir, ["deltaorg/deltarepo/src/doomed.py"])
+
+    out = str(tmp_path / "compacted_upsert")
+    rep = compact(index_dir, out)
+    # base docs + kept.py (one live version); doomed.py gone
+    assert rep["n_docs"] == report["n_docs"] + 1
+    s = IndexSearcher(out)
+    ids, _ = s.search("aasecond", 10)
+    assert {str(s.doc_keys[int(d)]) for d in ids} == {
+        "deltaorg/deltarepo/src/kept.py"}
+    for dead in ("aafirst", "aadoomed"):
+        ids, _ = s.search(dead, 10)
+        assert len(ids) == 0
+
+
+def test_build_resume_after_delta_counts(small_index):
+    """Regression: add_documents must record real delta counts in
+    _offsets.json so a later build_index(resume=True) reproduces every
+    base_doc_id and the true n_docs (was: counts 0 → corrupt avgdl/norms)."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    from prosearch_ray.index.build import build_index
+    from prosearch_ray.index.delta import add_documents
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    index_dir, report, corpus = small_index
+    delta = pa.table({
+        "repo": ["deltaorg/deltarepo"],
+        "path": ["src/resumed.py"],
+        "commit": ["f" * 40],
+        "lang": ["py"],
+        "content": ["resume survives deltas qqresumed"],
+    })
+    add_documents(index_dir, rd.from_arrow(delta))
+    off = json.load(open(os.path.join(index_dir, "staged", "_offsets.json")))
+    assert sum(off["counts"].values()) == report["n_docs"] + 1
+
+    # same n_input_estimate as the original build so num_buckets matches
+    rep2 = build_index(None, index_dir, docs_per_bucket=64, resume=True,
+                       n_input_estimate=corpus.num_rows)
+    assert rep2["n_docs"] == report["n_docs"] + 1
+    s = IndexSearcher(index_dir)
+    assert s.n_docs == report["n_docs"] + 1
+    ids, _ = s.search("qqresumed", 10)
+    assert {str(s.doc_keys[int(d)]) for d in ids} == {
+        "deltaorg/deltarepo/src/resumed.py"}
+
+
 def test_compact_drops_tombstones(small_index, tmp_path):
     from prosearch_ray.index.delta import compact, delete_docs, load_tombstones
     from prosearch_ray.query.searcher import IndexSearcher
