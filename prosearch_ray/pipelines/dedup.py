@@ -119,26 +119,39 @@ def minhash_signatures(ds: "rd.Dataset", num_perm: int = 64,
 
     def fn(t: pa.Table) -> pa.Table:
         aa, bb = bget(ref)
-        ids, sigs = [], []
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "sig": pa.array([], pa.list_(pa.uint64(), num_perm))})
+        # flat shingle stream with per-doc segment offsets (min is idempotent,
+        # so the per-doc SET dedup of shingles_of is unnecessary here)
+        flat, offs, keep_ids = [], [0], []
         for doc_id, text in zip(t.column("doc_id").to_pylist(),
                                 t.column("text").to_pylist()):
-            sh = shingles_of(text)
-            if not sh:
+            toks = simple_tokenize(text)
+            if len(toks) < 2:
                 continue
-            h = np.array([_stable_h64(s) for s in sh], dtype=np.uint64) % np.uint64(p)
-            # affine permutations via Python-int matmul-free loop in numpy
-            perm = (h[:, None] * aa[None, :] + bb[None, :]) % np.uint64(p)
-            sigs.append(perm.min(axis=0))
-            ids.append(doc_id)
-        if not ids:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "sig": pa.array([], pa.list_(pa.uint64()))})
+            flat.extend(a + " " + b for a, b in zip(toks, toks[1:]))
+            offs.append(len(flat))
+            keep_ids.append(doc_id)
+        if not keep_ids:
+            return empty
+        # hash each DISTINCT shingle ONCE per batch (dictionary-encode), then
+        # one vectorized affine-permutation pass + segmented min — identical
+        # signatures to the per-shingle formula, ~df(shingle)x fewer blake2b
+        denc = pa.array(flat, pa.string()).dictionary_encode()
+        h_distinct = np.array([_stable_h64(s) for s in
+                               denc.dictionary.to_pylist()],
+                              dtype=np.uint64) % np.uint64(p)
+        h_flat = h_distinct[denc.indices.to_numpy()]
+        perm = (h_flat[:, None] * aa[None, :] + bb[None, :]) % np.uint64(p)
+        sigs = np.minimum.reduceat(perm, np.array(offs[:-1]), axis=0)
         return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
+            "doc_id": pa.array(keep_ids, pa.int64()),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.ravel(), pa.uint64()), num_perm),
         })
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    # modest batch size bounds the transient (n_shingles x num_perm) matrix
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=256)
 
 
 def minhash_dup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
@@ -151,19 +164,27 @@ def minhash_dup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
     sig_ds = minhash_signatures(docs, num_perm=num_perm)
 
     def band_rows(t: pa.Table) -> pa.Table:
-        b_ids, b_hash, d_ids = [], [], []
-        for doc_id, sig in zip(t.column("doc_id").to_pylist(),
-                               t.column("sig").to_pylist()):
-            arr = np.asarray(sig, dtype=np.uint64)
-            for band in range(bands):
-                chunk = arr[band * rows_per_band:(band + 1) * rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                b_ids.append(band)
-                b_hash.append(h)
-                d_ids.append(doc_id)
-        return pa.table({"band_id": pa.array(b_ids, pa.int32()),
-                         "band_hash": pa.array(b_hash, pa.string()),
-                         "doc_id": pa.array(d_ids, pa.int64())})
+        """Vectorized banding: FNV-style 64-bit fold of each band's rows
+        (collisions only ADD candidates, which exact verification removes)."""
+        n = t.num_rows
+        if not n:
+            return pa.table({"band_id": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64())})
+        ids = t.column("doc_id").to_numpy()
+        sig_col = t.column("sig").combine_chunks()
+        sig_mat = sig_col.flatten().to_numpy(zero_copy_only=False).reshape(
+            n, num_perm).astype(np.uint64, copy=False)
+        s3 = sig_mat.reshape(n, bands, rows_per_band)
+        acc = np.full((n, bands), np.uint64(0xCBF29CE484222325))
+        prime = np.uint64(0x100000001B3)
+        with np.errstate(over="ignore"):
+            for r in range(rows_per_band):
+                acc = (acc ^ s3[:, :, r]) * prime
+        return pa.table({
+            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "band_hash": pa.array(acc.ravel(), pa.uint64()),
+            "doc_id": pa.array(np.repeat(ids, bands), pa.int64())})
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
         ids = sorted(set(g.column("doc_id").to_pylist()))
@@ -295,41 +316,72 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
 
 
 # ----------------------------------------------------------------- embedding
+EMB_BLOCK_ROWS = 16384  # ~8 MB per block at 64-dim float64
+
+
 def embedding_dup_pairs(sf_dir: str,
                         threshold: float = COSINE_DUP_THRESHOLD) -> pa.Table:
-    """Embedding-cosine near-dup pairs. The comparison matrix is broadcast
-    once (ray.put) and each batch does one float64 matmul against it —
-    the blocked-matmul pattern that scales to an IVF/LSH-bucketed variant."""
-    emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    all_rows = emb.take_all()  # comparison side: small at test scale; at 100TB
-    # this side is IVF-partitioned and only same-cluster blocks are compared
-    ids_all = np.array([r["vec_id"] for r in all_rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in all_rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    ref = bput((ids_all, mat))
+    """EXACT embedding-cosine near-dup pairs via a blocked pairwise compare:
+    the table is normalized once, split into bounded blocks that live in the
+    OBJECT STORE (spillable — never on the driver), and one Ray task per
+    block pair (i <= j) does a single float64 matmul, shipping back only the
+    above-threshold pairs.  Compute is inherently O(n^2/2) blocks — the exact
+    semantics the SQL oracle checks; the approximate scale path is the
+    IVF/LSH candidate generation in ``minhash_dup_pairs``/``ivf_knn``."""
+    import ray
 
-    def fn(t: pa.Table) -> pa.Table:
-        bids, bmat = bget(ref)
-        ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
-        m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        cos = m @ bmat.T
-        ia, ib, cc = [], [], []
-        for r in range(len(ids)):
-            hit = np.where(cos[r] >= threshold)[0]
-            for c in hit:
-                if ids[r] < bids[c]:
-                    ia.append(ids[r])
-                    ib.append(bids[c])
-                    cc.append(cos[r, c])
+    from prosearch_ray.pipelines.similarity import _mat_of
+
+    emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = emb.count()
+    num_blocks = max(1, -(-n // EMB_BLOCK_ROWS))
+
+    def pack(t: pa.Table) -> pa.Table:
+        m = _mat_of(t.column("embedding"))
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        dim = m.shape[1] if m.size else 0
+        return pa.table({
+            "vec_id": t.column("vec_id").cast(pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.ravel(), pa.float64()), dim),
+        })
+
+    refs = emb.repartition(num_blocks).map_batches(
+        pack, batch_format="pyarrow").to_arrow_refs()
+    pairs = [{"i": i, "j": j} for i in range(len(refs))
+             for j in range(i, len(refs))]
+
+    def compare(items: pa.Table) -> pa.Table:
+        ia_out, ib_out, cc_out = [], [], []
+        for i, j in zip(items.column("i").to_pylist(),
+                        items.column("j").to_pylist()):
+            ti, tj = ray.get(refs[i]), ray.get(refs[j])
+            ids_i = ti.column("vec_id").to_numpy()
+            ids_j = tj.column("vec_id").to_numpy()
+            cos = _mat_of(ti.column("embedding")) @ _mat_of(tj.column("embedding")).T
+            ri, cj = np.nonzero(cos >= threshold)
+            a, b = ids_i[ri], ids_j[cj]
+            if i == j:
+                keep = a < b  # upper triangle: dedups direction + self
+            else:
+                keep = a != b  # blocks are disjoint: each unordered pair once
+            a, b, c = a[keep], b[keep], cos[ri[keep], cj[keep]]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            ia_out.append(lo)
+            ib_out.append(hi)
+            cc_out.append(c)
+        ia = np.concatenate(ia_out) if ia_out else np.array([], np.int64)
+        ib = np.concatenate(ib_out) if ib_out else np.array([], np.int64)
+        cc = np.concatenate(cc_out) if cc_out else np.array([], np.float64)
         return pa.table({"ida": pa.array(ia, pa.int64()),
                          "idb": pa.array(ib, pa.int64()),
                          "cos": pa.array(cc, pa.float64())})
 
-    rows = emb.map_batches(fn, batch_format="pyarrow").take_all()
-    rows.sort(key=lambda r: (r["ida"], r["idb"]))
+    out = rd.from_items(pairs).map_batches(
+        compare, batch_format="pyarrow", batch_size=1).take_all()
+    out.sort(key=lambda r: (r["ida"], r["idb"]))
     return pa.table({
-        "ida": pa.array([r["ida"] for r in rows], pa.int64()),
-        "idb": pa.array([r["idb"] for r in rows], pa.int64()),
-        "cos": pa.array(sql_round([r["cos"] for r in rows], 4), pa.float64()),
+        "ida": pa.array([r["ida"] for r in out], pa.int64()),
+        "idb": pa.array([r["idb"] for r in out], pa.int64()),
+        "cos": pa.array(sql_round([r["cos"] for r in out], 4), pa.float64()),
     })

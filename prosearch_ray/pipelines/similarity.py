@@ -1,11 +1,18 @@
 """Similarity search over the ``embeddings`` table: brute-force cosine top-k
-(the exact baseline, SQL-checkable) and an LSH-bucketed approximate variant
-(the scale path).
+(the exact baseline, SQL-checkable) and LSH/IVF-bucketed approximate variants
+(the scale paths).
+
+Scale contract (all three entry points):
+- the full embeddings table is NEVER materialized on the driver — query rows
+  are grabbed with a distributed filter, k-means trains on a bounded
+  ``random_sample``, and every batch ships back at most k rows per query;
+- the query matrix / centroids are broadcast once (``ray.put``) and each
+  batch does one vectorized float64 matmul against them.
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Sequence, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -17,10 +24,60 @@ from prosearch_ray.state.broadcast import bget, bput
 
 KNN_QUERY_IDS: Sequence[int] = (0, 1, 2, 3, 4)
 KNN_K = 10
+IVF_TRAIN_CAP = 65536  # max rows pulled for k-means training (sampled above)
 
 
 def _normalized(mat: np.ndarray) -> np.ndarray:
     return mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+
+def _mat_of(col) -> np.ndarray:
+    """(n, dim) float64 matrix from a list<float> column without a Python
+    list detour: flatten the Arrow list values and reshape."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if not len(arr):
+        return np.empty((0, 0), dtype=np.float64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return np.ascontiguousarray(flat, dtype=np.float64).reshape(len(arr), -1)
+
+
+def _grab_query_rows(emb: "rd.Dataset",
+                     query_ids: Sequence[int]) -> Tuple[np.ndarray, np.ndarray]:
+    """Fetch the query vectors with a distributed filter (each batch ships
+    back only matching rows — never the table), deterministically ordered by
+    vec_id; returns (q_ids, L2-normalized q_mat)."""
+    qset = sorted(int(q) for q in query_ids)
+
+    def grab(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy()
+        keep = np.flatnonzero(np.isin(ids, qset))
+        return t.take(pa.array(keep, pa.int64())) if keep.size else t.slice(0, 0)
+
+    rows = emb.map_batches(grab, batch_format="pyarrow").take_all()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    mat = _normalized(np.array([r["embedding"] for r in rows],
+                               dtype=np.float64))[order]
+    return ids[order], mat
+
+
+def _merge_topk(rows, k: int) -> pa.Table:
+    """Driver-side final merge of the per-batch local top-k rows (≤ k per
+    (query, batch) — bounded, never the table)."""
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append((r["nid"], r["cos"]))
+    out_q, out_n, out_c = [], [], []
+    for q in sorted(by_q):
+        nid = np.array([x[0] for x in by_q[q]], dtype=np.int64)
+        cos = np.array([x[1] for x in by_q[q]], dtype=np.float64)
+        top = np.lexsort((nid, -cos))[:k]
+        out_q.extend([q] * len(top))
+        out_n.extend(nid[top])
+        out_c.extend(cos[top])
+    return pa.table({"qid": pa.array(out_q, pa.int64()),
+                     "nid": pa.array(out_n, pa.int64()),
+                     "cos": pa.array(sql_round(out_c, 4), pa.float64())})
 
 
 def knn_cosine(sf_dir: str, query_ids: Sequence[int] = KNN_QUERY_IDS,
@@ -29,24 +86,13 @@ def knn_cosine(sf_dir: str, query_ids: Sequence[int] = KNN_QUERY_IDS,
     every batch computes one float64 matmul against it and keeps a local
     top-k per query; the driver merges ≤ k rows per (query, batch)."""
     emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qset = set(int(q) for q in query_ids)
-
-    def grab_queries(t: pa.Table) -> pa.Table:
-        ids = t.column("vec_id").to_pylist()
-        keep = [i for i, v in enumerate(ids) if v in qset]
-        if not keep:
-            return t.slice(0, 0)
-        return t.take(pa.array(keep, pa.int64()))
-
-    q_rows = emb.map_batches(grab_queries, batch_format="pyarrow").take_all()
-    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
-    q_mat = _normalized(np.array([r["embedding"] for r in q_rows], dtype=np.float64))
+    q_ids, q_mat = _grab_query_rows(emb, query_ids)
     ref = bput((q_ids, q_mat))
 
     def score(t: pa.Table) -> pa.Table:
         qids, qm = bget(ref)
-        ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
-        m = _normalized(np.array(t.column("embedding").to_pylist(), dtype=np.float64))
+        ids = t.column("vec_id").to_numpy().astype(np.int64, copy=False)
+        m = _normalized(_mat_of(t.column("embedding")))
         cos = qm @ m.T  # (n_queries, batch)
         out_q, out_n, out_c = [], [], []
         for r in range(len(qids)):
@@ -61,21 +107,7 @@ def knn_cosine(sf_dir: str, query_ids: Sequence[int] = KNN_QUERY_IDS,
                          "nid": pa.array(out_n, pa.int64()),
                          "cos": pa.array(out_c, pa.float64())})
 
-    rows = emb.map_batches(score, batch_format="pyarrow").take_all()
-    out_q, out_n, out_c = [], [], []
-    by_q = {}
-    for r in rows:
-        by_q.setdefault(r["qid"], []).append((r["nid"], r["cos"]))
-    for q in sorted(by_q):
-        nid = np.array([x[0] for x in by_q[q]], dtype=np.int64)
-        cos = np.array([x[1] for x in by_q[q]], dtype=np.float64)
-        top = np.lexsort((nid, -cos))[:k]
-        out_q.extend([q] * len(top))
-        out_n.extend(nid[top])
-        out_c.extend(cos[top])
-    return pa.table({"qid": pa.array(out_q, pa.int64()),
-                     "nid": pa.array(out_n, pa.int64()),
-                     "cos": pa.array(sql_round(out_c, 4), pa.float64())})
+    return _merge_topk(emb.map_batches(score, batch_format="pyarrow").take_all(), k)
 
 
 def lsh_knn(sf_dir: str, query_ids: Sequence[int] = KNN_QUERY_IDS,
@@ -85,35 +117,28 @@ def lsh_knn(sf_dir: str, query_ids: Sequence[int] = KNN_QUERY_IDS,
     neighbors, so each batch scores a small candidate subset).  Recall is
     checked against knn_cosine in pytest, not against a SQL oracle."""
     emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    first = emb.take(1)[0]
-    dim = len(first["embedding"])
+    q_ids, q_mat = _grab_query_rows(emb, query_ids)
+    dim = q_mat.shape[1]
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
 
-    def sig_of(mat: np.ndarray) -> np.ndarray:
-        return ((mat @ planes.T) > 0) @ (1 << np.arange(n_planes))
-
-    qset = set(int(q) for q in query_ids)
-    q_rows = [r for r in emb.take_all() if r["vec_id"] in qset]
-    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
-    q_mat = _normalized(np.array([r["embedding"] for r in q_rows], dtype=np.float64))
-    q_sigs = sig_of(q_mat)
+    q_sigs = ((q_mat @ planes.T) > 0) @ (1 << np.arange(n_planes))
     # candidate buckets per query: own bucket + all 1-bit flips
     cand_buckets = {}
     for i, s in enumerate(q_sigs):
-        cand_buckets[int(q_ids[i])] = {int(s)} | {int(s) ^ (1 << b)
-                                                  for b in range(n_planes)}
+        cand_buckets[int(q_ids[i])] = np.array(
+            sorted({int(s)} | {int(s) ^ (1 << b) for b in range(n_planes)}),
+            dtype=np.int64)
     ref = bput((q_ids, q_mat, cand_buckets, planes))
 
     def score(t: pa.Table) -> pa.Table:
         qids, qm, cbuckets, pl = bget(ref)
-        ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
-        m = _normalized(np.array(t.column("embedding").to_pylist(), dtype=np.float64))
-        sigs = ((m @ pl.T) > 0) @ (1 << np.arange(pl.shape[0]))
+        ids = t.column("vec_id").to_numpy().astype(np.int64, copy=False)
+        m = _normalized(_mat_of(t.column("embedding")))
+        sigs = (((m @ pl.T) > 0) @ (1 << np.arange(pl.shape[0]))).astype(np.int64)
         out_q, out_n, out_c = [], [], []
         for r in range(len(qids)):
-            mask = np.array([int(s) in cbuckets[int(qids[r])] for s in sigs])
-            mask &= ids != qids[r]
+            mask = np.isin(sigs, cbuckets[int(qids[r])]) & (ids != qids[r])
             if not mask.any():
                 continue
             cos = qm[r] @ m[mask].T
@@ -126,27 +151,13 @@ def lsh_knn(sf_dir: str, query_ids: Sequence[int] = KNN_QUERY_IDS,
                          "nid": pa.array(out_n, pa.int64()),
                          "cos": pa.array(out_c, pa.float64())})
 
-    rows = emb.map_batches(score, batch_format="pyarrow").take_all()
-    by_q = {}
-    for r in rows:
-        by_q.setdefault(r["qid"], []).append((r["nid"], r["cos"]))
-    out_q, out_n, out_c = [], [], []
-    for q in sorted(by_q):
-        nid = np.array([x[0] for x in by_q[q]], dtype=np.int64)
-        cos = np.array([x[1] for x in by_q[q]], dtype=np.float64)
-        top = np.lexsort((nid, -cos))[:k]
-        out_q.extend([q] * len(top))
-        out_n.extend(nid[top])
-        out_c.extend(cos[top])
-    return pa.table({"qid": pa.array(out_q, pa.int64()),
-                     "nid": pa.array(out_n, pa.int64()),
-                     "cos": pa.array(sql_round(out_c, 4), pa.float64())})
+    return _merge_topk(emb.map_batches(score, batch_format="pyarrow").take_all(), k)
 
 
 def _kmeans_centroids(mat: np.ndarray, n_clusters: int, seed: int,
                       n_iter: int = 8) -> np.ndarray:
-    """Deterministic Lloyd's k-means on unit vectors (driver-side, over a
-    sample at scale); returns L2-normalized centroids."""
+    """Deterministic Lloyd's k-means on unit vectors (runs on the bounded
+    training sample); returns L2-normalized centroids."""
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)
     cent = mat[np.sort(idx)].copy()
@@ -162,34 +173,38 @@ def _kmeans_centroids(mat: np.ndarray, n_clusters: int, seed: int,
     return cent
 
 
+def _train_sample_matrix(emb: "rd.Dataset", cap: int, seed: int) -> np.ndarray:
+    """Bounded k-means training sample: at most ~``cap`` rows reach the
+    driver — above that the table is down-sampled with a distributed
+    ``random_sample`` — ordered by vec_id for determinism."""
+    n = emb.count()
+    ds = emb if n <= cap else emb.random_sample(cap / n, seed=seed)
+    rows = ds.take_all()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return _normalized(mat[np.argsort(ids)])
+
+
 def ivf_knn(sf_dir: str, query_ids: Sequence[int] = KNN_QUERY_IDS,
             k: int = KNN_K, n_clusters: int = 16, n_probe: int = 4,
             seed: int = 13) -> pa.Table:
     """IVF (inverted-file) approximate top-k: k-means centroids are trained
-    once on the driver (on a sample, at scale) and broadcast; each batch
-    assigns its vectors to their nearest centroid and scores them only
-    against queries probing that cluster.  ``n_probe == n_clusters`` degrades
-    to exact brute force — pinned against knn_cosine in pytest."""
+    on a bounded sample and broadcast; each batch assigns its vectors to
+    their nearest centroid and scores them only against queries probing that
+    cluster.  ``n_probe == n_clusters`` degrades to exact brute force —
+    pinned against knn_cosine in pytest."""
     emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    all_rows = emb.take_all()  # training sample; at 100TB use ds.random_sample
-    ids_all = np.array([r["vec_id"] for r in all_rows], dtype=np.int64)
-    mat = _normalized(np.array([r["embedding"] for r in all_rows],
-                               dtype=np.float64))
-    cent = _kmeans_centroids(mat, n_clusters, seed)
-
-    qset = set(int(q) for q in query_ids)
-    q_mask = np.isin(ids_all, sorted(qset))
-    q_ids = ids_all[q_mask]
-    q_mat = mat[q_mask]
+    cent = _kmeans_centroids(_train_sample_matrix(emb, IVF_TRAIN_CAP, seed),
+                             n_clusters, seed)
+    q_ids, q_mat = _grab_query_rows(emb, query_ids)
     # each query probes its n_probe nearest clusters
     probe = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]
     ref = bput((q_ids, q_mat, cent, probe))
 
     def score(t: pa.Table) -> pa.Table:
         qids, qm, c, pr = bget(ref)
-        ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
-        m = _normalized(np.array(t.column("embedding").to_pylist(),
-                                 dtype=np.float64))
+        ids = t.column("vec_id").to_numpy().astype(np.int64, copy=False)
+        m = _normalized(_mat_of(t.column("embedding")))
         assign = np.argmax(m @ c.T, axis=1)
         out_q, out_n, out_c = [], [], []
         for r in range(len(qids)):
@@ -206,18 +221,4 @@ def ivf_knn(sf_dir: str, query_ids: Sequence[int] = KNN_QUERY_IDS,
                          "nid": pa.array(out_n, pa.int64()),
                          "cos": pa.array(out_c, pa.float64())})
 
-    rows = emb.map_batches(score, batch_format="pyarrow").take_all()
-    by_q = {}
-    for r in rows:
-        by_q.setdefault(r["qid"], []).append((r["nid"], r["cos"]))
-    out_q, out_n, out_c = [], [], []
-    for q in sorted(by_q):
-        nid = np.array([x[0] for x in by_q[q]], dtype=np.int64)
-        cos = np.array([x[1] for x in by_q[q]], dtype=np.float64)
-        top = np.lexsort((nid, -cos))[:k]
-        out_q.extend([q] * len(top))
-        out_n.extend(nid[top])
-        out_c.extend(cos[top])
-    return pa.table({"qid": pa.array(out_q, pa.int64()),
-                     "nid": pa.array(out_n, pa.int64()),
-                     "cos": pa.array(sql_round(out_c, 4), pa.float64())})
+    return _merge_topk(emb.map_batches(score, batch_format="pyarrow").take_all(), k)
