@@ -32,6 +32,41 @@ BODY_BOOST = 1.0
 TERM_BOOST = 2.5
 DEFAULT_K = 10  # serve.rs:573-576
 
+# The reference's production boost set: ~190 tech keywords hardcoded at
+# serve.rs:362-369 (duplicates in the Rust array collapse in the set).
+DEFAULT_BOOST_TERMS = frozenset([
+    "amazon", "angular", "apache", "apple", "arch", "astro", "aws", "babel",
+    "babeljs", "backbone", "backbonejs", "bazel", "bluebird", "bluebirdjs",
+    "bootstrap", "bower", "brew", "c++", "cfdocs", "cfml", "chai", "chaijs",
+    "chef", "clojure", "cobol", "codecept", "codeception", "codeigniter",
+    "coffeescript", "composer", "cpp", "cran.r-project", "crystal",
+    "cypress", "dart", "deno", "doctrine", "drupal", "eigen", "electron",
+    "electronjs", "elixir", "elm", "embarcadero", "enzyme", "enzymejs",
+    "erights", "erlang", "esbuild", "eslint", "express", "expressjs",
+    "fastapi", "flow", "fortran", "fortran90", "fsharp", "git", "gnu", "go",
+    "golang", "hammerspoon", "handlebars", "handlebarsjs", "haskell", "haxe",
+    "hex", "hexdocs", "httpd", "i3", "i3wm", "influxdata", "influxdb",
+    "jasmine", "javascript", "jekyll", "jekyllrb", "jsdoc", "julia",
+    "julialang", "khronos", "knockout", "knockoutjs", "kotlin", "kotlinlang",
+    "laravel", "latex", "latexref", "less", "lesscss", "linux", "love2d",
+    "lua", "man7", "mariadb", "mdn", "microsoft", "mocha", "mochajs",
+    "modernizr", "moment", "momentjs", "mongoose", "mongoosejs", "mozilla",
+    "mysql", "nginx", "nim", "nixos", "node", "nodejs", "npm", "npmjs",
+    "ocaml", "odin", "openjdk", "opentsdb", "oracle", "perl", "phalcon",
+    "phalconphp", "php", "playwright", "pointclouds", "pony", "ponylang",
+    "postgresql", "prettier", "pug", "pugjs", "pydata", "pygame", "python",
+    "pytorch", "qt", "qunit", "qunitjs", "r", "r-project", "react",
+    "react-bootstrap", "reactivex", "reactjs", "reactnative", "reactrouter",
+    "readthedocs", "redis", "redux", "redux.js", "requirejs", "rethinkdb",
+    "ruby", "rubydoc", "rust", "rust-lang", "rxjs", "salt", "saltproject",
+    "sass", "scala", "scikit", "scikit-image", "scikit-learn", "spring",
+    "sqlite", "statsmodels", "superuser", "svelte", "swift", "symfony",
+    "tailwind", "tailwindcss", "tcl", "terraform", "twig", "typescript",
+    "underscore", "underscorejs", "vagrant", "vagrantup", "vite", "vitejs",
+    "vitest", "vue", "vuejs", "vueuse", "vuex", "wagtail", "webpack",
+    "webpack.js", "wordpress", "yarn", "yarnpkg", "yii", "yiiframework"
+])
+
 # Fixture boost set (12 terms) — the reference hardcodes ~190 tech keywords in
 # serve.rs:362-369; fixtures define their own small set per FIXTURES.md §2.
 FIXTURE_BOOST_TERMS = frozenset(
@@ -54,7 +89,7 @@ def tf_factor(tf, quantized_len, avgdl: float) -> np.ndarray:
 
 
 def query_plan(
-    query: str, boost_terms: frozenset = FIXTURE_BOOST_TERMS
+    query: str, boost_terms: frozenset = DEFAULT_BOOST_TERMS
 ) -> List[Tuple[str, float]]:
     """Tokenize a query into ``[(term, boost), ...]`` with duplicates removed
     (first occurrence wins; conjunctive semantics make repeats redundant).

@@ -87,6 +87,12 @@ def _tokenize_column(col: "pa.ChunkedArray | pa.Array",
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n_docs = len(col)
+    # \x1c-\x1f are whitespace to Python str.split() (the query/oracle
+    # tokenizer) but NOT Unicode White_Space, so utf8_split_whitespace would
+    # keep them inside tokens — normalize them to spaces so index-side and
+    # query-side tokenization agree on the full control-char range (pinned
+    # by tests/test_tokenizer.py)
+    col = pc.replace_substring_regex(col, r"[\x1c-\x1f]", " ")
     split = pc.utf8_split_whitespace(col)
     if isinstance(split, pa.ChunkedArray):
         split = split.combine_chunks()
@@ -152,6 +158,13 @@ def build_segment(
     t_doc, t_tid, len_title, _ = _tokenize_column(docs.column("title"), vocab, vocab_list)
     b_doc, b_tid, len_body, b_pos = _tokenize_column(docs.column("content"), vocab, vocab_list)
     nv = len(vocab_list)
+    # the phrase path packs occurrence keys as (doc_id << 22) | position —
+    # fail LOUDLY at build time rather than silently corrupting keys on a
+    # body with >= 2^22 whitespace tokens
+    if len(b_pos) and int(b_pos.max()) >= (1 << 22):
+        raise ValueError(
+            f"bucket {bucket}: body token position {int(b_pos.max())} exceeds "
+            f"the 22-bit phrase-key limit ({1 << 22} tokens per doc)")
 
     norm_title = fieldnorm_to_id(len_title)
     norm_body = fieldnorm_to_id(len_body)

@@ -74,7 +74,7 @@ class BM25Oracle:
         corpus: pa.Table,
         num_buckets: Optional[int] = None,
         langs: frozenset = DEFAULT_LANGS,
-        boost_terms: frozenset = scoring.FIXTURE_BOOST_TERMS,
+        boost_terms: frozenset = scoring.DEFAULT_BOOST_TERMS,
     ):
         if num_buckets is None:
             num_buckets = docid.num_buckets_for(corpus.num_rows)

@@ -94,12 +94,15 @@ def tpch_q1(sf_dir: str) -> "rd.Dataset":
               columns=["l_returnflag", "l_linestatus", "l_quantity",
                        "l_extendedprice", "l_discount", "l_shipdate"])
 
-    def prep(t: pa.Table) -> pa.Table:
+    def prep_partial(t: pa.Table) -> pa.Table:
+        """Map-side combiner: filter + derive, then collapse the batch to at
+        most one row per (returnflag, linestatus) — only tiny partials reach
+        the shuffle, and Mean decomposes into (sum, count)."""
         t = t.filter(pc.less(t.column("l_shipdate"),
                              pa.scalar(np.datetime64("1998-09-03", "us"))))
         disc = pc.multiply(t.column("l_extendedprice"),
                            pc.subtract(pa.scalar(1.0), t.column("l_discount")))
-        return pa.table({
+        flat = pa.table({
             "l_returnflag": t.column("l_returnflag"),
             "l_linestatus": t.column("l_linestatus"),
             "l_quantity": t.column("l_quantity"),
@@ -107,17 +110,29 @@ def tpch_q1(sf_dir: str) -> "rd.Dataset":
             "disc_price": disc,
             "l_discount": t.column("l_discount"),
         })
+        part = pa.TableGroupBy(
+            flat, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_discount", "sum"),
+             ("l_discount", "count")])
+        return part.rename_columns(
+            ["l_returnflag", "l_linestatus", "qty_p", "base_p", "disc_p",
+             "discount_p", "n_p"])
 
-    agg = li.map_batches(prep, batch_format="pyarrow").groupby(
-        ["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Sum("disc_price", alias_name="sum_disc_price"),
-        Mean("l_discount", alias_name="avg_disc"),
-        Count(alias_name="count_order"),
+    # partials are a handful of rows per batch: a single-partition final
+    # groupby is free and keeps Ray's aggregate from emitting the empty
+    # schema-less blocks that trip the executor's schema-mismatch warning
+    agg = li.map_batches(prep_partial, batch_format="pyarrow").repartition(
+        1).groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty_p", alias_name="sum_qty"),
+        Sum("base_p", alias_name="sum_base_price"),
+        Sum("disc_p", alias_name="sum_disc_price"),
+        Sum("discount_p", alias_name="sum_discount"),
+        Sum("n_p", alias_name="count_order"),
     )
 
     def round_cols(t: pa.Table) -> pa.Table:
+        n = t.column("count_order").to_numpy().astype(np.float64)
         return pa.table({
             "l_returnflag": t.column("l_returnflag"),
             "l_linestatus": t.column("l_linestatus"),
@@ -127,7 +142,7 @@ def tpch_q1(sf_dir: str) -> "rd.Dataset":
             "sum_qty": pa.array(sql_round(t.column("sum_qty").to_numpy(), 2)),
             "sum_base_price": pa.array(sql_round(t.column("sum_base_price").to_numpy(), 2)),
             "sum_disc_price": pa.array(sql_round(t.column("sum_disc_price").to_numpy(), 2)),
-            "avg_disc": pa.array(sql_round(t.column("avg_disc").to_numpy(), 4)),
+            "avg_disc": pa.array(sql_round(t.column("sum_discount").to_numpy() / n, 4)),
             "count_order": pc.cast(t.column("count_order"), pa.int64()),
         })
 
@@ -191,16 +206,19 @@ def join_orders_customers(sf_dir: str) -> "rd.Dataset":
     looked up per batch — never a shuffle): order count + revenue per
     customer market segment."""
     cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).take_all()
-    seg_by_key = {r["c_custkey"]: r["c_mktsegment"] for r in cust}
-    ref = bput(seg_by_key)
+    keys_pa = pa.array([r["c_custkey"] for r in cust], pa.int64())
+    segs_pa = pa.array([r["c_mktsegment"] for r in cust], pa.string())
+    ref = bput((keys_pa, segs_pa))
 
     orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def attach(t: pa.Table) -> pa.Table:
-        m = bget(ref)
-        segs = [m.get(k) for k in t.column("o_custkey").to_pylist()]
+        keys, segs = bget(ref)
+        # vectorized probe: index_in yields null positions for misses, which
+        # take() propagates to null segments — no per-row Python lookup
+        pos = pc.index_in(t.column("o_custkey"), value_set=keys)
         out = pa.table({
-            "segment": pa.array(segs, pa.string()),
+            "segment": segs.take(pos),
             "o_totalprice": t.column("o_totalprice"),
         })
         return out.filter(pc.is_valid(out.column("segment")))
@@ -263,10 +281,19 @@ def quota_filter(sf_dir: str, limit: int = 20) -> "rd.Dataset":
     docs = read(sf_dir, "documents", columns=["source", "doc_id"])
 
     def local_prune(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().sort_values("doc_id")
-        return pa.Table.from_pandas(
-            df.groupby("source", sort=False).head(limit),
-            preserve_index=False)
+        # Arrow/numpy per-key head: sort by (source, doc_id), then keep rows
+        # whose rank within their source run is < limit
+        t = t.sort_by([("source", "ascending"), ("doc_id", "ascending")])
+        n = t.num_rows
+        if not n:
+            return t
+        src = t.column("source").combine_chunks()
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = ~pc.equal(src.slice(1), src.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False)
+        starts = np.flatnonzero(new_run)
+        rank = np.arange(n) - starts[np.cumsum(new_run) - 1]
+        return t.filter(pa.array(rank < limit))
 
     def head_per_group(g: pa.Table) -> pa.Table:
         g = g.sort_by([("doc_id", "ascending")])

@@ -22,7 +22,7 @@ _WARMUP_QUERIES = ("the", "merge hash", "zzznothing")
 
 class QueryStage:
     def __init__(self, index_dir: str,
-                 boost_terms: frozenset = scoring.FIXTURE_BOOST_TERMS,
+                 boost_terms: frozenset = scoring.DEFAULT_BOOST_TERMS,
                  with_snippets: bool = False, prewarm_terms: int = 0):
         self.searcher = IndexSearcher(index_dir, boost_terms=boost_terms)
         self.with_snippets = with_snippets
@@ -73,7 +73,7 @@ class QueryStage:
 
 def search_dataset(queries: "ray.data.Dataset", index_dir: str, *,
                    concurrency=4, batch_size: int = 16,
-                   boost_terms: frozenset = scoring.FIXTURE_BOOST_TERMS,
+                   boost_terms: frozenset = scoring.DEFAULT_BOOST_TERMS,
                    with_snippets: bool = False) -> "ray.data.Dataset":
     """queries(qid, query[, k]) -> hits(qid, rank, doc_id, doc_key, score,
     latency_us[, snip]) via an actor pool sized ``concurrency``."""

@@ -74,7 +74,7 @@ class _TermPostings:
 
 class IndexSearcher:
     def __init__(self, index_dir: str,
-                 boost_terms: frozenset = scoring.FIXTURE_BOOST_TERMS):
+                 boost_terms: frozenset = scoring.DEFAULT_BOOST_TERMS):
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "stats.json")) as f:
             st = json.load(f)
@@ -120,6 +120,10 @@ class IndexSearcher:
         self._positions_lru: "OrderedDict[str, Optional[np.ndarray]]" = OrderedDict()
         self._positions_lru_cap = 512
         self._docs_ds = None  # lazy; only needed for snippets
+        # total live match count of the LAST search()/search_phrase() call —
+        # the (TopDocs, Count) multicollector analog (serve.rs:413-419,
+        # bench.rs:79): top-k pruning never changes it
+        self.last_count = 0
 
     def prewarm(self, n_top_terms: int = 64) -> int:
         """Prefetch + decode the highest-df terms into the postings LRU
@@ -283,9 +287,18 @@ class IndexSearcher:
                 kth = float(best_scores[-1])
         return best_ids, best_scores
 
+    def _live_count(self, ids: np.ndarray) -> int:
+        """Number of non-tombstoned doc_ids in a unique id array."""
+        if not len(self.tombstones):
+            return int(len(ids))
+        return int(len(ids)
+                   - np.isin(ids, self.tombstones, assume_unique=True).sum())
+
     def search(self, query: str, k: int = scoring.DEFAULT_K
                ) -> Tuple[np.ndarray, np.ndarray]:
-        """Returns (doc_ids, scores), rank-ordered by (-score, doc_id)."""
+        """Returns (doc_ids, scores), rank-ordered by (-score, doc_id);
+        the corpus-wide live match count lands in ``self.last_count``."""
+        self.last_count = 0
         plan = scoring.query_plan(query, self.boost_terms)
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
         if not plan:
@@ -296,6 +309,7 @@ class IndexSearcher:
 
         if len(plan) == 1:
             term, boost = plan[0]
+            self.last_count = self._live_count(postings[term].doc_ids)
             return self._search_single(postings[term], boost, k)
 
         # conjunctive multi-term: AND across terms.  Dense path: one pass of
@@ -303,13 +317,16 @@ class IndexSearcher:
         # no per-term sort/searchsorted); falls back to sorted-array
         # intersection when the doc space dwarfs the posting sizes (sharded
         # deployments where a shard's id range is large).
-        if self.n_docs <= 8_000_000:
-            presence = np.zeros(self.n_docs, dtype=np.uint8)
+        if self.n_docs <= 8_000_000 and len(plan) < 65535:
+            # uint16 presence counter: a uint8 would saturate on plans with
+            # > 255 terms and silently return empty for matching docs
+            presence = np.zeros(self.n_docs, dtype=np.uint16)
             for term, _ in plan:
                 presence[postings[term].doc_ids] += 1
             if len(self.tombstones):
                 presence[self.tombstones] = 0
             cand = np.nonzero(presence == len(plan))[0]
+            self.last_count = len(cand)
             if len(cand) == 0:
                 return empty
             scores = np.zeros(len(cand), dtype=np.float64)
@@ -335,6 +352,7 @@ class IndexSearcher:
                                     assume_unique=True)]
                 if len(cand) == 0:
                     return empty
+            self.last_count = len(cand)
             scores = np.zeros(len(cand), dtype=np.float64)
             for term, boost in plan:
                 tp = postings[term]
@@ -418,6 +436,7 @@ class IndexSearcher:
 
         tokens = [c.lower() for c in
                   (_EDGE_RE.sub("", raw) for raw in query.split()) if c]
+        self.last_count = 0
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
         if not tokens:
             return empty
@@ -435,6 +454,7 @@ class IndexSearcher:
                 return empty
             tfs = tp.tfs[np.searchsorted(tp.doc_ids, ids)]
             df_p = len(ids)
+            self.last_count = df_p
             scores = (scoring.idf([df_p], self.n_docs)[0]
                       * scoring.tf_factor(tfs, self.norm_body[ids],
                                           self.avgdl_body))
@@ -466,6 +486,7 @@ class IndexSearcher:
             return empty
         tfs = counts.astype(np.float64)
         df_p = len(ids)
+        self.last_count = df_p
         scores = (scoring.idf([df_p], self.n_docs)[0]
                   * scoring.tf_factor(tfs, self.norm_body[ids], self.avgdl_body))
         top = scoring.top_k_indices(scores, ids, k)

@@ -19,6 +19,7 @@ def serp(searcher: IndexSearcher, q: str,
     dt_us = int((time.perf_counter() - t0) * 1e6)
     return {
         "q": q,
+        "count": int(searcher.last_count),
         "hits": [
             {"doc": {"title": [h["title"]], "url": [h["doc_key"]]},
              "snip": h["snip"],

@@ -92,3 +92,21 @@ def test_huge_single_doc(ray_session, tmp_path):
     assert len(ids) == 2
     # the short doc scores higher (length normalization)
     assert str(s.doc_keys[int(ids[0])]).endswith("small.txt")
+
+
+def test_default_boost_set_is_reference_set():
+    """The engine default is the reference's ~190-term production boost set
+    (serve.rs:362-369), not the 12-term test fixture set."""
+    from prosearch_ray.index.scoring import (
+        DEFAULT_BOOST_TERMS, FIXTURE_BOOST_TERMS, TERM_BOOST, query_plan)
+
+    assert len(DEFAULT_BOOST_TERMS) == 195
+    # fixture set mostly overlaps but is NOT a subset (e.g. "java" is a
+    # fixture term the reference set omits)
+    assert len(FIXTURE_BOOST_TERMS & DEFAULT_BOOST_TERMS) >= 10
+    for t in ("terraform", "c++", "react-bootstrap", "postgresql", "i3"):
+        assert t in DEFAULT_BOOST_TERMS
+    assert "docker" not in DEFAULT_BOOST_TERMS  # reference set omits it
+    plan = dict(query_plan("terraform docker"))
+    assert plan["terraform"] == TERM_BOOST
+    assert plan["docker"] == 1.0

@@ -116,3 +116,21 @@ def test_prewarm_fills_lru(tiny_index):
     n = s.prewarm(16)
     assert n == 16
     assert len(s._postings_lru) >= 16
+
+
+def test_serp_total_hit_count(tiny_index, tiny_oracle):
+    """serp() surfaces the corpus-wide live match count (the (TopDocs, Count)
+    multicollector analog, serve.rs:413-419) — equal to the oracle's full
+    match count and invariant under top-k pruning."""
+    from prosearch_ray.query.searcher import IndexSearcher
+    from prosearch_ray.query.serp import serp
+
+    index_dir, _ = tiny_index
+    s = IndexSearcher(index_dir)
+    for q in ("merge hash", "the", "zzz_does_not_exist"):
+        out = serp(s, q, 3)
+        oracle_hits = tiny_oracle.search(q, 10_000_000)
+        assert out["count"] == len(oracle_hits), q
+        # count is the FULL match count even when k truncates the hits
+        full_ids, _ = s.search(q, 10_000_000)
+        assert out["count"] == len(full_ids), q

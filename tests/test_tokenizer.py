@@ -70,3 +70,24 @@ def test_simple_tokenizer_matches_sql_semantics():
 def test_determinism():
     text = "MergeHashBatch foo_bar src/lib/x.py 12ab"
     assert tokenize(text) == tokenize(text)
+
+
+def test_index_split_matches_python_split_on_control_chars():
+    """The segment kernel's Arrow whitespace split (after \\x1c-\\x1f
+    normalization) must agree with Python str.split() — the query/oracle
+    tokenizer — for every char in the control/latin-1 range."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    texts = [f"a{chr(c)}b" for c in list(range(0x00, 0x21)) + [0x7F, 0x85, 0xA0]]
+    texts += ["a\x1c\x1d b\x1e\x1fc", "\x1cx\x1f", "  spaced  out  "]
+    col = pc.replace_substring_regex(pa.array(texts, pa.string()),
+                                     r"[\x1c-\x1f]", " ")
+    arrow_split = pc.utf8_split_whitespace(col).to_pylist()
+    py_split = [t.split() for t in texts]
+    for t, a, p in zip(texts, arrow_split, py_split):
+        # Arrow emits empty strings for leading/trailing whitespace; they
+        # expand to no terms and shift positions uniformly (adjacency is
+        # preserved), so the meaningful invariant is the non-empty sequence
+        assert [x for x in a if x] == p, \
+            f"divergence on {t!r}: arrow={a} python={p}"
