@@ -5,8 +5,9 @@ actor-pool query) on sf0.001; ``queries()`` exposes one callable per
 implemented operator/pipeline from SURVEY.md §2 plus the training-data
 operator suite (dedup / similarity / text analysis / multimodal);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every SQL-expressible
-entry (rows-only ops: minhash/simhash LSH, approximate KNN, language-ID,
-fingerprinting, multimodal stub, full-engine code search).
+entry.  Rows-only (no oracle): simhash (hamming semantics), the multimodal
+stub, and the two full-engine code-search entries whose exact gate is the
+brute-force-oracle conformance suite in pytest.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here (or in prosearch_ray) calls ``ray.init`` / ``ray.shutdown``.
@@ -177,10 +178,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dup_pairs": dedup.minhash_dup_pairs,
         "simhash_dup_pairs": dedup.simhash_dup_pairs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
-        # similarity search
+        # similarity search.  The driver entries for the approximate variants
+        # run their DEGENERATE-EXACT configurations (all-bucket probe /
+        # all-cluster probe) so the brute-force SQL oracle applies; the
+        # approximate configurations are recall-checked in pytest
+        # (tests/test_pipelines.py).
         "knn_cosine": similarity.knn_cosine,
-        "lsh_knn": similarity.lsh_knn,
-        "ivf_knn": similarity.ivf_knn,
+        "lsh_knn": lambda sf_dir: similarity.lsh_knn(sf_dir, n_planes=0),
+        "ivf_knn": lambda sf_dir: similarity.ivf_knn(sf_dir, n_probe=16),
         # text analysis
         "lang_id": textstats.lang_id,
         "quality_score": textstats.quality_score,
@@ -191,7 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "stats_rollup": """
             SELECT source, count(*)::BIGINT AS n_docs,
                    sum(n_chars)::BIGINT AS total_chars
@@ -373,4 +378,53 @@ def oracle_sql() -> dict[str, str]:
                               / len(toks) END, 4) AS mean_tok_len
             FROM t
         """,
+        "lang_id": f"""
+            WITH t AS (SELECT doc_id, text, {TOK_SQL} toks FROM documents),
+            s AS (SELECT doc_id, text,
+                    greatest(1, len(toks))::DOUBLE n,
+                    len(list_filter(toks, x -> x IN ('das','der','die','ein',
+                        'ist','mit','nicht','und')))::DOUBLE c_de,
+                    len(list_filter(toks, x -> x IN ('a','and','in','is','of',
+                        'table','the','to','value')))::DOUBLE c_en,
+                    len(list_filter(toks, x -> x IN ('de','el','es','la','los',
+                        'por','que','una')))::DOUBLE c_es,
+                    len(list_filter(toks, x -> x IN ('des','est','et','la','le',
+                        'les','pas','une')))::DOUBLE c_fr
+                  FROM t)
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(substr(text, 1, 200),
+                                            '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                        WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+                        WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+                        WHEN c_es >= c_fr THEN 'es' ELSE 'fr' END AS pred_lang,
+                   CASE WHEN regexp_matches(substr(text, 1, 200),
+                                            '[\\x{{4e00}}-\\x{{9fff}}]') THEN 1.0
+                        ELSE round(greatest(c_de, c_en, c_es, c_fr) / n, 4)
+                   END AS confidence
+            FROM s
+        """,
+        "fingerprint": f"""
+            WITH t AS (SELECT doc_id, {TOK_SQL} toks FROM documents),
+            g AS (SELECT doc_id, i,
+                    substr(md5(array_to_string(toks[i:i+3], ' ')), 1, 16) h
+                  FROM t, unnest(generate_series(1, len(toks) - 3)) u(i)
+                  WHERE len(toks) >= 4),
+            w AS (SELECT doc_id, i,
+                    min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                 ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) wmin,
+                    count(*) OVER (PARTITION BY doc_id) ng
+                  FROM g),
+            f AS (SELECT doc_id, count(DISTINCT wmin)::BIGINT nf, min(wmin) mf
+                  FROM w WHERE i <= greatest(ng - 4, 1) GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(f.nf, 0)::BIGINT AS n_fingerprints,
+                   coalesce(f.mf, '') AS min_fingerprint
+            FROM documents d LEFT JOIN f USING (doc_id)
+        """,
     }
+    # degenerate-exact approximate-KNN entries share the brute-force oracle;
+    # the LSH-verified MinHash pipeline emits exactly the exact-Jaccard pairs
+    # (deterministic hash family, exact verification of candidates)
+    d["lsh_knn"] = d["knn_cosine"]
+    d["ivf_knn"] = d["knn_cosine"]
+    d["minhash_dup_pairs"] = d["jaccard_pairs"]
+    return d

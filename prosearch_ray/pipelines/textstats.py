@@ -1,6 +1,7 @@
 """Text-analysis operators over ``documents``: language-ID, quality scoring,
-document fingerprinting.  Quality scoring is SQL-checkable; language-ID and
-winnowing fingerprints are rows-only checks (heuristic / stateful kernels).
+document fingerprinting.  All three are SQL-checkable: the marker heuristic,
+the quality features and the winnowing scheme are each expressed in DuckDB
+(see __ray_entry__.oracle_sql) and exact-matched by the driver.
 """
 
 from __future__ import annotations
@@ -88,9 +89,11 @@ def quality_score(sf_dir: str) -> "rd.Dataset":
 
 
 def fingerprint(sf_dir: str, kgram: int = 4, window: int = 5) -> "rd.Dataset":
-    """Winnowing document fingerprints (rolling k-gram hashes, per-window
-    minimum) — the rolling-hash fingerprinting operator. Deterministic;
-    rows-only correctness check plus pytest unit pinning."""
+    """Winnowing document fingerprints (k-gram hashes, per-window minimum) —
+    the rolling-hash fingerprinting operator.  The gram hash is the first 16
+    hex chars of md5 (any 64-bit PRF works for winnowing; md5 keeps the
+    DuckDB oracle bit-exact — fixed-width hex compares lexicographically ==
+    numerically), window mins are a vectorized shifted-slice minimum."""
     docs = read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
@@ -102,18 +105,23 @@ def fingerprint(sf_dir: str, kgram: int = 4, window: int = 5) -> "rd.Dataset":
             toks = simple_tokenize(text)
             grams = [" ".join(toks[i:i + kgram])
                      for i in range(max(0, len(toks) - kgram + 1))]
-            hs = np.array([int.from_bytes(
-                hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
-                for g in grams], dtype=np.uint64)
-            if len(hs) == 0:
+            if not grams:
                 n_fp.append(0)
                 min_fp.append("")
                 continue
-            fps = set()
-            for i in range(max(1, len(hs) - window + 1)):
-                fps.add(int(hs[i:i + window].min()))
+            # uint64 value of the 16-hex-char md5 prefix: numeric order ==
+            # lexicographic order of the fixed-width hex the oracle compares
+            hs = np.array([int(hashlib.md5(g.encode()).hexdigest()[:16], 16)
+                           for g in grams], dtype=np.uint64)
+            n = len(hs)
+            span = max(1, n - window + 1)  # one (truncated) window if n<window
+            mins = hs[:span].copy()
+            for off in range(1, min(window, n)):
+                end = min(off + span, n)
+                np.minimum(mins[:end - off], hs[off:end], out=mins[:end - off])
+            fps = np.unique(mins)
             n_fp.append(len(fps))
-            min_fp.append(f"{min(fps):016x}")
+            min_fp.append(f"{int(fps[0]):016x}")
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "n_fingerprints": pa.array(n_fp, pa.int64()),
