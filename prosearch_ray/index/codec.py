@@ -27,6 +27,8 @@ __all__ = [
     "decode_deltas",
     "encode_bitset",
     "decode_bitset",
+    "decode_deltas_grouped",
+    "decode_bitset_grouped",
 ]
 
 _MAX_GROUPS = 10  # ceil(64 / 7)
@@ -57,6 +59,28 @@ def decode_varints(buf: bytes) -> np.ndarray:
     if raw.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_last = (raw & 0x80) == 0
+    cont_idx = np.flatnonzero(~is_last)
+    if cont_idx.size == 0:
+        # fast path: every value fits one byte (typical for tf streams and
+        # dense-term gap streams) — the bytes ARE the values
+        return raw.astype(np.uint64)
+    if cont_idx.size * 16 < raw.size:
+        # sparse-continuation path (hot terms: a handful of multi-byte group
+        # heads in a sea of 1-byte gaps): start from the terminal bytes and
+        # patch the few multi-byte values scalar — avoids the full-stream
+        # cumsum + scattered add.at of the general path
+        last_pos = np.flatnonzero(is_last)
+        out = raw[is_last].astype(np.uint64)
+        splits = np.flatnonzero(np.diff(cont_idx) > 1) + 1
+        run_starts = cont_idx[np.concatenate(([0], splits))]
+        run_lasts = cont_idx[np.concatenate((splits - 1, [cont_idx.size - 1]))]
+        vidx = np.searchsorted(last_pos, run_starts)
+        for s, e, v in zip(run_starts, run_lasts, vidx):
+            val = 0
+            for k, b in enumerate(raw[s:e + 2]):
+                val |= (int(b) & 0x7F) << (7 * k)
+            out[v] = val
+        return out
     # value index of every byte = count of terminated values before it
     value_idx = np.concatenate(([0], np.cumsum(is_last)[:-1]))
     # position of the byte within its value
@@ -129,6 +153,45 @@ def encode_deltas_grouped(doc_ids: np.ndarray, group_lengths: np.ndarray):
     starts = starts[glens > 0]
     gaps[starts] = ids[starts]
     return encode_varints_grouped(gaps, glens)
+
+
+def decode_deltas_grouped(buf: bytes, group_lengths) -> np.ndarray:
+    """Decode CONCATENATED per-group delta blobs (as produced by
+    ``encode_deltas_grouped`` and joined back-to-back) into one flat array of
+    ABSOLUTE ids, in one vectorized pass.  ``group_lengths`` gives the value
+    count of each group (a group's head gap is its absolute id)."""
+    gaps = decode_varints(buf)
+    glens = np.asarray(group_lengths, dtype=np.int64)
+    if gaps.size == 0:
+        return gaps
+    c = np.cumsum(gaps, dtype=np.uint64)
+    starts = np.concatenate(([0], np.cumsum(glens)[:-1]))
+    nz = glens > 0
+    starts_nz = starts[nz]
+    base = np.where(starts_nz > 0, c[np.maximum(starts_nz - 1, 0)],
+                    np.uint64(0))
+    shift = np.repeat(base, glens[nz])
+    return c - shift
+
+
+def decode_bitset_grouped(buf: bytes, group_bit_counts) -> np.ndarray:
+    """Decode CONCATENATED per-group LSB-first bitsets (each group padded to
+    a byte boundary) into one flat bool array, in one vectorized pass."""
+    glens = np.asarray(group_bit_counts, dtype=np.int64)
+    total = int(glens.sum())
+    if total == 0:
+        return np.empty(0, dtype=bool)
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8),
+                         bitorder="little")
+    nbytes = (glens + 7) // 8
+    byte_starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    nz = glens > 0
+    # bit index of value j of group g = 8*byte_starts[g] + (j - value_start[g])
+    val_starts = np.concatenate(([0], np.cumsum(glens)[:-1]))
+    idx = (np.repeat(byte_starts[nz] * 8, glens[nz])
+           + np.arange(total, dtype=np.int64)
+           - np.repeat(val_starts[nz], glens[nz]))
+    return bits[idx].astype(bool)
 
 
 def encode_bitset(flags) -> bytes:
