@@ -138,26 +138,29 @@ def _normalize_batch(langs: FrozenSet[str], num_buckets: int):
     return fn
 
 
+def _canonicalize_bucket(group: pa.Table) -> pa.Table:
+    """Canonical in-bucket form: sort by (doc_key asc, commit desc, sha desc)
+    and keep the first row per doc_key — the last-write-wins upsert (D3;
+    delete-then-reinsert analog, TantivyCommitter.java:48-82).  All rows of a
+    doc_key hash to the same bucket, so this implements max-(commit, sha)
+    globally with no extra shuffle, deterministically for any arrival order."""
+    group = group.sort_by([("doc_key", "ascending"),
+                           ("commit", "descending"),
+                           ("sha_hex", "descending")])
+    keys = group.column("doc_key").to_pylist()
+    keep = np.ones(len(keys), dtype=bool)
+    for i in range(1, len(keys)):
+        if keys[i] == keys[i - 1]:
+            keep[i] = False
+    return group.filter(pa.array(keep))
+
+
 def _stage_a_writer(staged_dir: str, return_keys: bool):
     """groupby(bucket).map_groups body: canonical in-bucket order + atomic
-    docs file; emits (bucket, n_docs).
-
-    Performs the last-write-wins upsert (D3; delete-then-reinsert analog,
-    TantivyCommitter.java:48-82) IN-bucket: all rows of a doc_key hash to the
-    same bucket, so sorting by (doc_key asc, commit desc, sha desc) and
-    keeping the first row per key implements max-(commit, sha) globally with
-    no extra shuffle."""
+    docs file; emits (bucket, n_docs)."""
     def fn(group: pa.Table) -> pa.Table:
         bucket = int(group.column("bucket")[0].as_py())
-        group = group.sort_by([("doc_key", "ascending"),
-                               ("commit", "descending"),
-                               ("sha_hex", "descending")])
-        keys = group.column("doc_key").to_pylist()
-        keep = np.ones(len(keys), dtype=bool)
-        for i in range(1, len(keys)):
-            if keys[i] == keys[i - 1]:
-                keep[i] = False
-        group = group.filter(pa.array(keep))
+        group = _canonicalize_bucket(group)
         path = os.path.join(staged_dir, f"bucket={bucket:08d}.parquet")
         _atomic_write_table(group, path)
         if return_keys:
@@ -174,6 +177,162 @@ def _stage_a_writer(staged_dir: str, return_keys: bool):
                          "doc_key": pa.array([None], pa.string()),
                          "sha_hex": pa.array([None], pa.string())})
     return fn
+
+
+# --------------------------------------------------------------------------
+# Stage-A spill-file exchange: a deterministic, RESUMABLE map/reduce over
+# files instead of Ray's in-memory sort shuffle.  Map tasks (one per planned
+# row-group span) normalize their rows and write them partitioned by bucket
+# GROUP (bucket % n_groups) as spill parquet; reduce tasks (one per group)
+# read the group's spill, canonicalize each bucket and write the staged
+# bucket files.  Both sides are keyed work items with done-markers, so a
+# killed build resumes mid-stage-A without re-normalizing finished input
+# spans (the groupby path restarts stage A from scratch).  Only available
+# when the source is a parquet path (a Dataset has no stable work plan).
+# --------------------------------------------------------------------------
+
+def _plan_spill_items(source: str, target_items: int) -> list:
+    """Deterministic map work items: contiguous row-group spans per file,
+    sized so ~``target_items`` items cover the input."""
+    files = ([os.path.join(source, f) for f in sorted(os.listdir(source))
+              if f.endswith(".parquet")]
+             if os.path.isdir(source) else [source])
+    metas = [(p, pq.read_metadata(p)) for p in files]
+    total_rows = sum(m.num_rows for _, m in metas)
+    rows_per_item = max(1, total_rows // max(1, target_items))
+    items, item_id = [], 0
+    for path, md in metas:
+        span, span_rows, fsize = [], 0, os.path.getsize(path)
+        for rg in range(md.num_row_groups):
+            span.append(rg)
+            span_rows += md.row_group(rg).num_rows
+            if span_rows >= rows_per_item:
+                items.append({"item": item_id, "path": path, "rg0": span[0],
+                              "rg1": span[-1], "n_rows": span_rows,
+                              "fsize": fsize})
+                item_id += 1
+                span, span_rows = [], 0
+        if span:
+            items.append({"item": item_id, "path": path, "rg0": span[0],
+                          "rg1": span[-1], "n_rows": span_rows,
+                          "fsize": fsize})
+            item_id += 1
+    return items
+
+
+def _spill_fingerprint(it: dict) -> str:
+    return f"{it['path']}:{it['rg0']}-{it['rg1']}:{it['n_rows']}:{it['fsize']}"
+
+
+def _spill_map_fn(spill_dir: str, langs: FrozenSet[str], num_buckets: int,
+                  n_groups: int):
+    normalize = _normalize_batch(langs, num_buckets)
+
+    def fn(it: dict) -> dict:
+        item = int(it["item"])
+        marker = os.path.join(spill_dir, "_done", f"item={item:06d}.json")
+        fp = _spill_fingerprint(it)
+        if os.path.exists(marker):
+            try:
+                if json.load(open(marker)).get("fp") == fp:
+                    return {"item": item, "skipped": True}
+            except (ValueError, OSError):
+                pass
+        pf = pq.ParquetFile(it["path"])
+        tbl = pf.read_row_groups(list(range(int(it["rg0"]), int(it["rg1"]) + 1)),
+                                 columns=CORPUS_COLUMNS)
+        norm = normalize(tbl)
+        groups = (norm.column("bucket").to_numpy() % n_groups).astype(np.int64)
+        order = np.argsort(groups, kind="stable")
+        sorted_tbl = norm.take(pa.array(order, pa.int64()))
+        gsorted = groups[order]
+        bounds = np.flatnonzero(np.diff(gsorted)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(gsorted)]))
+        for s, e in zip(starts, ends):
+            if s == e:
+                continue
+            g = int(gsorted[s])
+            gdir = os.path.join(spill_dir, f"g={g:04d}")
+            os.makedirs(gdir, exist_ok=True)
+            _atomic_write_table(sorted_tbl.slice(s, e - s),
+                                os.path.join(gdir, f"item={item:06d}.parquet"))
+        _atomic_write_json({"fp": fp}, marker)
+        return {"item": item, "skipped": False}
+    return fn
+
+
+def _spill_reduce_fn(staged_dir: str, spill_dir: str):
+    def fn(it: dict) -> list:
+        g = int(it["g"])
+        marker = os.path.join(spill_dir, "_done", f"group={g:04d}.json")
+        if os.path.exists(marker):
+            try:
+                counts = json.load(open(marker))["counts"]
+                return [{"bucket": int(b), "n_docs": int(n)}
+                        for b, n in counts.items()]
+            except (ValueError, OSError, KeyError):
+                pass
+        gdir = os.path.join(spill_dir, f"g={g:04d}")
+        if not os.path.isdir(gdir):
+            _atomic_write_json({"counts": {}}, marker)
+            return []
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(
+            [os.path.join(gdir, f) for f in sorted(os.listdir(gdir))
+             if f.endswith(".parquet")]).to_table()
+        tbl = tbl.sort_by([("bucket", "ascending")])
+        buckets = tbl.column("bucket").to_numpy()
+        bounds = np.flatnonzero(np.diff(buckets)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(buckets)]))
+        counts = {}
+        for s, e in zip(starts, ends):
+            bucket = int(buckets[s])
+            docs = _canonicalize_bucket(tbl.slice(s, e - s))
+            _atomic_write_table(
+                docs, os.path.join(staged_dir, f"bucket={bucket:08d}.parquet"))
+            counts[str(bucket)] = docs.num_rows
+        _atomic_write_json({"counts": counts}, marker)
+        return [{"bucket": int(b), "n_docs": int(n)} for b, n in counts.items()]
+    return fn
+
+
+def _stage_a_spill_exchange(source: str, staged_dir: str,
+                            langs: FrozenSet[str], num_buckets: int) -> Dict[int, int]:
+    """Run stage A as the resumable spill exchange; returns bucket counts."""
+    index_dir = os.path.dirname(os.path.normpath(staged_dir))
+    spill_dir = os.path.join(index_dir, "spill")
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    items = _plan_spill_items(source, target_items=4 * ncpu)
+    n_groups = int(max(1, min(num_buckets, 4 * ncpu)))
+    config = {"num_buckets": num_buckets, "n_groups": n_groups,
+              "langs": sorted(langs),
+              "plan": [_spill_fingerprint(it) for it in items]}
+    cfg_path = os.path.join(spill_dir, "_config.json")
+    stale = True
+    if os.path.exists(cfg_path):
+        try:
+            stale = json.load(open(cfg_path)) != config
+        except (ValueError, OSError):
+            pass
+    if stale:
+        import shutil
+        shutil.rmtree(spill_dir, ignore_errors=True)
+    os.makedirs(os.path.join(spill_dir, "_done"), exist_ok=True)
+    if stale:
+        _atomic_write_json(config, cfg_path)
+
+    ray.data.from_items(items).map(
+        _spill_map_fn(spill_dir, langs, num_buckets, n_groups)).materialize()
+    counts: Dict[int, int] = {}
+    reduce_rows = ray.data.from_items(
+        [{"g": g} for g in range(n_groups)]).flat_map(
+        _spill_reduce_fn(staged_dir, spill_dir)).take_all()
+    for r in reduce_rows:
+        counts[int(r["bucket"])] = int(r["n_docs"])
+    return counts
 
 
 def _dup_losers_from_keys(rows) -> Dict[int, set]:
@@ -377,23 +536,32 @@ def build_index(
         counts = {int(k): v for k, v in off["counts"].items()}
         staged_fresh = False
     else:
-        # ----- stage A: normalize + the ONE content shuffle + in-bucket upsert
+        # ----- stage A: normalize + the ONE content exchange + in-bucket
+        # upsert.  Parquet-path sources use the resumable SPILL-FILE exchange
+        # (deterministic map/reduce work items with done-markers — a kill
+        # mid-stage-A skips finished input spans on resume); Dataset sources
+        # have no stable work plan and use the in-memory groupby shuffle.
         t0 = time.perf_counter()
-        return_keys = n_est <= 2_000_000
-        norm = ds_raw.map_batches(_normalize_batch(langs, num_buckets),
-                                  batch_format="pyarrow", zero_copy_batch=True)
-        result_ds = norm.groupby("bucket").map_groups(
-            _stage_a_writer(staged_dir, return_keys), batch_format="pyarrow")
-        counts = {}
-        key_cols, sha_cols, bucket_cols = [], [], []
-        for b in result_ds.iter_batches(batch_format="pyarrow"):
-            for bk, nd in zip(b.column("bucket").to_pylist(),
-                              b.column("n_docs").to_pylist()):
-                counts[int(bk)] = int(nd)
-            if return_keys:
-                key_cols.extend(b.column("doc_key").to_pylist())
-                sha_cols.extend(b.column("sha_hex").to_pylist())
-                bucket_cols.extend(b.column("bucket").to_pylist())
+        return_keys = n_est <= 2_000_000 and not isinstance(source, str)
+        if isinstance(source, str):
+            counts = _stage_a_spill_exchange(source, staged_dir, langs,
+                                             num_buckets)
+            key_cols = sha_cols = bucket_cols = None
+        else:
+            norm = ds_raw.map_batches(_normalize_batch(langs, num_buckets),
+                                      batch_format="pyarrow", zero_copy_batch=True)
+            result_ds = norm.groupby("bucket").map_groups(
+                _stage_a_writer(staged_dir, return_keys), batch_format="pyarrow")
+            counts = {}
+            key_cols, sha_cols, bucket_cols = [], [], []
+            for b in result_ds.iter_batches(batch_format="pyarrow"):
+                for bk, nd in zip(b.column("bucket").to_pylist(),
+                                  b.column("n_docs").to_pylist()):
+                    counts[int(bk)] = int(nd)
+                if return_keys:
+                    key_cols.extend(b.column("doc_key").to_pylist())
+                    sha_cols.extend(b.column("sha_hex").to_pylist())
+                    bucket_cols.extend(b.column("bucket").to_pylist())
         _mark("stage_a_bucketed_docs", t0)
 
         # ----- content dedup fixup: key columns only, rewrite losers only
@@ -411,6 +579,10 @@ def build_index(
              "n_docs": int(sum(counts.values()))},
             offsets_path)
         staged_fresh = True
+        # offsets are durable -> the spill exchange is no longer needed
+        if isinstance(source, str):
+            import shutil
+            shutil.rmtree(os.path.join(index_dir, "spill"), ignore_errors=True)
 
     offsets = docid.bucket_offsets(counts)
     n_docs = int(sum(counts.values()))

@@ -26,6 +26,11 @@ class QueryStage:
                  with_snippets: bool = False, prewarm_terms: int = 0):
         self.searcher = IndexSearcher(index_dir, boost_terms=boost_terms)
         self.with_snippets = with_snippets
+        # always warm the part HANDLES (parquet footer + row-group term
+        # ranges): ~1 ms per part once per actor, vs paying it on the first
+        # query that touches each part (tail-latency noise)
+        for part in range(self.searcher.num_parts):
+            self.searcher._part_handle(part)
         if prewarm_terms:
             # opt-in: on corpora with a small Zipfian vocabulary the top-df
             # postings are near-full doc lists and bulk-decoding them per
