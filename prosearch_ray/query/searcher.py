@@ -520,6 +520,163 @@ class IndexSearcher:
         top = scoring.top_k_indices(scores, ids, k)
         return ids[top], scores[top]
 
+    # ------------------------------------------------------------- raw syntax
+    def _match_terms_full(self, terms, boost: float = 1.0):
+        """Full (un-truncated) conjunctive match of a term list:
+        (sorted doc_ids, summed BM25 scores). Empty when any term is absent."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if not terms:
+            return empty
+        postings = self.fetch_postings(terms)
+        if any(t not in postings for t in terms):
+            return empty
+        order = sorted(terms, key=lambda t: len(postings[t].doc_ids))
+        cand = postings[order[0]].doc_ids
+        if len(self.tombstones):
+            cand = cand[~np.isin(cand, self.tombstones, assume_unique=True)]
+        for t in order[1:]:
+            cand = cand[np.isin(cand, postings[t].doc_ids, assume_unique=True)]
+            if len(cand) == 0:
+                return empty
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for t in terms:
+            tp = postings[t]
+            pos = np.searchsorted(tp.doc_ids, cand)
+            scores += self._term_scores(tp, pos, boost)
+        return cand, scores
+
+    def _match_phrase_full(self, text: str):
+        """Full phrase match: (sorted doc_ids, phrase BM25 scores)."""
+        from prosearch_ray.text.tokenizer import _EDGE_RE
+
+        tokens = [c.lower() for c in
+                  (_EDGE_RE.sub("", raw) for raw in text.split()) if c]
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if not tokens:
+            return empty
+        if len(tokens) == 1:
+            postings = self.fetch_postings(tokens)
+            tp = postings.get(tokens[0])
+            if tp is None:
+                return empty
+            mask = tp.tfs > 0
+            ids = tp.doc_ids[mask]
+            if len(self.tombstones):
+                ids = ids[~np.isin(ids, self.tombstones, assume_unique=True)]
+            if len(ids) == 0:
+                return empty
+            tfs = tp.tfs[np.searchsorted(tp.doc_ids, ids)]
+        else:
+            keys = self.fetch_position_keys(tokens)
+            if any(t not in keys for t in tokens):
+                return empty
+            occ = keys[tokens[0]]
+            for i, t in enumerate(tokens[1:], start=1):
+                target = occ + i
+                karr = keys[t]
+                idx = np.searchsorted(karr, target)
+                valid = idx < len(karr)
+                valid[valid] = karr[idx[valid]] == target[valid]
+                occ = occ[valid]
+                if len(occ) == 0:
+                    return empty
+            ids, tfs = np.unique(occ >> self._POS_SHIFT, return_counts=True)
+            if len(self.tombstones):
+                alive = ~np.isin(ids, self.tombstones, assume_unique=True)
+                ids, tfs = ids[alive], tfs[alive]
+            if len(ids) == 0:
+                return empty
+        df_p = len(ids)
+        scores = (scoring.idf([df_p], self.n_docs)[0]
+                  * scoring.tf_factor(tfs.astype(np.float64),
+                                      self.norm_body[ids], self.avgdl_body))
+        return ids, scores
+
+    _RAW_CLAUSE_RE = None  # compiled lazily (module import order)
+
+    @staticmethod
+    def parse_raw_query(query: str):
+        """Parse the raw-CLI syntax (tantivy QueryParser subset the
+        reference exposes via `tantivy search`, search.rs:41-42):
+        ``+term`` must, ``-term`` must-not, ``"a b"`` phrase, bare terms
+        should (OR).  Returns [(occur, kind, text)] with occur in
+        {'must','must_not','should'} and kind in {'term','phrase'}.  The
+        PRODUCT path neutralizes this syntax (serve.rs:270-299) — search()
+        keeps those semantics; search_raw() is the CLI-parity surface."""
+        import re
+
+        out = []
+        for m in re.finditer(r'([+-]?)("([^"]*)"|\S+)', query):
+            sign, body, quoted = m.group(1), m.group(2), m.group(3)
+            occur = {"+": "must", "-": "must_not"}.get(sign, "should")
+            if quoted is not None:
+                if quoted.strip():
+                    out.append((occur, "phrase", quoted))
+            else:
+                out.append((occur, "term", body))
+        return out
+
+    def search_raw(self, query: str, k: int = scoring.DEFAULT_K
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+        """Raw-syntax search: +must / -must_not / "phrase" / bare-OR, scored
+        by summed clause BM25 (boost set not applied — that is the serve
+        path's rewrite).  Returns (doc_ids, scores) rank-ordered; the live
+        match count lands in ``last_count``."""
+        from prosearch_ray.text.tokenizer import tokenize
+
+        self.last_count = 0
+        clauses = self.parse_raw_query(query)
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if not clauses:
+            return empty
+
+        def eval_clause(kind, text):
+            if kind == "phrase":
+                return self._match_phrase_full(text)
+            return self._match_terms_full(tokenize(text))
+
+        musts, shoulds, nots = [], [], []
+        for occur, kind, text in clauses:
+            if occur == "must_not":
+                nots.append(eval_clause(kind, text)[0])
+            elif occur == "must":
+                musts.append(eval_clause(kind, text))
+            else:
+                shoulds.append(eval_clause(kind, text))
+
+        if musts:
+            cand = musts[0][0]
+            for ids, _ in musts[1:]:
+                cand = cand[np.isin(cand, ids, assume_unique=True)]
+            if len(cand) == 0:
+                return empty
+            scores = np.zeros(len(cand), dtype=np.float64)
+            for ids, scs in musts + shoulds:
+                pos = np.searchsorted(ids, cand)
+                pos_c = np.minimum(pos, max(len(ids) - 1, 0))
+                hit = (len(ids) > 0) & (ids[pos_c] == cand) if len(ids) else                     np.zeros(len(cand), dtype=bool)
+                scores[hit] += scs[pos_c[hit]]
+        else:
+            if not shoulds:
+                return empty
+            all_ids = np.concatenate([ids for ids, _ in shoulds])
+            if len(all_ids) == 0:
+                return empty
+            cand = np.unique(all_ids)
+            scores = np.zeros(len(cand), dtype=np.float64)
+            for ids, scs in shoulds:
+                if len(ids):
+                    np.add.at(scores, np.searchsorted(cand, ids), scs)
+        for ids in nots:
+            if len(ids):
+                keep = ~np.isin(cand, ids, assume_unique=True)
+                cand, scores = cand[keep], scores[keep]
+        if len(cand) == 0:
+            return empty
+        self.last_count = len(cand)
+        top = scoring.top_k_indices(scores, cand, k)
+        return cand[top], scores[top]
+
     # -------------------------------------------------------------- documents
     def fetch_contents(self, doc_ids: np.ndarray) -> Dict[int, str]:
         """Stored-doc fetch for snippet generation (top-k only; the analog of

@@ -1,0 +1,79 @@
+"""Raw-CLI query syntax (tantivy QueryParser subset, search.rs:41-42):
++must / -must_not / "phrase" / bare-OR.  The product path neutralizes this
+syntax (serve.rs:270-299) — search() keeps AND semantics; search_raw() is the
+CLI-parity surface."""
+
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def raw_index(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    from prosearch_ray.index.build import build_index
+
+    docs = [
+        ("alpha beta gamma", "d0.txt"),
+        ("alpha delta", "d1.txt"),
+        ("beta delta", "d2.txt"),
+        ("gamma epsilon", "d3.txt"),
+        ("alpha beta exact phrase here", "d4.txt"),
+        ("phrase exact reversed", "d5.txt"),
+    ]
+    corpus = pa.table({
+        "repo": ["r/raw"] * len(docs),
+        "path": [p for _, p in docs],
+        "commit": ["a" * 40] * len(docs),
+        "lang": ["txt"] * len(docs),
+        "content": [c for c, _ in docs],
+    })
+    idx = str(tmp_path_factory.mktemp("rawidx") / "idx")
+    build_index(rd.from_arrow(corpus), idx, docs_per_bucket=4,
+                n_input_estimate=len(docs))
+    from prosearch_ray.query.searcher import IndexSearcher
+    return IndexSearcher(idx)
+
+
+def _paths(s, ids):
+    return {str(s.doc_keys[int(d)]).rsplit("/", 1)[1] for d in ids}
+
+
+def test_parse_raw_query():
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    got = IndexSearcher.parse_raw_query('+must -not "a phrase" bare')
+    assert got == [("must", "term", "must"), ("must_not", "term", "not"),
+                   ("should", "phrase", "a phrase"), ("should", "term", "bare")]
+
+
+def test_bare_terms_are_or(raw_index):
+    ids, scores = raw_index.search_raw("alpha epsilon", 10)
+    assert _paths(raw_index, ids) == {"d0.txt", "d1.txt", "d3.txt", "d4.txt"}
+    assert raw_index.last_count == 4
+    # product-path search() is conjunctive: no doc has both
+    ids_and, _ = raw_index.search("alpha epsilon", 10)
+    assert len(ids_and) == 0
+
+
+def test_must_and_must_not(raw_index):
+    ids, _ = raw_index.search_raw("+alpha -beta", 10)
+    assert _paths(raw_index, ids) == {"d1.txt"}
+    ids2, _ = raw_index.search_raw("+alpha +beta", 10)
+    assert _paths(raw_index, ids2) == {"d0.txt", "d4.txt"}
+
+
+def test_phrase_clause(raw_index):
+    ids, _ = raw_index.search_raw('"exact phrase"', 10)
+    assert _paths(raw_index, ids) == {"d4.txt"}
+    ids2, _ = raw_index.search_raw('-"exact phrase" phrase', 10)
+    assert _paths(raw_index, ids2) == {"d5.txt"}
+
+
+def test_should_scores_boost_musts(raw_index):
+    # d0 matches must(alpha)+should(beta); d1 matches must(alpha) only ->
+    # d0 must rank first
+    ids, scores = raw_index.search_raw("+alpha beta", 10)
+    assert _paths(raw_index, ids) >= {"d0.txt", "d1.txt", "d4.txt"}
+    first = str(raw_index.doc_keys[int(ids[0])])
+    assert first.endswith(("d0.txt", "d4.txt"))

@@ -134,3 +134,40 @@ def test_serp_total_hit_count(tiny_index, tiny_oracle):
         # count is the FULL match count even when k truncates the hits
         full_ids, _ = s.search(q, 10_000_000)
         assert out["count"] == len(full_ids), q
+
+
+def test_html_search_page(tiny_index):
+    """Server-rendered SERP mirrors SearchPage.java:92-156: form, latency
+    line, linked h3 title + span url + snippet div per hit, stats link."""
+    from prosearch_ray.query.pages import render_search_page
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    index_dir, _ = tiny_index
+    s = IndexSearcher(index_dir)
+    landing = render_search_page(s)
+    assert landing.startswith("<!DOCTYPE html>")
+    assert "<form method=\"GET\"" in landing
+    assert "Search latency" not in landing  # blank query -> no results block
+
+    page = render_search_page(s, "merge hash", 3)
+    assert "Search latency:" in page
+    assert "<section>" in page and "<h3>" in page and "<span>" in page
+    assert "documents matched" in page
+    assert "href=\"/stats/\"" in page
+
+    none = render_search_page(s, "zzznohit", 3)
+    assert "Sorry, no search results found!" in none
+
+    # query text is HTML-escaped into the form value
+    xss = render_search_page(s, "\"><script>alert(1)</script>")
+    assert "<script>" not in xss
+
+
+def test_html_stats_page():
+    from prosearch_ray.query.pages import render_stats_page
+
+    page = render_stats_page([("example.com", 12, 4096), ("b.org", 1, 10)])
+    assert "<table>" in page
+    assert "<td>example.com</td>" in page
+    assert "<td>12</td>" in page
+    assert "4096 bytes" in page or "4.0 KiB" in page or "kB" in page
