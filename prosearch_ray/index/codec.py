@@ -34,23 +34,39 @@ __all__ = [
 _MAX_GROUPS = 10  # ceil(64 / 7)
 
 
+def _varint_lengths(vals: np.ndarray) -> np.ndarray:
+    """Per-value encoded byte length via 9 vectorized compares — no dense
+    (n, 10) group matrix."""
+    n = np.ones(len(vals), dtype=np.int64)
+    for k in range(1, _MAX_GROUPS):
+        thresh = np.uint64(1) << np.uint64(7 * k)
+        n += (vals >= thresh).astype(np.int64)
+    return n
+
+
+def _encode_varints_with_lens(vals: np.ndarray):
+    """(encoded bytes, per-value byte lengths) in one pass: fill the output
+    byte-position by byte-position (iterations = max encoded length, each
+    over a shrinking subset) instead of materializing an (n, 10) matrix."""
+    blens = _varint_lengths(vals)
+    ends = np.cumsum(blens)
+    starts = ends - blens
+    out = np.empty(int(ends[-1]) if len(ends) else 0, dtype=np.uint8)
+    for g in range(int(blens.max()) if len(blens) else 0):
+        mask = blens > g
+        idx = starts[mask] + g
+        b = ((vals[mask] >> np.uint64(7 * g)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (blens[mask] - 1 > g).astype(np.uint8)
+        out[idx] = b | (cont << 7)
+    return out.tobytes(), blens
+
+
 def encode_varints(values) -> bytes:
     """LEB128-encode a uint64 array into one byte string (vectorized)."""
     vals = np.asarray(values, dtype=np.uint64)
-    n = len(vals)
-    if n == 0:
+    if len(vals) == 0:
         return b""
-    # 7-bit groups, little-endian group order: shape (n, 10)
-    shifts = (np.arange(_MAX_GROUPS, dtype=np.uint64) * np.uint64(7))
-    groups = (vals[:, None] >> shifts[None, :]) & np.uint64(0x7F)
-    # groups needed per value = 1 + index of highest nonzero group (min 1)
-    nonzero = groups != 0
-    highest = _MAX_GROUPS - np.argmax(nonzero[:, ::-1], axis=1)
-    ngroups = np.where(nonzero.any(axis=1), highest, 1)
-    keep = np.arange(_MAX_GROUPS)[None, :] < ngroups[:, None]
-    cont = np.arange(_MAX_GROUPS)[None, :] < (ngroups - 1)[:, None]
-    out = (groups | (cont * np.uint64(0x80))).astype(np.uint8)
-    return out[keep].tobytes()
+    return _encode_varints_with_lens(vals)[0]
 
 
 def decode_varints(buf: bytes) -> np.ndarray:
@@ -109,17 +125,6 @@ def decode_deltas(buf: bytes) -> np.ndarray:
     return np.cumsum(gaps, dtype=np.uint64)
 
 
-def _varint_byte_lengths(vals: np.ndarray) -> np.ndarray:
-    """Per-value encoded byte length (vectorized)."""
-    if len(vals) == 0:
-        return np.empty(0, dtype=np.int64)
-    shifts = (np.arange(_MAX_GROUPS, dtype=np.uint64) * np.uint64(7))
-    groups = (vals[:, None] >> shifts[None, :]) & np.uint64(0x7F)
-    nonzero = groups != 0
-    highest = _MAX_GROUPS - np.argmax(nonzero[:, ::-1], axis=1)
-    return np.where(nonzero.any(axis=1), highest, 1).astype(np.int64)
-
-
 def encode_varints_grouped(values: np.ndarray, group_lengths: np.ndarray):
     """Encode a concatenation of groups in ONE vectorized pass and return the
     per-group byte strings.  Equivalent to
@@ -128,8 +133,9 @@ def encode_varints_grouped(values: np.ndarray, group_lengths: np.ndarray):
     """
     vals = np.asarray(values, dtype=np.uint64)
     glens = np.asarray(group_lengths, dtype=np.int64)
-    buf = encode_varints(vals)
-    blens = _varint_byte_lengths(vals)
+    if len(vals) == 0:
+        return [b""] * len(glens)
+    buf, blens = _encode_varints_with_lens(vals)
     ends = np.cumsum(blens)
     val_ends = np.cumsum(glens)
     byte_ends = np.concatenate(([0], ends))[val_ends]
