@@ -471,29 +471,142 @@ def _fingerprint(staged_path: str, n_docs: int) -> str:
     return f"{n_docs}:{os.path.getsize(staged_path)}"
 
 
-def _merge_writer(index_dir: str):
-    """groupby(part).map_groups body: one term-hash partition -> final
-    postings file (all of a term's bucket segments, (term, bucket)-sorted,
-    small row groups for point lookups) + its dict shard (df totals,
-    computed in-task — no separate dict pass)."""
-    def fn(group: pa.Table) -> pa.Table:
-        part = int(group.column("part")[0].as_py())
-        tbl = group.drop_columns(["part"]).sort_by(
-            [("term", "ascending"), ("bucket", "ascending")])
-        name = f"part={part:05d}.parquet"
-        pbytes = _atomic_write_table(
-            tbl, os.path.join(index_dir, "postings", name),
-            row_group_size=layout.POSTINGS_ROW_GROUP)
-        d = pa.TableGroupBy(
-            tbl.select(["term", "df", "df_title", "df_body"]), "term"
-        ).aggregate([("df", "sum"), ("df_title", "sum"), ("df_body", "sum")])
-        d = d.rename_columns(["term", "df", "df_title", "df_body"]).sort_by("term")
-        _atomic_write_table(d, os.path.join(index_dir, "dict", name))
-        return pa.table({"part": pa.array([part], pa.int32()),
-                         "n_rows": pa.array([tbl.num_rows], pa.int64()),
-                         "n_terms": pa.array([d.num_rows], pa.int64()),
-                         "bytes": pa.array([pbytes], pa.int64())})
+def _write_one_part(index_dir: str, part: int, tbl: pa.Table) -> int:
+    """Write one term-hash partition: final postings file (all of a term's
+    bucket segments, (term, bucket)-sorted, small row groups for point
+    lookups) + its dict shard (df totals, computed in-task — no separate
+    dict pass).  Returns the part's distinct-term count."""
+    tbl = tbl.sort_by([("term", "ascending"), ("bucket", "ascending")])
+    name = f"part={part:05d}.parquet"
+    _atomic_write_table(tbl, os.path.join(index_dir, "postings", name),
+                        row_group_size=layout.POSTINGS_ROW_GROUP)
+    d = pa.TableGroupBy(
+        tbl.select(["term", "df", "df_title", "df_body"]), "term"
+    ).aggregate([("df", "sum"), ("df_title", "sum"), ("df_body", "sum")])
+    d = d.rename_columns(["term", "df", "df_title", "df_body"]).sort_by("term")
+    _atomic_write_table(d, os.path.join(index_dir, "dict", name))
+    return d.num_rows
+
+
+def _merge_map_fn(spill_dir: str, num_parts: int, n_red: int):
+    from prosearch_ray.index.segment import SCORING_COLUMNS
+
+    add_part = layout.add_part_column(num_parts)
+
+    def fn(it: dict) -> dict:
+        item = int(it["item"])
+        marker = os.path.join(spill_dir, "_done", f"item={item:06d}.json")
+        fp = it["fp"]
+        if os.path.exists(marker):
+            try:
+                if json.load(open(marker)).get("fp") == fp:
+                    return {"item": item, "skipped": True}
+            except (ValueError, OSError):
+                pass
+        tbl = pa.concat_tables([pq.read_table(p, columns=SCORING_COLUMNS)
+                                for p in it["files"]])
+        tbl = add_part(tbl)
+        pg = (tbl.column("part").to_numpy() % n_red).astype(np.int64)
+        order = np.argsort(pg, kind="stable")
+        sorted_tbl = tbl.take(pa.array(order, pa.int64()))
+        pg_sorted = pg[order]
+        bounds = np.flatnonzero(np.diff(pg_sorted)) + 1
+        for s, e in zip(np.concatenate(([0], bounds)),
+                        np.concatenate((bounds, [len(pg_sorted)]))):
+            if s == e:
+                continue
+            g = int(pg_sorted[s])
+            gdir = os.path.join(spill_dir, f"g={g:04d}")
+            os.makedirs(gdir, exist_ok=True)
+            _atomic_write_table(sorted_tbl.slice(s, e - s),
+                                os.path.join(gdir, f"item={item:06d}.parquet"))
+        _atomic_write_json({"fp": fp}, marker)
+        return {"item": item, "skipped": False}
     return fn
+
+
+def _merge_reduce_fn(index_dir: str, spill_dir: str):
+    def fn(it: dict) -> list:
+        g = int(it["g"])
+        marker = os.path.join(spill_dir, "_done", f"group={g:04d}.json")
+        if os.path.exists(marker):
+            try:
+                return json.load(open(marker))["parts"]
+            except (ValueError, OSError, KeyError):
+                pass
+        gdir = os.path.join(spill_dir, f"g={g:04d}")
+        if not os.path.isdir(gdir):
+            _atomic_write_json({"parts": []}, marker)
+            return []
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(
+            [os.path.join(gdir, f) for f in sorted(os.listdir(gdir))
+             if f.endswith(".parquet")]).to_table()
+        tbl = tbl.sort_by([("part", "ascending")])
+        parts = tbl.column("part").to_numpy()
+        bounds = np.flatnonzero(np.diff(parts)) + 1
+        out = []
+        for s, e in zip(np.concatenate(([0], bounds)),
+                        np.concatenate((bounds, [len(parts)]))):
+            part = int(parts[s])
+            n_terms = _write_one_part(index_dir, part,
+                                      tbl.slice(s, e - s).drop_columns(["part"]))
+            out.append({"part": part, "n_terms": int(n_terms)})
+        _atomic_write_json({"parts": out}, marker)
+        return out
+    return fn
+
+
+def _run_merge(index_dir: str, num_parts: int, merge_fp: str) -> list:
+    """Term-partitioned merge as a resumable spill exchange (same pattern as
+    stage A): map tasks read segment-file spans and spill rows partitioned
+    by reducer group (part % n_red); reduce tasks write the final postings +
+    dict shards, one file per part.  Returns [{part, n_terms}].  Replaces a
+    Ray sort shuffle whose all-to-all materialization dominated merge wall
+    time; done-markers make a killed merge resume at item/part-group
+    granularity.  Caller removes the spill dir after recording _merge.json.
+    """
+    seg_dir = os.path.join(index_dir, "segments")
+    files = [os.path.join(seg_dir, f) for f in sorted(os.listdir(seg_dir))
+             if f.endswith(".parquet")]
+    if not files:
+        return []
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    n_items = min(len(files), 4 * ncpu)
+    spans = np.array_split(np.array(files, dtype=object), n_items)
+    items = []
+    for i, span in enumerate(spans):
+        fl = [str(p) for p in span]
+        if not fl:
+            continue
+        sizes = ",".join(str(os.path.getsize(p)) for p in fl)
+        items.append({"item": i, "files": fl,
+                      "fp": f"{merge_fp}:{len(fl)}:{sizes}"})
+    n_red = int(max(1, min(num_parts, 2 * ncpu)))
+
+    spill_dir = os.path.join(index_dir, "merge_spill")
+    cfg_path = os.path.join(spill_dir, "_config.json")
+    config = {"merge_fp": merge_fp, "n_red": n_red,
+              "plan": [it["fp"] for it in items]}
+    stale = True
+    if os.path.exists(cfg_path):
+        try:
+            stale = json.load(open(cfg_path)) != config
+        except (ValueError, OSError):
+            pass
+    if stale:
+        import shutil
+        shutil.rmtree(spill_dir, ignore_errors=True)
+    os.makedirs(os.path.join(spill_dir, "_done"), exist_ok=True)
+    if stale:
+        _atomic_write_json(config, cfg_path)
+
+    ray.data.from_items(items).map(
+        _merge_map_fn(spill_dir, num_parts, n_red)).materialize()
+    return ray.data.from_items(
+        [{"g": g} for g in range(n_red)]).flat_map(
+        _merge_reduce_fn(index_dir, spill_dir)).take_all()
 
 
 def build_index(
@@ -652,15 +765,9 @@ def build_index(
     t0 = time.perf_counter()
     if merge_state is None and manifests:
         # positions stay per-bucket in segments/ (they are phrase-only
-        # payload); pruning the column here keeps position bytes out of the
-        # merge shuffle entirely
-        from prosearch_ray.index.segment import SCORING_COLUMNS
-        seg_ds = ray.data.read_parquet(os.path.join(index_dir, "segments"),
-                                       columns=SCORING_COLUMNS)
-        part_rows = seg_ds.map_batches(
-            layout.add_part_column(num_parts), batch_format="pyarrow"
-        ).groupby("part").map_groups(
-            _merge_writer(index_dir), batch_format="pyarrow").take_all()
+        # payload); the merge exchange reads only SCORING_COLUMNS so
+        # position bytes never move
+        part_rows = _run_merge(index_dir, num_parts, merge_fp)
         n_terms = int(sum(r["n_terms"] for r in part_rows))
         # drop stale part files from an earlier layout
         live = {f"part={int(r['part']):05d}.parquet" for r in part_rows}
@@ -671,6 +778,9 @@ def build_index(
         merge_state = {"fingerprint": merge_fp, "num_parts": num_parts,
                        "n_terms": n_terms}
         _atomic_write_json(merge_state, merge_path)
+        import shutil
+        shutil.rmtree(os.path.join(index_dir, "merge_spill"),
+                      ignore_errors=True)
         merged = True
     else:
         n_terms = int(merge_state["n_terms"]) if merge_state else 0

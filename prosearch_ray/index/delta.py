@@ -187,7 +187,7 @@ def _refresh_merge_and_stats(index_dir: str, stats: dict, added: int) -> dict:
     import hashlib as _hashlib
 
     from prosearch_ray.index import layout
-    from prosearch_ray.index.build import _merge_writer
+    from prosearch_ray.index.build import _run_merge
 
     manifest_dir = os.path.join(index_dir, "manifest")
     manifests = [json.load(open(os.path.join(manifest_dir, f)))
@@ -198,13 +198,7 @@ def _refresh_merge_and_stats(index_dir: str, stats: dict, added: int) -> dict:
         [(m["bucket"], m["fingerprint"], m["n_terms"]) for m in manifests]
         + [num_parts]).encode()).hexdigest()
 
-    from prosearch_ray.index.segment import SCORING_COLUMNS
-    seg_ds = ray.data.read_parquet(os.path.join(index_dir, "segments"),
-                                   columns=SCORING_COLUMNS)
-    part_rows = seg_ds.map_batches(
-        layout.add_part_column(num_parts), batch_format="pyarrow"
-    ).groupby("part").map_groups(
-        _merge_writer(index_dir), batch_format="pyarrow").take_all()
+    part_rows = _run_merge(index_dir, num_parts, merge_fp)
     n_terms = int(sum(r["n_terms"] for r in part_rows))
     live = {f"part={int(r['part']):05d}.parquet" for r in part_rows}
     for sub in ("postings", "dict"):
@@ -214,6 +208,8 @@ def _refresh_merge_and_stats(index_dir: str, stats: dict, added: int) -> dict:
     _atomic_write_json({"fingerprint": merge_fp, "num_parts": num_parts,
                         "n_terms": n_terms},
                        os.path.join(index_dir, "_merge.json"))
+    import shutil
+    shutil.rmtree(os.path.join(index_dir, "merge_spill"), ignore_errors=True)
 
     n_docs = sum(m["n_docs"] for m in manifests)
     total_lt = sum(m["sum_len_title"] for m in manifests)
