@@ -404,10 +404,26 @@ def _content_dedup_fixup(staged_dir: str, counts: Dict[int, int],
     losers_by_bucket: Dict[int, set] = {}
     if n_total <= driver_threshold:
         tbl = pads.dataset(paths).to_table(columns=["doc_key", "sha_hex", "bucket"])
-        losers_by_bucket = _dup_losers_from_keys(
-            zip(tbl.column("doc_key").to_pylist(),
-                tbl.column("sha_hex").to_pylist(),
-                tbl.column("bucket").to_pylist()))
+        # duplicated shas first (hash-based value_counts — no global string
+        # sort), then min-key-per-sha over only the duplicated rows
+        vc = pc.value_counts(tbl.column("sha_hex"))
+        dup_shas = vc.field("values").filter(pc.greater(vc.field("counts"), 1))
+        if len(dup_shas):
+            sub = tbl.filter(pc.is_in(tbl.column("sha_hex"),
+                                      value_set=dup_shas))
+            st = sub.take(pc.sort_indices(
+                sub, sort_keys=[("sha_hex", "ascending"),
+                                ("doc_key", "ascending")]))
+            n = st.num_rows
+            sha = st.column("sha_hex").combine_chunks()
+            dup = np.zeros(n, dtype=bool)
+            dup[1:] = pc.equal(sha.slice(1), sha.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False)
+            lk = st.column("doc_key").take(
+                pa.array(np.flatnonzero(dup), pa.int64())).to_pylist()
+            lb = st.column("bucket").to_numpy()[dup]
+            for b, k in zip(lb, lk):
+                losers_by_bucket.setdefault(int(b), set()).add(k)
     else:
         keys_ds = ray.data.read_parquet(staged_dir,
                                         columns=["doc_key", "sha_hex", "bucket"])
