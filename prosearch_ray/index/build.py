@@ -792,7 +792,11 @@ def build_index(
                 if f.endswith(".parquet") and f not in live:
                     os.remove(os.path.join(index_dir, sub, f))
         merge_state = {"fingerprint": merge_fp, "num_parts": num_parts,
-                       "n_terms": n_terms}
+                       "n_terms": n_terms,
+                       # per-part term counts enable the delta path's
+                       # INCREMENTAL merge (rewrite only affected parts)
+                       "parts": {str(int(r["part"])): int(r["n_terms"])
+                                 for r in part_rows}}
         _atomic_write_json(merge_state, merge_path)
         import shutil
         shutil.rmtree(os.path.join(index_dir, "merge_spill"),

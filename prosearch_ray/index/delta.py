@@ -175,41 +175,118 @@ def add_documents(index_dir: str, source, *, langs=DEFAULT_LANGS,
     _atomic_write_json(off, os.path.join(index_dir, "staged", "_offsets.json"))
 
     # re-merge postings/dict + refresh stats (segments are reused as-is)
-    report = _refresh_merge_and_stats(index_dir, stats, added)
+    new_buckets = [next_bucket + i for i in range(chunk_idx)]
+    report = _refresh_merge_and_stats(index_dir, stats, added, new_buckets)
     return {"added": added, "tombstoned": tombstoned, **report}
 
 
-def _refresh_merge_and_stats(index_dir: str, stats: dict, added: int) -> dict:
-    """Rebuild the merged postings/dict from ALL segments and refresh
-    stats.json (N, avgdl include delta docs; tombstoned docs still count in
-    corpus stats until compaction, matching tantivy's deleted-doc
-    accounting)."""
+def _incremental_part_merge(index_dir: str, num_parts: int,
+                            new_buckets: List[int], old_parts: dict) -> dict:
+    """Tiered delta merge: fold ONLY this delta's segment rows into the
+    part files they touch (read old part + delta rows, resort, rewrite) —
+    cost proportional to the delta, not the index.  Returns the updated
+    {part: n_terms} map."""
+    import pyarrow.dataset as pads
+
+    from prosearch_ray.index import layout
+    from prosearch_ray.index.build import _write_one_part
+    from prosearch_ray.index.segment import SCORING_COLUMNS
+    from prosearch_ray.state.broadcast import bget, bput
+
+    files = [os.path.join(index_dir, "segments", f"bucket={b:08d}.parquet")
+             for b in new_buckets]
+    tbl = pads.dataset(files).to_table(columns=SCORING_COLUMNS)
+    tbl = layout.add_part_column(num_parts)(tbl)
+    parts = tbl.column("part").to_numpy()
+    order = np.argsort(parts, kind="stable")
+    st = tbl.take(pa.array(order, pa.int64()))
+    ps = parts[order]
+    bounds = np.flatnonzero(np.diff(ps)) + 1
+    by_part = {}
+    for s, e in zip(np.concatenate(([0], bounds)),
+                    np.concatenate((bounds, [len(ps)]))):
+        by_part[int(ps[s])] = st.slice(s, e - s).drop_columns(["part"])
+    ref = bput(by_part)
+
+    def fold(it: dict) -> dict:
+        d = bget(ref)
+        part = int(it["part"])
+        path = os.path.join(index_dir, "postings", f"part={part:05d}.parquet")
+        pieces = [d[part]]
+        if os.path.exists(path):
+            pieces.insert(0, pq.read_table(path))
+        merged = pa.concat_tables(pieces, promote_options="default")
+        return {"part": part,
+                "n_terms": int(_write_one_part(index_dir, part, merged))}
+
+    rows = ray.data.from_items(
+        [{"part": p} for p in sorted(by_part)]).map(fold).take_all()
+    parts_map = {str(k): int(v) for k, v in old_parts.items()}
+    for r in rows:
+        parts_map[str(int(r["part"]))] = int(r["n_terms"])
+    return parts_map
+
+
+def _refresh_merge_and_stats(index_dir: str, stats: dict, added: int,
+                             new_buckets: List[int]) -> dict:
+    """Fold this delta into the merged postings/dict and refresh stats.json
+    (N, avgdl include delta docs; tombstoned docs still count in corpus
+    stats until compaction, matching tantivy's deleted-doc accounting).
+
+    Incremental when possible: if the existing _merge.json provably covers
+    all pre-delta segments at the same part count, only the parts touched by
+    the delta's terms are rewritten; otherwise a full resumable merge runs
+    (e.g. num_parts crossed a sizing threshold, or a pre-parts-map index)."""
     import hashlib as _hashlib
 
     from prosearch_ray.index import layout
     from prosearch_ray.index.build import _run_merge
+
+    def fp_of(ms, nparts):
+        return _hashlib.md5(json.dumps(
+            [(m["bucket"], m["fingerprint"], m["n_terms"]) for m in ms]
+            + [nparts]).encode()).hexdigest()
 
     manifest_dir = os.path.join(index_dir, "manifest")
     manifests = [json.load(open(os.path.join(manifest_dir, f)))
                  for f in sorted(os.listdir(manifest_dir)) if f.endswith(".json")]
     total_seg_rows = sum(m["n_terms"] for m in manifests)
     num_parts = layout.num_parts_for(total_seg_rows)
-    merge_fp = _hashlib.md5(json.dumps(
-        [(m["bucket"], m["fingerprint"], m["n_terms"]) for m in manifests]
-        + [num_parts]).encode()).hexdigest()
+    merge_fp = fp_of(manifests, num_parts)
 
-    part_rows = _run_merge(index_dir, num_parts, merge_fp)
-    n_terms = int(sum(r["n_terms"] for r in part_rows))
-    live = {f"part={int(r['part']):05d}.parquet" for r in part_rows}
-    for sub in ("postings", "dict"):
-        for f in os.listdir(os.path.join(index_dir, sub)):
-            if f.endswith(".parquet") and f not in live:
-                os.remove(os.path.join(index_dir, sub, f))
+    merge_path = os.path.join(index_dir, "_merge.json")
+    old = None
+    if os.path.exists(merge_path):
+        try:
+            old = json.load(open(merge_path))
+        except (ValueError, OSError):
+            pass
+    new_set = set(new_buckets)
+    incremental = (
+        old is not None and "parts" in old
+        and old.get("num_parts") == num_parts
+        and old.get("fingerprint") == fp_of(
+            [m for m in manifests if m["bucket"] not in new_set], num_parts)
+    )
+    if incremental:
+        parts_map = _incremental_part_merge(index_dir, num_parts,
+                                            sorted(new_set), old["parts"])
+    else:
+        part_rows = _run_merge(index_dir, num_parts, merge_fp)
+        parts_map = {str(int(r["part"])): int(r["n_terms"])
+                     for r in part_rows}
+        live = {f"part={int(p):05d}.parquet" for p in
+                (int(k) for k in parts_map)}
+        for sub in ("postings", "dict"):
+            for f in os.listdir(os.path.join(index_dir, sub)):
+                if f.endswith(".parquet") and f not in live:
+                    os.remove(os.path.join(index_dir, sub, f))
+        import shutil
+        shutil.rmtree(os.path.join(index_dir, "merge_spill"),
+                      ignore_errors=True)
+    n_terms = int(sum(parts_map.values()))
     _atomic_write_json({"fingerprint": merge_fp, "num_parts": num_parts,
-                        "n_terms": n_terms},
-                       os.path.join(index_dir, "_merge.json"))
-    import shutil
-    shutil.rmtree(os.path.join(index_dir, "merge_spill"), ignore_errors=True)
+                        "n_terms": n_terms, "parts": parts_map}, merge_path)
 
     n_docs = sum(m["n_docs"] for m in manifests)
     total_lt = sum(m["sum_len_title"] for m in manifests)

@@ -177,3 +177,42 @@ def test_compact_drops_tombstones(small_index, tmp_path):
     assert len(s.tombstones) == 0
     hits = _hit_keys(out, "the")
     assert not (set(victims) & set(hits))
+
+
+def test_delta_merge_is_incremental(small_index):
+    """A small delta must rewrite only the postings parts its terms hash to —
+    unaffected part files stay byte-untouched (tiered merge, not a full
+    re-merge)."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    from prosearch_ray.index.delta import add_documents
+
+    index_dir, report, _ = small_index
+    pdir = os.path.join(index_dir, "postings")
+    before = {f: os.path.getmtime(os.path.join(pdir, f))
+              for f in os.listdir(pdir) if f.endswith(".parquet")}
+    assert len(before) > 4, "need several parts to make the test meaningful"
+
+    delta = pa.table({
+        "repo": ["deltaorg/deltarepo"],
+        "path": ["src/tiny.py"],
+        "commit": ["f" * 40],
+        "lang": ["py"],
+        "content": ["qqincremental merge probe"],
+    })
+    res = add_documents(index_dir, rd.from_arrow(delta))
+    assert res["added"] == 1
+
+    after = {f: os.path.getmtime(os.path.join(pdir, f))
+             for f in os.listdir(pdir) if f.endswith(".parquet")}
+    changed = {f for f in before if after.get(f) != before[f]}
+    # the delta has ~5 distinct terms -> at most a handful of parts touched
+    assert changed, "delta must rewrite the parts its terms hash to"
+    assert len(changed) < len(before), \
+        f"full re-merge detected: all {len(before)} parts rewritten"
+    # merge bookkeeping stays consistent
+    ms = json.load(open(os.path.join(index_dir, "_merge.json")))
+    assert ms["n_terms"] == sum(ms["parts"].values())
