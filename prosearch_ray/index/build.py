@@ -487,21 +487,51 @@ def _fingerprint(staged_path: str, n_docs: int) -> str:
     return f"{n_docs}:{os.path.getsize(staged_path)}"
 
 
+def _part_row_group_bounds(v4: pa.Table) -> list:
+    """Byte-bounded row-group split points for a consolidated part table:
+    groups close at ~PART_ROW_GROUP_BYTES of posting payload (or the row
+    cap), so a term point-read never decompresses a hot neighbour's MBs."""
+    n = v4.num_rows
+    sizes = np.zeros(n, dtype=np.int64)
+    for c in ("doc_ids", "tfs", "title_flags"):
+        arr = v4.column(c).combine_chunks()
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                             count=len(arr) + 1, offset=arr.offset * 8)
+        sizes += np.diff(offs)
+    cum = np.cumsum(sizes)
+    bounds, start = [0], 0
+    while bounds[-1] < n:
+        base = cum[start - 1] if start else 0
+        nxt = int(np.searchsorted(cum, base + layout.PART_ROW_GROUP_BYTES,
+                                  side="left")) + 1
+        nxt = min(n, max(start + 1, nxt), start + layout.PART_ROW_GROUP_ROWS)
+        bounds.append(nxt)
+        start = nxt
+    return bounds
+
+
 def _write_one_part(index_dir: str, part: int, tbl: pa.Table) -> int:
-    """Write one term-hash partition: final postings file (all of a term's
-    bucket segments, (term, bucket)-sorted, small row groups for point
-    lookups) + its dict shard (df totals, computed in-task — no separate
-    dict pass).  Returns the part's distinct-term count."""
+    """Write one term-hash partition: consolidated per-term postings file
+    (format v4 — each term ONE row, its bucket segments' blobs concatenated
+    in bucket order) + its dict shard (df totals fall out of consolidation —
+    no separate dict pass).  Returns the part's distinct-term count."""
     tbl = tbl.sort_by([("term", "ascending"), ("bucket", "ascending")])
+    v4 = layout.consolidate_part_rows(layout.segments_to_part_rows(tbl))
+    return _write_part_files(index_dir, part, v4)
+
+
+def _write_part_files(index_dir: str, part: int, v4: pa.Table) -> int:
     name = f"part={part:05d}.parquet"
-    _atomic_write_table(tbl, os.path.join(index_dir, "postings", name),
-                        row_group_size=layout.POSTINGS_ROW_GROUP)
-    d = pa.TableGroupBy(
-        tbl.select(["term", "df", "df_title", "df_body"]), "term"
-    ).aggregate([("df", "sum"), ("df_title", "sum"), ("df_body", "sum")])
-    d = d.rename_columns(["term", "df", "df_title", "df_body"]).sort_by("term")
+    path = os.path.join(index_dir, "postings", name)
+    bounds = _part_row_group_bounds(v4)
+    tmp = path + ".tmp"
+    with pq.ParquetWriter(tmp, v4.schema) as w:
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            w.write_table(v4.slice(s, e - s))
+    os.replace(tmp, path)
+    d = v4.select(["term", "df", "df_title", "df_body"])
     _atomic_write_table(d, os.path.join(index_dir, "dict", name))
-    return d.num_rows
+    return v4.num_rows
 
 
 def _merge_map_fn(spill_dir: str, num_parts: int, n_red: int):
@@ -765,9 +795,11 @@ def build_index(
 
     total_seg_rows = sum(m["n_terms"] for m in manifests)
     num_parts = layout.num_parts_for(total_seg_rows)
+    # v4 in the fingerprint: a resume over a pre-v4 index re-merges (the
+    # segments are format-compatible; only the part files change shape)
     merge_fp = hashlib.md5(json.dumps(
         [(m["bucket"], m["fingerprint"], m["n_terms"]) for m in manifests]
-        + [num_parts]).encode()).hexdigest()
+        + [num_parts, "v4"]).encode()).hexdigest()
     merge_path = os.path.join(index_dir, "_merge.json")
     merge_state = None
     if resume and os.path.exists(merge_path):
@@ -818,7 +850,7 @@ def build_index(
         "n_terms": n_terms,
         "num_parts": num_parts,
         "langs": sorted(langs),
-        "format_version": 3,  # 3 = body positions column
+        "format_version": 4,  # 4 = consolidated per-term posting rows
     }
     _atomic_write_json(stats, os.path.join(index_dir, "stats.json"))
 

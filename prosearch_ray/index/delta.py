@@ -189,7 +189,7 @@ def _incremental_part_merge(index_dir: str, num_parts: int,
     import pyarrow.dataset as pads
 
     from prosearch_ray.index import layout
-    from prosearch_ray.index.build import _write_one_part
+    from prosearch_ray.index.build import _write_part_files
     from prosearch_ray.index.segment import SCORING_COLUMNS
     from prosearch_ray.state.broadcast import bget, bput
 
@@ -212,12 +212,25 @@ def _incremental_part_merge(index_dir: str, num_parts: int,
         d = bget(ref)
         part = int(it["part"])
         path = os.path.join(index_dir, "postings", f"part={part:05d}.parquet")
-        pieces = [d[part]]
+        # delta segment rows, consolidated to one v4 row per term
+        seg = d[part].sort_by([("term", "ascending"), ("bucket", "ascending")])
+        delta_v4 = layout.consolidate_part_rows(
+            layout.segments_to_part_rows(seg))
+        pieces = [delta_v4]
         if os.path.exists(path):
             pieces.insert(0, pq.read_table(path))
         merged = pa.concat_tables(pieces, promote_options="default")
+        # stable order: existing consolidated row first, then the delta's
+        # (delta buckets are strictly larger, keeping doc_ids ascending)
+        rank = pa.array(np.concatenate(
+            [np.full(p.num_rows, i, np.int8) for i, p in enumerate(pieces)]),
+            pa.int8())
+        merged = merged.append_column("rank", rank).sort_by(
+            [("term", "ascending"), ("rank", "ascending")]
+        ).drop_columns(["rank"])
+        v4 = layout.consolidate_part_rows(merged)
         return {"part": part,
-                "n_terms": int(_write_one_part(index_dir, part, merged))}
+                "n_terms": int(_write_part_files(index_dir, part, v4))}
 
     rows = ray.data.from_items(
         [{"part": p} for p in sorted(by_part)]).map(fold).take_all()
@@ -243,9 +256,11 @@ def _refresh_merge_and_stats(index_dir: str, stats: dict, added: int,
     from prosearch_ray.index.build import _run_merge
 
     def fp_of(ms, nparts):
+        # must stay in lockstep with build_index's merge_fp (incl. the "v4"
+        # format stamp) — a mismatch silently forces full re-merges
         return _hashlib.md5(json.dumps(
             [(m["bucket"], m["fingerprint"], m["n_terms"]) for m in ms]
-            + [nparts]).encode()).hexdigest()
+            + [nparts, "v4"]).encode()).hexdigest()
 
     manifest_dir = os.path.join(index_dir, "manifest")
     manifests = [json.load(open(os.path.join(manifest_dir, f)))

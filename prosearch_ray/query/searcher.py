@@ -35,7 +35,6 @@ from prosearch_ray.index.codec import (decode_bitset, decode_bitset_grouped,
                                        decode_deltas, decode_deltas_grouped,
                                        decode_varints)
 from prosearch_ray.index.fieldnorm import id_to_fieldnorm
-from prosearch_ray.index.segment import SCORING_COLUMNS
 from prosearch_ray.query.snippet import make_snippet
 
 
@@ -43,43 +42,49 @@ class _TermPostings:
     """Decoded, bucket-ordered postings of one term with segment metadata as
     numpy arrays (vectorized block-max bound computation).
 
-    Built from a CONTIGUOUS row range of a (term, bucket)-sorted postings
-    table: the per-segment binary blobs of a term are back-to-back in the
-    Arrow value buffer, so the whole term decodes in ONE grouped-codec pass
-    per column — no per-segment Python loop, no per-row dict materialization.
+    Built from ONE consolidated part row (format v4): the per-segment blobs
+    are already concatenated back-to-back in bucket order, so the whole term
+    decodes in one grouped-codec pass per column with ``seg_df`` as the group
+    lengths — no per-segment Python loop, no per-row dict materialization.
     """
 
     __slots__ = ("doc_ids", "tfs", "flags", "df_title", "df_body",
                  "seg_starts", "seg_ends", "seg_max_tf", "seg_min_nb",
                  "seg_min_nt")
 
-    def __init__(self, cols: dict, r0: int, r1: int):
-        df = cols["df"][r0:r1].astype(np.int64)
+    def __init__(self, seg_df: np.ndarray, seg_max_tf: np.ndarray,
+                 seg_min_nb: np.ndarray, seg_min_nt: np.ndarray,
+                 df_title: int, df_body: int,
+                 doc_blob, tf_blob, flag_blob):
+        df = seg_df.astype(np.int64)
         ends = np.cumsum(df)
         self.seg_starts = ends - df
         self.seg_ends = ends
-        self.seg_max_tf = cols["max_tf"][r0:r1].astype(np.int64)
-        self.seg_min_nb = cols["min_norm_body"][r0:r1]
-        self.seg_min_nt = cols["min_norm_title"][r0:r1]
-        self.df_title = int(cols["df_title"][r0:r1].sum())
-        self.df_body = int(cols["df_body"][r0:r1].sum())
-
-        def blob(name: str) -> bytes:
-            offs, data = cols[name]
-            return data[offs[r0]:offs[r1]]
-
-        self.doc_ids = decode_deltas_grouped(blob("doc_ids"), df).astype(np.int64)
-        self.tfs = decode_varints(blob("tfs")).astype(np.int64)
-        self.flags = decode_bitset_grouped(blob("title_flags"), df)
+        self.seg_max_tf = seg_max_tf.astype(np.int64)
+        self.seg_min_nb = seg_min_nb
+        self.seg_min_nt = seg_min_nt
+        self.df_title = int(df_title)
+        self.df_body = int(df_body)
+        self.doc_ids = decode_deltas_grouped(doc_blob, df).astype(np.int64)
+        self.tfs = decode_varints(tf_blob).astype(np.int64)
+        self.flags = decode_bitset_grouped(flag_blob, df)
 
 
-def _binary_column_view(col) -> tuple:
-    """(offsets, value-buffer memoryview) of a binary column — blob
-    concatenation over a row range is a single zero-copy slice."""
+def _list_row_np(col, i: int) -> np.ndarray:
+    """Numpy view of list-column row ``i`` (zero-copy over the child)."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     offs = np.frombuffer(arr.buffers()[1], dtype=np.int32,
                          count=len(arr) + 1, offset=arr.offset * 4)
-    return offs, memoryview(arr.buffers()[2])
+    return arr.values.slice(int(offs[i]),
+                            int(offs[i + 1] - offs[i])).to_numpy()
+
+
+def _large_binary_row(col, i: int) -> memoryview:
+    """Zero-copy memoryview of large_binary row ``i``."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                         count=len(arr) + 1, offset=arr.offset * 8)
+    return memoryview(arr.buffers()[2])[offs[i]:offs[i + 1]]
 
 
 class IndexSearcher:
@@ -205,30 +210,27 @@ class IndexSearcher:
             })
             if not rgs:
                 continue
-            tbl = pf.read_row_groups(rgs, columns=SCORING_COLUMNS)
-            # rows are (term, bucket)-sorted: each term is one contiguous,
-            # bucket-ascending run.  Locate it by bisection and SLICE — a
-            # filter() here would gather-copy every fat binary column of the
-            # row group (measured 25x slower than the zero-copy slice).
+            tbl = pf.read_row_groups(
+                rgs, columns=layout.PART_COLUMNS).combine_chunks()
+            # format v4: one consolidated row per term, term-sorted.  Locate
+            # it by bisection — a filter() here would gather-copy the fat
+            # binary columns of the row group (measured 25x slower).
             term_strs = tbl.column("term").to_pylist()
+            dft = tbl.column("df_title").to_numpy()
+            dfb = tbl.column("df_body").to_numpy()
             for t in part_terms:
-                lo = bisect.bisect_left(term_strs, t)
-                hi = bisect.bisect_right(term_strs, t, lo=lo)
-                if lo == hi:
+                i = bisect.bisect_left(term_strs, t)
+                if i >= len(term_strs) or term_strs[i] != t:
                     continue
-                sub = tbl.slice(lo, hi - lo).combine_chunks()
-                cols = {
-                    "df": sub.column("df").to_numpy(),
-                    "df_title": sub.column("df_title").to_numpy(),
-                    "df_body": sub.column("df_body").to_numpy(),
-                    "max_tf": sub.column("max_tf").to_numpy(),
-                    "min_norm_body": sub.column("min_norm_body").to_numpy(),
-                    "min_norm_title": sub.column("min_norm_title").to_numpy(),
-                    "doc_ids": _binary_column_view(sub.column("doc_ids")),
-                    "tfs": _binary_column_view(sub.column("tfs")),
-                    "title_flags": _binary_column_view(sub.column("title_flags")),
-                }
-                found[t] = _TermPostings(cols, 0, sub.num_rows)
+                found[t] = _TermPostings(
+                    _list_row_np(tbl.column("seg_df"), i),
+                    _list_row_np(tbl.column("seg_max_tf"), i),
+                    _list_row_np(tbl.column("seg_min_nb"), i),
+                    _list_row_np(tbl.column("seg_min_nt"), i),
+                    int(dft[i]), int(dfb[i]),
+                    _large_binary_row(tbl.column("doc_ids"), i),
+                    _large_binary_row(tbl.column("tfs"), i),
+                    _large_binary_row(tbl.column("title_flags"), i))
         for t in missing:
             tp = found.get(t)
             self._postings_lru[t] = tp
