@@ -50,9 +50,10 @@ class _TermPostings:
 
     __slots__ = ("doc_ids", "tfs", "flags", "df_title", "df_body",
                  "seg_starts", "seg_ends", "seg_max_tf", "seg_min_nb",
-                 "seg_min_nt")
+                 "seg_min_nt", "seg_bucket")
 
-    def __init__(self, seg_df: np.ndarray, seg_max_tf: np.ndarray,
+    def __init__(self, seg_bucket: np.ndarray, seg_df: np.ndarray,
+                 seg_max_tf: np.ndarray,
                  seg_min_nb: np.ndarray, seg_min_nt: np.ndarray,
                  df_title: int, df_body: int,
                  doc_blob, tf_blob, flag_blob):
@@ -60,6 +61,7 @@ class _TermPostings:
         ends = np.cumsum(df)
         self.seg_starts = ends - df
         self.seg_ends = ends
+        self.seg_bucket = seg_bucket.astype(np.int64)
         self.seg_max_tf = seg_max_tf.astype(np.int64)
         self.seg_min_nb = seg_min_nb
         self.seg_min_nt = seg_min_nt
@@ -101,18 +103,28 @@ class IndexSearcher:
         # docmeta fast fields: norm ids + doc keys indexed by compact doc_id.
         meta_dir = os.path.join(index_dir, "docmeta")
         metas = [pq.read_table(os.path.join(meta_dir, f),
-                               columns=["doc_id", "doc_key", "norm_title", "norm_body"])
+                               columns=["doc_id", "doc_key", "bucket",
+                                        "norm_title", "norm_body"])
                  for f in sorted(os.listdir(meta_dir)) if f.endswith(".parquet")]
         self.doc_keys: Optional[np.ndarray] = None
         self.norm_title = np.zeros(self.n_docs, dtype=np.float64)
         self.norm_body = np.zeros(self.n_docs, dtype=np.float64)
         keys_arr = np.empty(self.n_docs, dtype=object)
+        bucket_of_doc = np.zeros(self.n_docs, dtype=np.int64)
         for t in metas:
             ids = t.column("doc_id").to_numpy()
             self.norm_title[ids] = id_to_fieldnorm(t.column("norm_title").to_numpy())
             self.norm_body[ids] = id_to_fieldnorm(t.column("norm_body").to_numpy())
+            bucket_of_doc[ids] = t.column("bucket").to_numpy()
             keys_arr[ids] = np.asarray(t.column("doc_key").to_pylist(), dtype=object)
         self.doc_keys = keys_arr
+        # bucket b's doc_ids span [bucket_bounds[b], bucket_bounds[b+1]) —
+        # doc_ids are assigned contiguously per bucket (cumsum of bucket
+        # counts, build.py), which makes bucket-level score bounds cheap
+        self.num_buckets = int(bucket_of_doc.max()) + 1 if self.n_docs else 0
+        counts = np.bincount(bucket_of_doc, minlength=self.num_buckets)
+        self.bucket_bounds = np.concatenate(
+            ([0], np.cumsum(counts))).astype(np.int64)
         # tombstones (delete-then-reinsert upsert support, serve.rs:456-467
         # analog): deleted doc_ids are filtered from every candidate set;
         # corpus stats keep counting them until compaction (tantivy-style
@@ -223,6 +235,7 @@ class IndexSearcher:
                 if i >= len(term_strs) or term_strs[i] != t:
                     continue
                 found[t] = _TermPostings(
+                    _list_row_np(tbl.column("seg_bucket"), i),
                     _list_row_np(tbl.column("seg_df"), i),
                     _list_row_np(tbl.column("seg_max_tf"), i),
                     _list_row_np(tbl.column("seg_min_nb"), i),
@@ -317,6 +330,77 @@ class IndexSearcher:
                 kth = float(best_scores[-1])
         return best_ids, best_scores
 
+    def _score_conjunctive_pruned(self, plan, postings: Dict[str, _TermPostings],
+                                  cand: np.ndarray, k: int
+                                  ) -> Tuple[np.ndarray, np.ndarray]:
+        """Conjunctive top-k over the full candidate set with BUCKET-level
+        block-max pruning (the WAND analog for this layout): every term's
+        segments align on the same doc buckets, so the per-bucket sum of
+        per-term segment bounds is a true upper bound on any candidate's
+        total score.  Candidate runs are scored bucket-by-bucket in
+        descending bound order (chunked ~64k docs per vectorized pass) and
+        iteration stops once the k-th best score exceeds the next bucket's
+        bound.  ``last_count`` was already taken from the FULL candidate
+        set — pruning skips scoring, never counting."""
+        bound = np.zeros(self.num_buckets, dtype=np.float64)
+        idf_tb = {}
+        pos = {}
+        # positions of cand within each term's postings via a REUSED dense
+        # rank array: one O(df) scatter + O(|cand|) gather per term — cheaper
+        # than searchsorted, and stale entries are harmless because cand is a
+        # subset of every term's doc_ids (AND semantics)
+        rank = np.empty(self.n_docs, dtype=np.int64)
+        for term, boost in plan:
+            tp = postings[term]
+            bound[tp.seg_bucket] += self._segment_bounds(tp, boost)
+            idf_tb[term] = (scoring.idf([tp.df_title], self.n_docs)[0],
+                            scoring.idf([tp.df_body], self.n_docs)[0])
+            rank[tp.doc_ids] = np.arange(len(tp.doc_ids), dtype=np.int64)
+            pos[term] = rank[cand]
+        # cand is ascending and bucket doc-ranges are contiguous, so each
+        # bucket's candidates form one run
+        cb = np.searchsorted(self.bucket_bounds, cand, side="right") - 1
+        run_bounds = np.flatnonzero(np.diff(cb)) + 1
+        starts = np.concatenate(([0], run_bounds))
+        ends = np.concatenate((run_bounds, [len(cand)]))
+        run_bound = bound[cb[starts]]
+        order = np.argsort(-run_bound, kind="stable")
+
+        best_ids = np.empty(0, np.int64)
+        best_scores = np.empty(0, np.float64)
+        kth = -np.inf
+        i, nruns = 0, len(order)
+        while i < nruns:
+            if len(best_ids) >= k and run_bound[order[i]] < kth:
+                break
+            chunk, nch = [], 0
+            while i < nruns and nch < self._CHUNK_DOCS and (
+                    len(best_ids) < k or run_bound[order[i]] >= kth):
+                j = order[i]
+                chunk.append(np.arange(starts[j], ends[j]))
+                nch += int(ends[j] - starts[j])
+                i += 1
+            if not chunk:
+                break
+            idx = np.concatenate(chunk)
+            cc = cand[idx]
+            nt, nb = self.norm_title[cc], self.norm_body[cc]
+            sc = np.zeros(len(cc), dtype=np.float64)
+            for term, boost in plan:
+                tp = postings[term]
+                p = pos[term][idx]
+                idf_t, idf_b = idf_tb[term]
+                sc += scoring.score_components(
+                    tp.tfs[p], tp.flags[p], nt, nb, idf_t, idf_b,
+                    self.avgdl_title, self.avgdl_body, boost)
+            ids = np.concatenate([best_ids, cc])
+            scs = np.concatenate([best_scores, sc])
+            top = scoring.top_k_indices(scs, ids, k)
+            best_ids, best_scores = ids[top], scs[top]
+            if len(best_ids) >= k:
+                kth = float(best_scores[-1])
+        return best_ids, best_scores
+
     def _live_count(self, ids: np.ndarray) -> int:
         """Number of non-tombstoned doc_ids in a unique id array."""
         if not len(self.tombstones):
@@ -359,19 +443,7 @@ class IndexSearcher:
             self.last_count = len(cand)
             if len(cand) == 0:
                 return empty
-            scores = np.zeros(len(cand), dtype=np.float64)
-            for term, boost in plan:
-                tp = postings[term]
-                tf_dense = np.zeros(self.n_docs, dtype=np.int64)
-                tf_dense[tp.doc_ids] = tp.tfs
-                fl_dense = np.zeros(self.n_docs, dtype=bool)
-                fl_dense[tp.doc_ids] = tp.flags
-                scores += scoring.score_components(
-                    tf_dense[cand], fl_dense[cand],
-                    self.norm_title[cand], self.norm_body[cand],
-                    scoring.idf([tp.df_title], self.n_docs)[0],
-                    scoring.idf([tp.df_body], self.n_docs)[0],
-                    self.avgdl_title, self.avgdl_body, boost)
+            return self._score_conjunctive_pruned(plan, postings, cand, k)
         else:
             plan_sorted = sorted(plan, key=lambda tb: len(postings[tb[0]].doc_ids))
             cand = postings[plan_sorted[0][0]].doc_ids
