@@ -5,8 +5,9 @@ actor-pool query) on sf0.001; ``queries()`` exposes one callable per
 implemented operator/pipeline from SURVEY.md §2 plus the training-data
 operator suite (dedup / similarity / text analysis / multimodal);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for every SQL-expressible
-entry.  Rows-only (no oracle): simhash (hamming semantics), the multimodal
-stub, and the two full-engine code-search entries whose exact gate is the
+entry — including SimHash (md5-based feature hash, bit_or/bit_count SQL)
+and the multimodal stub (md5_number_upper bytes).  Rows-only (no oracle):
+only the two full-engine code-search entries, whose exact gate is the
 brute-force-oracle conformance suite in pytest.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
@@ -427,4 +428,38 @@ def oracle_sql() -> dict[str, str]:
     d["lsh_knn"] = d["knn_cosine"]
     d["ivf_knn"] = d["knn_cosine"]
     d["minhash_dup_pairs"] = d["jaccard_pairs"]
+    # SimHash is exactly reproducible in SQL because the token feature hash
+    # is md5_number_lower (dedup._simhash_h64 keeps byte-order lockstep) and
+    # the 4-segment pigeonhole candidates are complete for hamming <= 3
+    d["simhash_dup_pairs"] = f"""
+        WITH toks AS (SELECT doc_id, unnest({TOK_SQL}) AS tok FROM documents),
+        tf AS (SELECT doc_id, tok, count(*)::BIGINT tf FROM toks GROUP BY 1, 2),
+        votes AS (
+          SELECT doc_id, b.i,
+                 CASE WHEN sum(CASE WHEN (md5_number_lower(tok) >> b.i) & 1 = 1
+                                    THEN tf ELSE -tf END) > 0
+                      THEN (1::UBIGINT << b.i) ELSE 0::UBIGINT END AS bitval
+          FROM tf, (SELECT unnest(range(64)) AS i) b
+          GROUP BY doc_id, b.i),
+        fp AS (SELECT doc_id, bit_or(bitval) AS fp FROM votes GROUP BY doc_id
+               HAVING bit_or(bitval) <> 0)
+        SELECT a.doc_id AS ida, b.doc_id AS idb,
+               bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        ORDER BY ida, idb
+    """
+    # the multimodal stub decoder derives width/height/features from
+    # md5(payload) where payload == utf-8 text, so md5_number_upper's
+    # little-endian bytes reproduce digest bytes 0..7 exactly
+    d["media_features"] = """
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 <> 0 THEN 'image' ELSE 'audio' END AS kind,
+               (64 + ((md5_number_upper(text) >> 0) & 255))::INTEGER AS width,
+               (64 + ((md5_number_upper(text) >> 8) & 255))::INTEGER AS height,
+               list_transform(generate_series(0, 7),
+                   i -> (((md5_number_upper(text) >> (8 * i)) & 255)::DOUBLE
+                         / 255.0)) AS features
+        FROM documents ORDER BY media_id
+    """
     return d

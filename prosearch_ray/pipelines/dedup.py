@@ -243,20 +243,41 @@ def minhash_dup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
 
 
 # ------------------------------------------------------------------- simhash
+def _simhash_h64(s: str) -> int:
+    """Token feature hash == DuckDB ``md5_number_lower`` (little-endian int
+    of md5 digest bytes 8..16) so the SQL oracle reproduces fingerprints."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+
+
+_BIT_IDX = np.arange(64, dtype=np.uint64)
+
+
+def simhash_batch(texts) -> np.ndarray:
+    """Vectorized 64-bit SimHash of a batch: each token occurrence votes
+    ±1 per bit (occurrence-repetition == tf weighting); each DISTINCT token
+    is hashed once via dictionary-encoding.  Token-less docs get fp 0."""
+    toks = [simple_tokenize(t) for t in texts]
+    lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+    flat = [tok for doc in toks for tok in doc]
+    fps = np.zeros(len(texts), dtype=np.uint64)
+    if not flat:
+        return fps
+    denc = pa.array(flat, pa.string()).dictionary_encode()
+    h = np.array([_simhash_h64(s) for s in denc.dictionary.to_pylist()],
+                 dtype=np.uint64)
+    sign = (((h[:, None] >> _BIT_IDX[None, :]) & np.uint64(1))
+            .astype(np.int64) * 2 - 1)            # (distinct, 64) ±1
+    rows = sign[denc.indices.to_numpy()]          # (total_tokens, 64)
+    nz = lens > 0
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))[nz]
+    votes = np.add.reduceat(rows, starts, axis=0)  # (docs_with_tokens, 64)
+    fps[nz] = ((votes > 0).astype(np.uint64) << _BIT_IDX[None, :]).sum(axis=1)
+    return fps
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over simple tokens (tf-weighted bit votes)."""
-    from collections import Counter
-
-    votes = np.zeros(64, dtype=np.int64)
-    for tok, tf in Counter(simple_tokenize(text)).items():
-        h = _stable_h64(tok)
-        bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        votes += np.where(bits.astype(bool), tf, -tf)
-    out = np.uint64(0)
-    for i in range(64):
-        if votes[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
-    return int(out)
+    return int(simhash_batch([text])[0])
 
 
 def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
@@ -266,10 +287,12 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     docs = read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fp_batch(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        fps = [simhash64(x) for x in t.column("text").to_pylist()]
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "fp": pa.array(fps, pa.uint64())})
+        fps = simhash_batch(t.column("text").to_pylist())
+        keep = fps != 0  # token-less docs carry no signal (oracle omits them)
+        return pa.table({
+            "doc_id": pa.array(
+                t.column("doc_id").to_numpy()[keep], pa.int64()),
+            "fp": pa.array(fps[keep], pa.uint64())})
 
     fp_ds = docs.map_batches(fp_batch, batch_format="pyarrow")
 
@@ -302,7 +325,7 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
                     ham.append(d)
         return pa.table({"ida": pa.array(a, pa.int64()),
                          "idb": pa.array(b, pa.int64()),
-                         "hamming": pa.array(ham, pa.int32())})
+                         "hamming": pa.array(ham, pa.int64())})
 
     pairs = fp_ds.map_batches(seg_rows, batch_format="pyarrow").groupby(
         ["seg", "segv"]).map_groups(seg_pairs, batch_format="pyarrow")
@@ -311,7 +334,7 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     return pa.table({
         "ida": pa.array([k[0] for k in keys], pa.int64()),
         "idb": pa.array([k[1] for k in keys], pa.int64()),
-        "hamming": pa.array([rows[k] for k in keys], pa.int32()),
+        "hamming": pa.array([rows[k] for k in keys], pa.int64()),
     })
 
 

@@ -62,7 +62,10 @@ class FakeDecoder:
         self._ready = True  # real decoder: load codec/model once per actor
 
     def _decode_one(self, kind: str, payload: bytes):
-        h = hashlib.blake2b(payload, digest_size=16).digest()
+        # md5 (not blake2b) so the stub's pseudo-metadata is reproducible
+        # by the SQL oracle: digest bytes 0..7 == little-endian bytes of
+        # DuckDB md5_number_upper
+        h = hashlib.md5(payload).digest()
         width = 64 + h[0]
         height = 64 + h[1]
         feat = (np.frombuffer(h, dtype=np.uint8)[: self.FEATURE_DIM]
