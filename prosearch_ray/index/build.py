@@ -493,7 +493,7 @@ def _part_row_group_bounds(v4: pa.Table) -> list:
     cap), so a term point-read never decompresses a hot neighbour's MBs."""
     n = v4.num_rows
     sizes = np.zeros(n, dtype=np.int64)
-    for c in ("doc_ids", "tfs", "title_flags"):
+    for c in [f.name for f in v4.schema if pa.types.is_large_binary(f.type)]:
         arr = v4.column(c).combine_chunks()
         offs = np.frombuffer(arr.buffers()[1], dtype=np.int64,
                              count=len(arr) + 1, offset=arr.offset * 8)
@@ -534,9 +534,31 @@ def _write_part_files(index_dir: str, part: int, v4: pa.Table) -> int:
     return v4.num_rows
 
 
-def _merge_map_fn(spill_dir: str, num_parts: int, n_red: int):
-    from prosearch_ray.index.segment import SCORING_COLUMNS
+def _write_pos_part_file(index_dir: str, part: int, v4: pa.Table) -> int:
+    """Write one consolidated POSITIONS part (term-partitioned phrase
+    payload, byte-bounded row groups like the scoring parts)."""
+    path = os.path.join(index_dir, "positions",
+                        f"part={part:05d}.parquet")
+    bounds = _part_row_group_bounds(v4)
+    tmp = path + ".tmp"
+    with pq.ParquetWriter(tmp, v4.schema) as w:
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            w.write_table(v4.slice(s, e - s))
+    os.replace(tmp, path)
+    return v4.num_rows
 
+
+def _pos_write_part(index_dir: str, part: int, tbl: pa.Table) -> int:
+    tbl = tbl.sort_by([("term", "ascending"), ("bucket", "ascending")])
+    v4 = layout.consolidate_part_rows(layout.segments_to_pos_rows(tbl))
+    return _write_pos_part_file(index_dir, part, v4)
+
+
+POS_MERGE_COLUMNS = ["term", "bucket", "df", "positions"]
+
+
+def _merge_map_fn(spill_dir: str, num_parts: int, n_red: int,
+                  columns: list):
     add_part = layout.add_part_column(num_parts)
 
     def fn(it: dict) -> dict:
@@ -549,7 +571,7 @@ def _merge_map_fn(spill_dir: str, num_parts: int, n_red: int):
                     return {"item": item, "skipped": True}
             except (ValueError, OSError):
                 pass
-        tbl = pa.concat_tables([pq.read_table(p, columns=SCORING_COLUMNS)
+        tbl = pa.concat_tables([pq.read_table(p, columns=columns)
                                 for p in it["files"]])
         tbl = add_part(tbl)
         pg = (tbl.column("part").to_numpy() % n_red).astype(np.int64)
@@ -571,7 +593,7 @@ def _merge_map_fn(spill_dir: str, num_parts: int, n_red: int):
     return fn
 
 
-def _merge_reduce_fn(index_dir: str, spill_dir: str):
+def _merge_reduce_fn(index_dir: str, spill_dir: str, write_part):
     def fn(it: dict) -> list:
         g = int(it["g"])
         marker = os.path.join(spill_dir, "_done", f"group={g:04d}.json")
@@ -596,15 +618,17 @@ def _merge_reduce_fn(index_dir: str, spill_dir: str):
         for s, e in zip(np.concatenate(([0], bounds)),
                         np.concatenate((bounds, [len(parts)]))):
             part = int(parts[s])
-            n_terms = _write_one_part(index_dir, part,
-                                      tbl.slice(s, e - s).drop_columns(["part"]))
+            n_terms = write_part(index_dir, part,
+                                 tbl.slice(s, e - s).drop_columns(["part"]))
             out.append({"part": part, "n_terms": int(n_terms)})
         _atomic_write_json({"parts": out}, marker)
         return out
     return fn
 
 
-def _run_merge(index_dir: str, num_parts: int, merge_fp: str) -> list:
+def _run_merge(index_dir: str, num_parts: int, merge_fp: str, *,
+               spill_name: str = "merge_spill", columns: list = None,
+               write_part=None) -> list:
     """Term-partitioned merge as a resumable spill exchange (same pattern as
     stage A): map tasks read segment-file spans and spill rows partitioned
     by reducer group (part % n_red); reduce tasks write the final postings +
@@ -612,7 +636,15 @@ def _run_merge(index_dir: str, num_parts: int, merge_fp: str) -> list:
     Ray sort shuffle whose all-to-all materialization dominated merge wall
     time; done-markers make a killed merge resume at item/part-group
     granularity.  Caller removes the spill dir after recording _merge.json.
+
+    The positions exchange (`_run_pos_merge`) reuses this machinery with its
+    own spill dir, a column-pruned segment read, and the POS part writer.
     """
+    if columns is None:
+        from prosearch_ray.index.segment import SCORING_COLUMNS
+        columns = SCORING_COLUMNS
+    if write_part is None:
+        write_part = _write_one_part
     seg_dir = os.path.join(index_dir, "segments")
     files = [os.path.join(seg_dir, f) for f in sorted(os.listdir(seg_dir))
              if f.endswith(".parquet")]
@@ -631,7 +663,7 @@ def _run_merge(index_dir: str, num_parts: int, merge_fp: str) -> list:
                       "fp": f"{merge_fp}:{len(fl)}:{sizes}"})
     n_red = int(max(1, min(num_parts, 2 * ncpu)))
 
-    spill_dir = os.path.join(index_dir, "merge_spill")
+    spill_dir = os.path.join(index_dir, spill_name)
     cfg_path = os.path.join(spill_dir, "_config.json")
     config = {"merge_fp": merge_fp, "n_red": n_red,
               "plan": [it["fp"] for it in items]}
@@ -649,10 +681,20 @@ def _run_merge(index_dir: str, num_parts: int, merge_fp: str) -> list:
         _atomic_write_json(config, cfg_path)
 
     ray.data.from_items(items).map(
-        _merge_map_fn(spill_dir, num_parts, n_red)).materialize()
+        _merge_map_fn(spill_dir, num_parts, n_red, columns)).materialize()
     return ray.data.from_items(
         [{"g": g} for g in range(n_red)]).flat_map(
-        _merge_reduce_fn(index_dir, spill_dir)).take_all()
+        _merge_reduce_fn(index_dir, spill_dir, write_part)).take_all()
+
+
+def _run_pos_merge(index_dir: str, num_parts: int, merge_fp: str) -> list:
+    """Positions merge: the phrase payload's own spill exchange, OFF the
+    scoring-merge critical path (ROADMAP one-file phrase locality).  Reads
+    only (term, bucket, df, positions) from segments/ and writes
+    positions/part=*.parquet consolidated per term."""
+    return _run_merge(index_dir, num_parts, merge_fp,
+                      spill_name="pos_spill", columns=POS_MERGE_COLUMNS,
+                      write_part=_pos_write_part)
 
 
 def build_index(
@@ -673,7 +715,8 @@ def build_index(
     def _mark(name: str, t0: float) -> None:
         phase_t[name] = round(time.perf_counter() - t0, 3)
 
-    for sub in ("staged", "segments", "postings", "docmeta", "manifest", "dict"):
+    for sub in ("staged", "segments", "postings", "positions", "docmeta",
+                "manifest", "dict"):
         os.makedirs(os.path.join(index_dir, sub), exist_ok=True)
 
     if isinstance(source, str):
@@ -838,6 +881,25 @@ def build_index(
         n_terms = int(merge_state["n_terms"]) if merge_state else 0
         merged = False
     _mark("merge_postings_dict", t0)
+
+    # positions merge: phrase payload into its own term-partitioned part
+    # files (one-file phrase locality), resumable independently — a kill
+    # between the scoring merge and here re-runs only this exchange, and a
+    # pre-positions index upgrades in place without re-merging scoring
+    t0 = time.perf_counter()
+    if manifests and merge_state.get("pos_fp") != merge_fp:
+        pos_rows = _run_pos_merge(index_dir, num_parts, merge_fp)
+        live = {f"part={int(r['part']):05d}.parquet" for r in pos_rows}
+        pos_dir = os.path.join(index_dir, "positions")
+        for f in os.listdir(pos_dir):
+            if f.endswith(".parquet") and f not in live:
+                os.remove(os.path.join(pos_dir, f))
+        merge_state["pos_fp"] = merge_fp
+        _atomic_write_json(merge_state, merge_path)
+        import shutil
+        shutil.rmtree(os.path.join(index_dir, "pos_spill"),
+                      ignore_errors=True)
+    _mark("merge_positions", t0)
 
     stats = {
         "n_docs": n_docs,

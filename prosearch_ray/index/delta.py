@@ -189,13 +189,18 @@ def _incremental_part_merge(index_dir: str, num_parts: int,
     import pyarrow.dataset as pads
 
     from prosearch_ray.index import layout
-    from prosearch_ray.index.build import _write_part_files
+    from prosearch_ray.index.build import (_write_part_files,
+                                           _write_pos_part_file)
     from prosearch_ray.index.segment import SCORING_COLUMNS
     from prosearch_ray.state.broadcast import bget, bput
 
+    pos_dir = os.path.join(index_dir, "positions")
+    fold_positions = os.path.isdir(pos_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(pos_dir))
     files = [os.path.join(index_dir, "segments", f"bucket={b:08d}.parquet")
              for b in new_buckets]
-    tbl = pads.dataset(files).to_table(columns=SCORING_COLUMNS)
+    tbl = pads.dataset(files).to_table(
+        columns=SCORING_COLUMNS + (["positions"] if fold_positions else []))
     tbl = layout.add_part_column(num_parts)(tbl)
     parts = tbl.column("part").to_numpy()
     order = np.argsort(parts, kind="stable")
@@ -208,27 +213,34 @@ def _incremental_part_merge(index_dir: str, num_parts: int,
         by_part[int(ps[s])] = st.slice(s, e - s).drop_columns(["part"])
     ref = bput(by_part)
 
-    def fold(it: dict) -> dict:
-        d = bget(ref)
-        part = int(it["part"])
-        path = os.path.join(index_dir, "postings", f"part={part:05d}.parquet")
-        # delta segment rows, consolidated to one v4 row per term
-        seg = d[part].sort_by([("term", "ascending"), ("bucket", "ascending")])
-        delta_v4 = layout.consolidate_part_rows(
-            layout.segments_to_part_rows(seg))
+    def fold_consolidated(old_path: str, delta_v4: pa.Table) -> pa.Table:
+        """Old consolidated rows first, then the delta's (delta buckets are
+        strictly larger, keeping doc_ids ascending), re-consolidated."""
         pieces = [delta_v4]
-        if os.path.exists(path):
-            pieces.insert(0, pq.read_table(path))
+        if os.path.exists(old_path):
+            pieces.insert(0, pq.read_table(old_path))
         merged = pa.concat_tables(pieces, promote_options="default")
-        # stable order: existing consolidated row first, then the delta's
-        # (delta buckets are strictly larger, keeping doc_ids ascending)
         rank = pa.array(np.concatenate(
             [np.full(p.num_rows, i, np.int8) for i, p in enumerate(pieces)]),
             pa.int8())
         merged = merged.append_column("rank", rank).sort_by(
             [("term", "ascending"), ("rank", "ascending")]
         ).drop_columns(["rank"])
-        v4 = layout.consolidate_part_rows(merged)
+        return layout.consolidate_part_rows(merged)
+
+    def fold(it: dict) -> dict:
+        d = bget(ref)
+        part = int(it["part"])
+        # delta segment rows, consolidated to one v4 row per term
+        seg = d[part].sort_by([("term", "ascending"), ("bucket", "ascending")])
+        v4 = fold_consolidated(
+            os.path.join(index_dir, "postings", f"part={part:05d}.parquet"),
+            layout.consolidate_part_rows(layout.segments_to_part_rows(seg)))
+        if fold_positions:
+            pos_v4 = fold_consolidated(
+                os.path.join(pos_dir, f"part={part:05d}.parquet"),
+                layout.consolidate_part_rows(layout.segments_to_pos_rows(seg)))
+            _write_pos_part_file(index_dir, part, pos_v4)
         return {"part": part,
                 "n_terms": int(_write_part_files(index_dir, part, v4))}
 
@@ -277,31 +289,48 @@ def _refresh_merge_and_stats(index_dir: str, stats: dict, added: int,
         except (ValueError, OSError):
             pass
     new_set = set(new_buckets)
+    pos_dir = os.path.join(index_dir, "positions")
+    has_pos = os.path.isdir(pos_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(pos_dir))
     incremental = (
         old is not None and "parts" in old
         and old.get("num_parts") == num_parts
         and old.get("fingerprint") == fp_of(
             [m for m in manifests if m["bucket"] not in new_set], num_parts)
+        # positions parts (if present) must provably match the same state,
+        # else folding a delta into them would bake in the drift
+        and (not has_pos or old.get("pos_fp") == old.get("fingerprint"))
     )
     if incremental:
         parts_map = _incremental_part_merge(index_dir, num_parts,
                                             sorted(new_set), old["parts"])
     else:
+        from prosearch_ray.index.build import _run_pos_merge
+
         part_rows = _run_merge(index_dir, num_parts, merge_fp)
         parts_map = {str(int(r["part"])): int(r["n_terms"])
                      for r in part_rows}
+        pos_rows = _run_pos_merge(index_dir, num_parts, merge_fp)
         live = {f"part={int(p):05d}.parquet" for p in
                 (int(k) for k in parts_map)}
-        for sub in ("postings", "dict"):
+        pos_live = {f"part={int(r['part']):05d}.parquet" for r in pos_rows}
+        os.makedirs(pos_dir, exist_ok=True)
+        for sub, keep in (("postings", live), ("dict", live),
+                          ("positions", pos_live)):
             for f in os.listdir(os.path.join(index_dir, sub)):
-                if f.endswith(".parquet") and f not in live:
+                if f.endswith(".parquet") and f not in keep:
                     os.remove(os.path.join(index_dir, sub, f))
         import shutil
         shutil.rmtree(os.path.join(index_dir, "merge_spill"),
                       ignore_errors=True)
+        shutil.rmtree(os.path.join(index_dir, "pos_spill"),
+                      ignore_errors=True)
+        has_pos = True
     n_terms = int(sum(parts_map.values()))
     _atomic_write_json({"fingerprint": merge_fp, "num_parts": num_parts,
-                        "n_terms": n_terms, "parts": parts_map}, merge_path)
+                        "n_terms": n_terms, "parts": parts_map,
+                        **({"pos_fp": merge_fp} if has_pos else {})},
+                       merge_path)
 
     n_docs = sum(m["n_docs"] for m in manifests)
     total_lt = sum(m["sum_len_title"] for m in manifests)

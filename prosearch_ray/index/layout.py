@@ -55,6 +55,19 @@ PART_SCHEMA = pa.schema([
 ])
 PART_COLUMNS = [f.name for f in PART_SCHEMA]
 
+# consolidated per-term schema of the POSITIONS part files (phrase payload,
+# merged by its own off-critical-path exchange).  Positions decode needs the
+# per-doc tf counts, which the phrase path takes from the SCORING part row
+# of the same term (identical bucket order); seg_bucket is stored to assert
+# that alignment.
+POS_PART_SCHEMA = pa.schema([
+    ("term", pa.string()),
+    ("seg_bucket", pa.list_(pa.int32())),
+    ("seg_df", pa.list_(pa.int32())),
+    ("positions", pa.large_binary()),  # concat per-doc delta varints
+])
+POS_PART_COLUMNS = [f.name for f in POS_PART_SCHEMA]
+
 
 def _combined(col) -> pa.Array:
     return col.combine_chunks() if isinstance(col, (pa.ChunkedArray,)) else col
@@ -110,12 +123,32 @@ def segments_to_part_rows(tbl: pa.Table) -> pa.Table:
     }, schema=PART_SCHEMA)
 
 
+def segments_to_pos_rows(tbl: pa.Table) -> pa.Table:
+    """Wrap raw (term, bucket, df, positions) segment rows as single-segment
+    consolidated position rows — zero-copy column reshaping."""
+    tbl = tbl.combine_chunks()
+    n = tbl.num_rows
+    offs = pa.array(np.arange(n + 1, dtype=np.int32))
+    return pa.table({
+        "term": _combined(tbl.column("term")),
+        "seg_bucket": pa.ListArray.from_arrays(
+            offs, pc.cast(_combined(tbl.column("bucket")), pa.int32())),
+        "seg_df": pa.ListArray.from_arrays(
+            offs, pc.cast(_combined(tbl.column("df")), pa.int32())),
+        "positions": pc.cast(_combined(tbl.column("positions")),
+                             pa.large_binary()),
+    }, schema=POS_PART_SCHEMA)
+
+
 def consolidate_part_rows(tbl: pa.Table) -> pa.Table:
-    """Collapse a PART_SCHEMA table to ONE row per term.  Rows of a term are
-    merged in their CURRENT order — callers must pre-sort so segments end up
-    bucket-ascending (doc_ids must stay globally ascending per term).  All
-    column work is offset re-slicing over shared buffers; nothing is copied
-    except the tiny per-term scalar aggregates."""
+    """Collapse a consolidated-shape table to ONE row per term.  Rows of a
+    term are merged in their CURRENT order — callers must pre-sort so
+    segments end up bucket-ascending (doc_ids must stay globally ascending
+    per term).  Column treatment is TYPE-driven ("term" string: first of the
+    run; int64 scalars: sum; list: run-concat; large_binary: blob-concat),
+    so it works for both PART_SCHEMA and POS_PART_SCHEMA.  All column work
+    is offset re-slicing over shared buffers; nothing is copied except the
+    tiny per-term scalar aggregates."""
     tbl = tbl.combine_chunks()
     n = tbl.num_rows
     if n == 0:
@@ -128,22 +161,19 @@ def consolidate_part_rows(tbl: pa.Table) -> pa.Table:
     bounds = np.concatenate((starts, [n]))
     take_first = pa.array(starts, pa.int64())
 
-    def agg(c):
-        return pa.array(np.add.reduceat(
-            _combined(tbl.column(c)).to_numpy().astype(np.int64), starts),
-            pa.int64())
-
-    cols = {
-        "term": _combined(tbl.column("term")).take(take_first),
-        "df": agg("df"),
-        "df_title": agg("df_title"),
-        "df_body": agg("df_body"),
-    }
-    for c in ("seg_bucket", "seg_df", "seg_max_tf", "seg_min_nb", "seg_min_nt"):
-        cols[c] = _reslice_list(_combined(tbl.column(c)), bounds)
-    for c in ("doc_ids", "tfs", "title_flags"):
-        cols[c] = _reslice_large_binary(_combined(tbl.column(c)), bounds)
-    return pa.table(cols, schema=PART_SCHEMA)
+    cols = {}
+    for field in tbl.schema:
+        col = _combined(tbl.column(field.name))
+        if field.name == "term":
+            cols[field.name] = col.take(take_first)
+        elif pa.types.is_list(field.type):
+            cols[field.name] = _reslice_list(col, bounds)
+        elif pa.types.is_large_binary(field.type):
+            cols[field.name] = _reslice_large_binary(col, bounds)
+        else:
+            cols[field.name] = pa.array(np.add.reduceat(
+                col.to_numpy().astype(np.int64), starts), field.type)
+    return pa.table(cols, schema=tbl.schema)
 
 
 def term_part(term: str, num_parts: int) -> int:

@@ -102,22 +102,35 @@ class IndexSearcher:
 
         # docmeta fast fields: norm ids + doc keys indexed by compact doc_id.
         meta_dir = os.path.join(index_dir, "docmeta")
-        metas = [pq.read_table(os.path.join(meta_dir, f),
-                               columns=["doc_id", "doc_key", "bucket",
-                                        "norm_title", "norm_body"])
-                 for f in sorted(os.listdir(meta_dir)) if f.endswith(".parquet")]
-        self.doc_keys: Optional[np.ndarray] = None
+        # ONE threaded dataset read (per-file pq.read_table cost ~2ms of
+        # footer parsing x hundreds of bucket files), then a doc_id sort:
+        # doc_ids are compact 0..N-1, so row i of the sorted table IS doc i
+        meta_files = [os.path.join(meta_dir, f)
+                      for f in sorted(os.listdir(meta_dir))
+                      if f.endswith(".parquet")]
+        if meta_files:
+            meta = pads.dataset(meta_files).to_table(
+                columns=["doc_id", "doc_key", "bucket",
+                         "norm_title", "norm_body"]
+            ).sort_by("doc_id").combine_chunks()
+        else:  # empty index (zero docs survived normalization)
+            meta = pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "doc_key": pa.array([], pa.string()),
+                "bucket": pa.array([], pa.int32()),
+                "norm_title": pa.array([], pa.uint8()),
+                "norm_body": pa.array([], pa.uint8())})
+        ids = meta.column("doc_id").to_numpy()
         self.norm_title = np.zeros(self.n_docs, dtype=np.float64)
         self.norm_body = np.zeros(self.n_docs, dtype=np.float64)
-        keys_arr = np.empty(self.n_docs, dtype=object)
         bucket_of_doc = np.zeros(self.n_docs, dtype=np.int64)
-        for t in metas:
-            ids = t.column("doc_id").to_numpy()
-            self.norm_title[ids] = id_to_fieldnorm(t.column("norm_title").to_numpy())
-            self.norm_body[ids] = id_to_fieldnorm(t.column("norm_body").to_numpy())
-            bucket_of_doc[ids] = t.column("bucket").to_numpy()
-            keys_arr[ids] = np.asarray(t.column("doc_key").to_pylist(), dtype=object)
-        self.doc_keys = keys_arr
+        self.norm_title[ids] = id_to_fieldnorm(meta.column("norm_title").to_numpy())
+        self.norm_body[ids] = id_to_fieldnorm(meta.column("norm_body").to_numpy())
+        bucket_of_doc[ids] = meta.column("bucket").to_numpy()
+        # doc_keys stay an Arrow string array (no 388k-element to_pylist at
+        # actor startup); top-k consumers index it per hit
+        self.doc_keys = meta.column("doc_key").chunk(0) if meta.num_rows \
+            else pa.array([], pa.string())
         # bucket b's doc_ids span [bucket_bounds[b], bucket_bounds[b+1]) —
         # doc_ids are assigned contiguously per bucket (cumsum of bucket
         # counts, build.py), which makes bucket-level score bounds cheap
@@ -138,6 +151,12 @@ class IndexSearcher:
             self.tombstones = np.empty(0, np.int64)
         self.num_parts = st.get("num_parts", 0)
         self._part_cache: Dict[int, tuple] = {}
+        self._pos_part_cache: Dict[int, tuple] = {}
+        self._pos_parts_present: Optional[bool] = None
+        # byte-budgeted LRU of per-term position cumsums (phrase payload)
+        self._pos_gaps_lru: "OrderedDict[str, Optional[np.ndarray]]" = OrderedDict()
+        self._pos_gaps_bytes = 0
+        self._pos_gaps_budget = 512 << 20
         # per-actor LRU of decoded postings: query-term frequency is Zipfian,
         # so hot terms (the boost set, stopword-grade tokens) stay resident
         self._postings_lru: "OrderedDict[str, Optional[_TermPostings]]" = OrderedDict()
@@ -466,16 +485,109 @@ class IndexSearcher:
     # ----------------------------------------------------------------- phrase
     _POS_SHIFT = 22  # packed occurrence key = (doc_id << 22) | position
 
+    @staticmethod
+    def _dedup_sorted(keys: np.ndarray) -> np.ndarray:
+        """O(n) mask-dedup of an ascending key array: keys ascend by
+        construction EXCEPT exact repeats (two expansions of one raw token
+        can emit the same term at the same position — position-increment-0 —
+        and phrase tf counts DISTINCT positions)."""
+        if len(keys) > 1:
+            keys = keys[np.concatenate(([True], keys[1:] != keys[:-1]))]
+        return keys
+
+    @staticmethod
+    def _occurrence_keys(doc_ids: np.ndarray, tfs: np.ndarray,
+                         gaps: np.ndarray, shift: int) -> np.ndarray:
+        """Packed ``(doc_id << shift) | position`` keys from per-doc
+        delta-gap positions — one vectorized groupwise-cumsum pass (a doc's
+        first gap is its absolute first position).  All uint64, no widening
+        copies (these arrays hit tens of millions for stopword terms)."""
+        c = np.cumsum(gaps, dtype=np.uint64)
+        starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+        nz = tfs > 0
+        base = np.where(starts[nz] > 0, c[np.maximum(starts[nz] - 1, 0)],
+                        np.uint64(0))
+        pos = c - np.repeat(base, tfs[nz])
+        doc_rep = np.repeat(doc_ids[nz].astype(np.uint64), tfs[nz])
+        return IndexSearcher._dedup_sorted(
+            (doc_rep << np.uint64(shift)) | pos)
+
+    def _pos_part_handle(self, part: int):
+        """Cached (ParquetFile, per-row-group term ranges) for a POSITIONS
+        part file; (None, []) when this index has no merged positions."""
+        h = self._pos_part_cache.get(part)
+        if h is None:
+            path = os.path.join(self.index_dir, "positions",
+                                f"part={part:05d}.parquet")
+            if not os.path.exists(path):
+                h = (None, [])
+            else:
+                pf = pq.ParquetFile(path)
+                term_idx = pf.schema_arrow.get_field_index("term")
+                ranges = []
+                for rg in range(pf.metadata.num_row_groups):
+                    stats = pf.metadata.row_group(rg).column(term_idx).statistics
+                    ranges.append((stats.min, stats.max)
+                                  if stats is not None and stats.has_min_max
+                                  else (None, None))
+                h = (pf, ranges)
+            self._pos_part_cache[part] = h
+        return h
+
+    def _has_pos_parts(self) -> bool:
+        if self._pos_parts_present is None:
+            d = os.path.join(self.index_dir, "positions")
+            self._pos_parts_present = os.path.isdir(d) and any(
+                f.endswith(".parquet") for f in os.listdir(d))
+        return self._pos_parts_present
+
+    def _pos_gaps(self, terms: Sequence[str],
+                  postings: Dict[str, _TermPostings]) -> Dict[str, np.ndarray]:
+        """Raw per-term position GAP arrays (uint64) from the merged
+        positions parts — one point read per term, grouped by part.  Terms
+        absent from ``postings`` or with empty blobs are omitted."""
+        by_part: Dict[int, List[str]] = {}
+        for t in terms:
+            if t in postings:  # zero-df terms have no positions either
+                by_part.setdefault(
+                    layout.term_part(t, self.num_parts), []).append(t)
+        out: Dict[str, np.ndarray] = {}
+        for part, part_terms in by_part.items():
+            pf, ranges = self._pos_part_handle(part)
+            if pf is None:
+                continue
+            rgs = sorted({
+                rg for rg, (mn, mx) in enumerate(ranges)
+                for t in part_terms if mn is None or (mn <= t <= mx)})
+            if not rgs:
+                continue
+            tbl = pf.read_row_groups(
+                rgs, columns=layout.POS_PART_COLUMNS).combine_chunks()
+            term_strs = tbl.column("term").to_pylist()
+            for t in part_terms:
+                i = bisect.bisect_left(term_strs, t)
+                if i >= len(term_strs) or term_strs[i] != t:
+                    continue
+                assert np.array_equal(
+                    _list_row_np(tbl.column("seg_bucket"), i),
+                    postings[t].seg_bucket), "positions/scoring bucket drift"
+                gaps = decode_varints(
+                    _large_binary_row(tbl.column("positions"), i))
+                if len(gaps):
+                    out[t] = gaps
+        return out
+
     def fetch_position_keys(self, terms: Sequence[str]) -> Dict[str, np.ndarray]:
-        """Per term: SORTED unique packed occurrence keys
+        """Per term: SORTED packed occurrence keys
         ``(doc_id << 22) | position`` over the body field.
 
-        Positions live in the per-bucket SEGMENT files (they are phrase-only
-        payload and deliberately don't ride the merge shuffle or the scoring
-        reads); this fetch scans segments/ with a term filter — parquet
-        row-group stats prune it to ~one row group per bucket file.  The
-        whole decode is vectorized: groupwise cumsum reconstructs absolute
-        positions from the delta blobs with no per-doc loop."""
+        Fast path: the positions merge writes term-partitioned consolidated
+        part files (one row per term), so a term is ONE point read; its
+        per-doc tf counts come from the scoring fetch of the same term
+        (identical bucket order — asserted via seg_bucket).  Keys come out
+        sorted by construction (doc_ids ascend across buckets, positions
+        ascend within a doc).  Fallback for indexes built before the
+        positions merge: scan segments/ with a term filter."""
         out_cached: Dict[str, np.ndarray] = {}
         missing: List[str] = []
         for t in terms:
@@ -488,34 +600,37 @@ class IndexSearcher:
                 missing.append(t)
         if not missing:
             return out_cached
-        seg_dir = os.path.join(self.index_dir, "segments")
-        seg = pads.dataset(seg_dir)
-        if "positions" not in seg.schema.names:
-            raise ValueError(
-                "this index was built without body positions "
-                "(format_version < 3); rebuild it to enable phrase search")
-        tbl = seg.to_table(
-            columns=["term", "bucket", "doc_ids", "tfs", "positions"],
-            filter=pads.field("term").isin(missing))
-        acc: Dict[str, List[np.ndarray]] = {}
-        for r in tbl.to_pylist():
-            ids = decode_deltas(r["doc_ids"]).astype(np.int64)
-            tfs = decode_varints(r["tfs"]).astype(np.int64)
-            gaps = decode_varints(r["positions"]).astype(np.int64)
-            if len(gaps) == 0:
-                continue
-            # groupwise cumsum: group-first gap is the absolute position
-            c = np.cumsum(gaps)
-            starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
-            nz = tfs > 0
-            base = np.where(starts[nz] > 0, c[starts[nz] - 1], 0)
-            pos = c - np.repeat(base, tfs[nz])
-            doc_rep = np.repeat(ids[nz], tfs[nz])
-            acc.setdefault(r["term"], []).append(
-                (doc_rep << self._POS_SHIFT) | pos)
+        found: Dict[str, np.ndarray] = {}
+        if self._has_pos_parts():
+            postings = self.fetch_postings(missing)
+            for t, gaps in self._pos_gaps(missing, postings).items():
+                found[t] = self._occurrence_keys(
+                    postings[t].doc_ids, postings[t].tfs, gaps,
+                    self._POS_SHIFT)
+        else:
+            seg_dir = os.path.join(self.index_dir, "segments")
+            seg = pads.dataset(seg_dir)
+            if "positions" not in seg.schema.names:
+                raise ValueError(
+                    "this index was built without body positions "
+                    "(format_version < 3); rebuild it to enable phrase search")
+            tbl = seg.to_table(
+                columns=["term", "bucket", "doc_ids", "tfs", "positions"],
+                filter=pads.field("term").isin(missing))
+            acc: Dict[str, List[np.ndarray]] = {}
+            for r in tbl.sort_by([("term", "ascending"),
+                                  ("bucket", "ascending")]).to_pylist():
+                gaps = decode_varints(r["positions"])  # stays uint64
+                if len(gaps) == 0:
+                    continue
+                ids = decode_deltas(r["doc_ids"]).astype(np.int64)
+                tfs = decode_varints(r["tfs"]).astype(np.int64)
+                acc.setdefault(r["term"], []).append(
+                    self._occurrence_keys(ids, tfs, gaps, self._POS_SHIFT))
+            for t, parts in acc.items():
+                found[t] = np.concatenate(parts)
         for t in missing:
-            parts = acc.get(t)
-            arr = np.unique(np.concatenate(parts)) if parts else None
+            arr = found.get(t)
             self._positions_lru[t] = arr
             if len(self._positions_lru) > self._positions_lru_cap:
                 self._positions_lru.popitem(last=False)
@@ -563,36 +678,183 @@ class IndexSearcher:
             top = scoring.top_k_indices(scores, ids, k)
             return ids[top], scores[top]
 
-        keys = self.fetch_position_keys(tokens)
-        if any(t not in keys for t in tokens):
+        r = self._phrase_doc_tfs(tokens)
+        if r is None:
             return empty
-        # vectorized adjacency: occurrence (d, p) of token0 survives iff
-        # (d, p+i) exists for every token_i — one sorted-membership probe
-        # per token over packed keys
-        occ = keys[tokens[0]]
-        for i, t in enumerate(tokens[1:], start=1):
-            target = occ + i
-            karr = keys[t]
-            idx = np.searchsorted(karr, target)
-            valid = idx < len(karr)
-            valid[valid] = karr[idx[valid]] == target[valid]
-            occ = occ[valid]
-            if len(occ) == 0:
-                return empty
-        docs_of_occ = occ >> self._POS_SHIFT
-        ids, counts = np.unique(docs_of_occ, return_counts=True)
+        ids, counts = r
+        df_p = len(ids)
+        self.last_count = df_p
+        scores = (scoring.idf([df_p], self.n_docs)[0]
+                  * scoring.tf_factor(counts.astype(np.float64),
+                                      self.norm_body[ids], self.avgdl_body))
+        top = scoring.top_k_indices(scores, ids, k)
+        return ids[top], scores[top]
+
+    def _cached_pos_cumsum(self, terms: Sequence[str],
+                           postings: Dict[str, _TermPostings]
+                           ) -> Dict[str, Optional[np.ndarray]]:
+        """Per-term GLOBAL position cumsum arrays (uint64) via a
+        BYTE-budgeted LRU — the decode+cumsum is the expensive part of a
+        phrase term touch, so the cache holds the finished artifact.  A term
+        with no body occurrences maps to None."""
+        out: Dict[str, Optional[np.ndarray]] = {}
+        missing = []
+        for t in terms:
+            if t in self._pos_gaps_lru:
+                self._pos_gaps_lru.move_to_end(t)
+                out[t] = self._pos_gaps_lru[t]
+            else:
+                missing.append(t)
+        if missing:
+            fresh = self._pos_gaps(missing, postings)
+            for t in missing:
+                g = fresh.get(t)
+                c = (np.cumsum(g, dtype=np.uint64)
+                     if g is not None else None)
+                out[t] = c
+                self._pos_gaps_lru[t] = c
+                self._pos_gaps_bytes += c.nbytes if c is not None else 0
+            while (self._pos_gaps_bytes > self._pos_gaps_budget
+                   and len(self._pos_gaps_lru) > len(terms)):
+                _, old = self._pos_gaps_lru.popitem(last=False)
+                self._pos_gaps_bytes -= old.nbytes if old is not None else 0
+        return out
+
+    def _phrase_doc_tfs(self, tokens
+                        ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """Shared multi-token phrase evaluation: (doc_ids, phrase tfs) of
+        every live doc containing the exact phrase, or None when nothing
+        matches.
+
+        Scale shape: candidate docs (AND of the tokens' already-decoded
+        posting lists) come first and are nearly free; for uncached terms
+        whose candidate set is much smaller than their df — the stopword-in-
+        a-selective-phrase case — positions decode to keys for CANDIDATE
+        docs only instead of materializing tens of millions of occurrence
+        keys.  Adjacency starts from the smallest key set (pivot) and probes
+        the rest in ascending size."""
+        uniq = list(dict.fromkeys(tokens))
+        postings = self.fetch_postings(uniq)
+        if any(t not in postings for t in uniq):
+            return None
+        order = sorted(uniq, key=lambda t: len(postings[t].doc_ids))
+        cand = postings[order[0]].doc_ids
+        for t in order[1:]:
+            cand = cand[np.isin(cand, postings[t].doc_ids,
+                                assume_unique=True)]
+            if len(cand) == 0:
+                return None
+
+        if self._has_pos_parts():
+            r = self._phrase_probe(tokens, uniq, postings, cand)
+        else:
+            r = self._phrase_probe_keys(tokens, uniq, cand)
+        if r is None:
+            return None
+        occ_docs, occ_pos = r
+        ids, counts = np.unique(occ_docs, return_counts=True)
         if len(self.tombstones):
             alive = ~np.isin(ids, self.tombstones, assume_unique=True)
             ids, counts = ids[alive], counts[alive]
         if len(ids) == 0:
-            return empty
-        tfs = counts.astype(np.float64)
-        df_p = len(ids)
-        self.last_count = df_p
-        scores = (scoring.idf([df_p], self.n_docs)[0]
-                  * scoring.tf_factor(tfs, self.norm_body[ids], self.avgdl_body))
-        top = scoring.top_k_indices(scores, ids, k)
-        return ids[top], scores[top]
+            return None
+        return ids, counts
+
+    def _phrase_probe(self, tokens, uniq, postings, cand
+                      ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """Phrase adjacency WITHOUT materializing occurrence keys: per term
+        only the global position-cumsum ``c`` is built (one vectorized pass
+        over its gap blob); the pivot position index — the token with the
+        fewest occurrences within the candidate docs — materializes its
+        (doc, start) pairs, and every other position index is verified by
+        binary-searching ``c`` inside that doc's value range.  Cost is
+        O(pivot_occurrences · log total) instead of O(total) per stopword
+        term.  Returns surviving (docs, start_positions)."""
+        cumsums = self._cached_pos_cumsum(uniq, postings)
+        prep = {}
+        occ_in_cand = {}
+        for t in uniq:
+            c = cumsums.get(t)
+            if c is None:
+                return None
+            tp = postings[t]
+            starts = np.cumsum(tp.tfs) - tp.tfs
+            sel = np.searchsorted(tp.doc_ids, cand)
+            prep[t] = (c, starts, sel)
+            occ_in_cand[t] = int(tp.tfs[sel].sum())
+        pivot = min(range(len(tokens)), key=lambda j: occ_in_cand[tokens[j]])
+
+        # materialize the pivot's occurrences over cand
+        tp_p = postings[tokens[pivot]]
+        c_p, starts_p, sel_p = prep[tokens[pivot]]
+        tf_sel = tp_p.tfs[sel_p]
+        nz = tf_sel > 0
+        v_lo = starts_p[sel_p[nz]]
+        tf_nz = tf_sel[nz]
+        total = int(tf_nz.sum())
+        if total == 0:
+            return None
+        out_starts = np.cumsum(tf_nz) - tf_nz
+        idx = (np.arange(total, dtype=np.int64)
+               - np.repeat(out_starts, tf_nz) + np.repeat(v_lo, tf_nz))
+        base = np.where(v_lo > 0, c_p[np.maximum(v_lo - 1, 0)], np.uint64(0))
+        pos = (c_p[idx] - np.repeat(base, tf_nz)).astype(np.int64)
+        docs = np.repeat(cand[nz], tf_nz)
+        if len(pos) > 1:  # position-increment-0 repeats: count DISTINCT
+            keep = np.concatenate(
+                ([True], (docs[1:] != docs[:-1]) | (pos[1:] != pos[:-1])))
+            docs, pos = docs[keep], pos[keep]
+        start_ok = pos >= pivot
+        occ_docs, occ_pos = docs[start_ok], pos[start_ok] - pivot
+        if len(occ_docs) == 0:
+            return None
+
+        # verify every other position index against its term's cumsum
+        others = sorted((j for j in range(len(tokens)) if j != pivot),
+                        key=lambda j: occ_in_cand[tokens[j]])
+        for j in others:
+            t = tokens[j]
+            tp_j = postings[t]
+            c_j, starts_j, sel_j = prep[t]
+            ci = np.searchsorted(cand, occ_docs)
+            sj = sel_j[ci]
+            v_lo_j = starts_j[sj]
+            v_hi_j = v_lo_j + tp_j.tfs[sj]
+            base_j = np.where(v_lo_j > 0, c_j[np.maximum(v_lo_j - 1, 0)],
+                              np.uint64(0))
+            tv = base_j + (occ_pos + j).astype(np.uint64)
+            li = np.searchsorted(c_j, tv, side="left")
+            ri = np.searchsorted(c_j, tv, side="right")
+            ok = (li < v_hi_j) & (ri > v_lo_j) & (li < ri)
+            occ_docs, occ_pos = occ_docs[ok], occ_pos[ok]
+            if len(occ_docs) == 0:
+                return None
+        return occ_docs, occ_pos
+
+    def _phrase_probe_keys(self, tokens, uniq, cand
+                           ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """Legacy (pre-positions-merge indexes): full occurrence-key arrays
+        from the segment scan, sorted-membership adjacency."""
+        keys = self.fetch_position_keys(uniq)
+        if any(t not in keys for t in uniq):
+            return None
+        pivot = min(range(len(tokens)), key=lambda j: len(keys[tokens[j]]))
+        kp = keys[tokens[pivot]]
+        pmask = (kp & np.uint64((1 << self._POS_SHIFT) - 1)) >= pivot
+        occ0 = kp[pmask].astype(np.int64) - pivot
+        if len(occ0) == 0:
+            return None
+        for j in sorted((j for j in range(len(tokens)) if j != pivot),
+                        key=lambda j: len(keys[tokens[j]])):
+            karr = keys[tokens[j]]
+            target = (occ0 + j).astype(np.uint64)
+            idx = np.searchsorted(karr, target)
+            valid = idx < len(karr)
+            valid[valid] = karr[idx[valid]] == target[valid]
+            occ0 = occ0[valid]
+            if len(occ0) == 0:
+                return None
+        return occ0 >> self._POS_SHIFT, occ0 & ((1 << self._POS_SHIFT) - 1)
 
     # ------------------------------------------------------------- raw syntax
     def _match_terms_full(self, terms, boost: float = 1.0):
@@ -641,25 +903,10 @@ class IndexSearcher:
                 return empty
             tfs = tp.tfs[np.searchsorted(tp.doc_ids, ids)]
         else:
-            keys = self.fetch_position_keys(tokens)
-            if any(t not in keys for t in tokens):
+            r = self._phrase_doc_tfs(tokens)
+            if r is None:
                 return empty
-            occ = keys[tokens[0]]
-            for i, t in enumerate(tokens[1:], start=1):
-                target = occ + i
-                karr = keys[t]
-                idx = np.searchsorted(karr, target)
-                valid = idx < len(karr)
-                valid[valid] = karr[idx[valid]] == target[valid]
-                occ = occ[valid]
-                if len(occ) == 0:
-                    return empty
-            ids, tfs = np.unique(occ >> self._POS_SHIFT, return_counts=True)
-            if len(self.tombstones):
-                alive = ~np.isin(ids, self.tombstones, assume_unique=True)
-                ids, tfs = ids[alive], tfs[alive]
-            if len(ids) == 0:
-                return empty
+            ids, tfs = r
         df_p = len(ids)
         scores = (scoring.idf([df_p], self.n_docs)[0]
                   * scoring.tf_factor(tfs.astype(np.float64),

@@ -28,7 +28,7 @@ ray.shutdown()
 
 def _index_content(index_dir):
     out = {}
-    for sub in ("postings", "docmeta", "dict"):
+    for sub in ("postings", "positions", "docmeta", "dict"):
         d = os.path.join(index_dir, sub)
         for f in sorted(os.listdir(d)):
             if f.endswith(".parquet"):

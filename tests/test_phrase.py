@@ -76,3 +76,47 @@ def test_phrase_on_fixture_corpus(ray_session, tiny_index, tiny_oracle):
         assert np.allclose(scores, [sc for _, _, sc in want], atol=1e-5), q
         n_hit += bool(len(ids))
     assert n_hit >= 1  # at least one phrase actually matches the corpus
+
+
+def test_positions_fast_path_matches_segment_scan(phrase_setup, tiny_index):
+    """The merged positions parts must yield byte-identical occurrence keys
+    to the legacy segments/ scan (incl. position-increment-0 dedup)."""
+    import numpy as np
+
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    s_fast = IndexSearcher(tiny_index[0])
+    s_scan = IndexSearcher(tiny_index[0])
+    s_scan._pos_parts_present = False  # force the fallback
+    assert s_fast._has_pos_parts(), "build must produce positions parts"
+    for t in ["parse", "buffer", "the", "merge", "zzznothing"]:
+        a = s_fast.fetch_position_keys([t]).get(t)
+        b = s_scan.fetch_position_keys([t]).get(t)
+        if a is None or b is None:
+            assert a is None and b is None, t
+        else:
+            assert np.array_equal(a, b), t
+
+
+def test_positions_parts_follow_delta(ray_session, tmp_path):
+    """add_documents must fold the delta's positions into the merged
+    positions parts — a phrase matching only the delta doc must hit."""
+    import ray.data as rd
+
+    from prosearch_ray.fixtures.gen import generate_corpus
+    from prosearch_ray.index.build import build_index
+    from prosearch_ray.index.delta import add_documents
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    idx = str(tmp_path / "idx")
+    build_index(rd.from_arrow(generate_corpus(96)), idx, docs_per_bucket=16)
+    delta = pa.table({
+        "repo": ["d/r"], "path": ["p.py"], "commit": ["e" * 40],
+        "lang": ["py"], "content": ["qqalpha qqbeta qqgamma tail words"],
+    })
+    res = add_documents(idx, rd.from_arrow(delta))
+    assert res["added"] == 1
+    s = IndexSearcher(idx)
+    assert s._has_pos_parts()
+    ids, scores = s.search_phrase("qqalpha qqbeta qqgamma", 10)
+    assert len(ids) == 1 and len(scores) == 1

@@ -11,7 +11,7 @@ import pyarrow.parquet as pq
 
 def _postings_bytes(index_dir):
     out = {}
-    for sub in ("postings", "dict", "staged"):
+    for sub in ("postings", "positions", "dict", "staged"):
         d = os.path.join(index_dir, sub)
         for f in sorted(os.listdir(d)):
             if f.endswith(".parquet"):
