@@ -29,6 +29,9 @@ __all__ = [
     "decode_bitset",
     "decode_deltas_grouped",
     "decode_bitset_grouped",
+    "encode_varints_grouped_raw",
+    "encode_deltas_grouped_raw",
+    "encode_bitsets_grouped_raw",
 ]
 
 _MAX_GROUPS = 10  # ceil(64 / 7)
@@ -125,23 +128,31 @@ def decode_deltas(buf: bytes) -> np.ndarray:
     return np.cumsum(gaps, dtype=np.uint64)
 
 
-def encode_varints_grouped(values: np.ndarray, group_lengths: np.ndarray):
-    """Encode a concatenation of groups in ONE vectorized pass and return the
-    per-group byte strings.  Equivalent to
-    ``[encode_varints(g) for g in split(values, group_lengths)]`` but without
-    per-group numpy call overhead — the per-group work is a memoryview slice.
-    """
+def encode_varints_grouped_raw(values: np.ndarray,
+                               group_lengths: np.ndarray):
+    """Encode a concatenation of groups in ONE vectorized pass.  Returns
+    ``(buffer_bytes, byte_bounds)`` where group g's encoding is
+    ``buffer[byte_bounds[g]:byte_bounds[g+1]]`` — callers build Arrow
+    binary columns zero-copy from these instead of materializing one
+    Python bytes object per group."""
     vals = np.asarray(values, dtype=np.uint64)
     glens = np.asarray(group_lengths, dtype=np.int64)
     if len(vals) == 0:
-        return [b""] * len(glens)
+        return b"", np.zeros(len(glens) + 1, dtype=np.int64)
     buf, blens = _encode_varints_with_lens(vals)
     ends = np.cumsum(blens)
     val_ends = np.cumsum(glens)
-    byte_ends = np.concatenate(([0], ends))[val_ends]
-    byte_starts = np.concatenate(([0], byte_ends[:-1]))
+    bounds = np.concatenate(([0], np.concatenate(([0], ends))[val_ends]))
+    return buf, bounds
+
+
+def encode_varints_grouped(values: np.ndarray, group_lengths: np.ndarray):
+    """List-of-bytes convenience wrapper over
+    ``encode_varints_grouped_raw`` (equivalent to
+    ``[encode_varints(g) for g in split(values, group_lengths)]``)."""
+    buf, bounds = encode_varints_grouped_raw(values, group_lengths)
     mv = memoryview(buf)
-    return [bytes(mv[s:e]) for s, e in zip(byte_starts, byte_ends)]
+    return [bytes(mv[s:e]) for s, e in zip(bounds[:-1], bounds[1:])]
 
 
 def encode_deltas_grouped(doc_ids: np.ndarray, group_lengths: np.ndarray):
@@ -159,6 +170,46 @@ def encode_deltas_grouped(doc_ids: np.ndarray, group_lengths: np.ndarray):
     starts = starts[glens > 0]
     gaps[starts] = ids[starts]
     return encode_varints_grouped(gaps, glens)
+
+
+def encode_deltas_grouped_raw(doc_ids: np.ndarray,
+                              group_lengths: np.ndarray):
+    """``encode_deltas_grouped`` returning ``(buffer, byte_bounds)`` (see
+    ``encode_varints_grouped_raw``)."""
+    ids = np.asarray(doc_ids, dtype=np.uint64)
+    glens = np.asarray(group_lengths, dtype=np.int64)
+    if len(ids) == 0:
+        return b"", np.zeros(len(glens) + 1, dtype=np.int64)
+    gaps = np.empty_like(ids)
+    gaps[0] = ids[0]
+    np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+    starts = np.concatenate(([0], np.cumsum(glens)[:-1]))
+    starts = starts[glens > 0]
+    gaps[starts] = ids[starts]
+    return encode_varints_grouped_raw(gaps, glens)
+
+
+def encode_bitsets_grouped_raw(flags: np.ndarray,
+                               group_lengths: np.ndarray):
+    """Per-group LSB-first bitsets (each padded to a byte boundary) in one
+    vectorized pass.  Returns ``(buffer, byte_bounds)``; equivalent to
+    ``[encode_bitset(g) for g in split(flags, group_lengths)]``."""
+    f = np.asarray(flags, dtype=bool)
+    glens = np.asarray(group_lengths, dtype=np.int64)
+    nbytes = (glens + 7) // 8
+    bounds = np.concatenate(([0], np.cumsum(nbytes)))
+    out = np.zeros(int(bounds[-1]), dtype=np.uint8)
+    if len(f):
+        val_starts = np.cumsum(glens) - glens
+        nz = glens > 0
+        # bit position of value j of group g = 8*byte_start[g] + (j - vs[g])
+        bitpos = (np.repeat(bounds[:-1][nz] * 8, glens[nz])
+                  + np.arange(int(glens.sum()), dtype=np.int64)
+                  - np.repeat(val_starts[nz], glens[nz]))
+        on = bitpos[f]
+        # each (byte, bit) is unique, so add == bitwise-or
+        np.add.at(out, on >> 3, (1 << (on & 7)).astype(np.uint8))
+    return out.tobytes(), bounds
 
 
 def decode_deltas_grouped(buf: bytes, group_lengths) -> np.ndarray:

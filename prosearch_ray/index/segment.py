@@ -32,9 +32,21 @@ import pyarrow.compute as pc
 
 from prosearch_ray.index.codec import (
     encode_bitset,
+    encode_bitsets_grouped_raw,
     encode_deltas_grouped,
+    encode_deltas_grouped_raw,
     encode_varints_grouped,
+    encode_varints_grouped_raw,
 )  # noqa: F401
+
+
+def _binary_from_raw(buf: bytes, bounds: "np.ndarray") -> pa.Array:
+    """Arrow binary array over an encoder's (buffer, byte bounds) — the
+    offsets/data buffers are wrapped, never copied per row."""
+    return pa.Array.from_buffers(
+        pa.binary(), len(bounds) - 1,
+        [None, pa.py_buffer(bounds.astype(np.int32).tobytes()),
+         pa.py_buffer(buf)])
 from prosearch_ray.index.fieldnorm import fieldnorm_to_id
 from prosearch_ray.text.tokenizer import expand_token
 
@@ -183,11 +195,13 @@ def build_segment(
         b_keys = sk[kstarts]
         b_term = b_keys // n
         b_docid = b_keys % n
-        # per-(term,doc) position blobs, in (term, doc) order
-        pos_blobs = encode_deltas_grouped(sp.astype(np.uint64), b_tf)
+        # per-(term,doc) position encodings, in (term, doc) order — kept as
+        # ONE buffer + byte bounds (never one Python bytes per group)
+        pos_buf, pos_bounds = encode_deltas_grouped_raw(
+            sp.astype(np.uint64), b_tf)
     else:
         b_term = b_docid = b_tf = np.empty(0, np.int64)
-        pos_blobs = []
+        pos_buf, pos_bounds = b"", np.zeros(1, dtype=np.int64)
     if len(t_tid):
         t_keys = np.unique(t_tid * n + t_doc)
         t_term = t_keys // n
@@ -205,13 +219,9 @@ def build_segment(
     else:
         keys = np.unique(all_keys)
         tf_by_key = np.zeros(len(keys), dtype=np.int64)
-        pos_by_key = np.empty(len(keys), dtype=object)
-        pos_by_key[:] = b""
         if len(b_term):
             bidx = np.searchsorted(keys, b_term * n + b_docid)
             tf_by_key[bidx] = b_tf
-            for j, blob in zip(bidx, pos_blobs):
-                pos_by_key[j] = blob
         in_title = np.zeros(len(keys), dtype=bool)
         if len(t_term):
             in_title[np.searchsorted(keys, t_term * n + t_docid)] = True
@@ -225,11 +235,20 @@ def build_segment(
         glens = ends - starts
         seg_terms = terms_of_key[starts]
 
-        doc_ids_enc = encode_deltas_grouped(
+        # all binary columns are (one buffer + per-group byte bounds) built
+        # into Arrow arrays directly — no per-group Python bytes objects
+        doc_buf, doc_bounds = encode_deltas_grouped_raw(
             (docs_of_key + base_doc_id).astype(np.uint64), glens)
-        tfs_enc = encode_varints_grouped(tf_by_key.astype(np.uint64), glens)
-        flags_enc = [encode_bitset(in_title[s:e]) for s, e in zip(starts, ends)]
-        positions_enc = [b"".join(pos_by_key[s:e]) for s, e in zip(starts, ends)]
+        tf_buf, tf_bounds = encode_varints_grouped_raw(
+            tf_by_key.astype(np.uint64), glens)
+        fl_buf, fl_bounds = encode_bitsets_grouped_raw(in_title, glens)
+        # a term's positions blob is the contiguous run of its body groups
+        # in the (term, doc)-ordered position encoding: slice by the prefix
+        # count of body keys at each term boundary
+        body_prefix = np.concatenate(
+            ([0], np.cumsum((tf_by_key > 0).astype(np.int64))))
+        term_bounds = np.concatenate((starts, [len(keys)]))
+        pos_col_bounds = pos_bounds[body_prefix[term_bounds]]
 
         df = glens
         df_title = np.add.reduceat(in_title.astype(np.int64), starts)
@@ -243,22 +262,24 @@ def build_segment(
         nt_masked = np.where(in_title, nt, 256)
         min_nt = np.minimum(np.minimum.reduceat(nt_masked, starts), 255)
 
-        term_strs = [vocab_list[t] for t in seg_terms]
-        order = np.argsort(np.asarray(term_strs, dtype=object), kind="stable")
+        term_strs = pa.array([vocab_list[t] for t in seg_terms], pa.string())
         postings = pa.table({
-            "term": pa.array([term_strs[i] for i in order], pa.string()),
-            "bucket": pa.array(np.full(len(order), bucket, np.int32), pa.int32()),
-            "df": pa.array(df[order].astype(np.uint32), pa.uint32()),
-            "df_title": pa.array(df_title[order].astype(np.uint32), pa.uint32()),
-            "df_body": pa.array(df_body[order].astype(np.uint32), pa.uint32()),
-            "doc_ids": pa.array([doc_ids_enc[i] for i in order], pa.binary()),
-            "tfs": pa.array([tfs_enc[i] for i in order], pa.binary()),
-            "title_flags": pa.array([flags_enc[i] for i in order], pa.binary()),
-            "max_tf": pa.array(max_tf[order].astype(np.uint32), pa.uint32()),
-            "min_norm_body": pa.array(min_nb[order].astype(np.uint8), pa.uint8()),
-            "min_norm_title": pa.array(min_nt[order].astype(np.uint8), pa.uint8()),
-            "positions": pa.array([positions_enc[i] for i in order], pa.binary()),
+            "term": term_strs,
+            "bucket": pa.array(np.full(len(seg_terms), bucket, np.int32),
+                               pa.int32()),
+            "df": pa.array(df.astype(np.uint32), pa.uint32()),
+            "df_title": pa.array(df_title.astype(np.uint32), pa.uint32()),
+            "df_body": pa.array(df_body.astype(np.uint32), pa.uint32()),
+            "doc_ids": _binary_from_raw(doc_buf, doc_bounds),
+            "tfs": _binary_from_raw(tf_buf, tf_bounds),
+            "title_flags": _binary_from_raw(fl_buf, fl_bounds),
+            "max_tf": pa.array(max_tf.astype(np.uint32), pa.uint32()),
+            "min_norm_body": pa.array(min_nb.astype(np.uint8), pa.uint8()),
+            "min_norm_title": pa.array(min_nt.astype(np.uint8), pa.uint8()),
+            "positions": _binary_from_raw(pos_buf, pos_col_bounds),
         }, schema=POSTINGS_SCHEMA)
+        # one C++ gather sorts every column into term-string order
+        postings = postings.take(pc.sort_indices(term_strs))
         assert nv >= len(seg_terms)
 
     docmeta = pa.table({
