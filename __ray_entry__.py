@@ -4,11 +4,12 @@
 actor-pool query) on sf0.001; ``queries()`` exposes one callable per
 implemented operator/pipeline from SURVEY.md §2 plus the training-data
 operator suite (dedup / similarity / text analysis / multimodal);
-``oracle_sql()`` gives the DuckDB-equivalent SQL for every SQL-expressible
-entry — including SimHash (md5-based feature hash, bit_or/bit_count SQL)
-and the multimodal stub (md5_number_upper bytes).  Rows-only (no oracle):
-only the two full-engine code-search entries, whose exact gate is the
-brute-force-oracle conformance suite in pytest.
+``oracle_sql()`` gives the DuckDB-equivalent SQL for EVERY entry — 31/31,
+including SimHash (md5-based feature hash, bit_or/bit_count SQL), the
+multimodal stub (md5_number_upper bytes), and the two full-engine code
+searches, whose oracles reimplement the code-aware tokenizer, fieldnorm
+quantization, engine doc-id assignment and tantivy BM25 entirely in
+DuckDB SQL (additionally gated by the pytest conformance suite).
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here (or in prosearch_ray) calls ``ray.init`` / ``ray.shutdown``.
@@ -96,11 +97,14 @@ def entry() -> Any:
 
 def code_search_topk(sf_dir: str) -> Any:
     """Full engine (code-aware tokenizer, fieldnorm quantization, block-max
-    pruning) over documents-as-corpus; rows-only driver check — the exact
-    conformance gate for this path is tests/test_conformance.py."""
+    pruning) over documents-as-corpus, exact-matched against a full
+    DuckDB BM25 reimplementation (see _code_search_sql) and additionally
+    gated by tests/test_conformance.py."""
     import pyarrow as pa
 
     from prosearch_ray.query.searcher import IndexSearcher
+
+    from prosearch_ray.pipelines.common import sql_round
 
     index_dir = _build_docs_index(sf_dir)
     s = IndexSearcher(index_dir)
@@ -111,7 +115,7 @@ def code_search_topk(sf_dir: str) -> Any:
             out_q.append(qid)
             out_r.append(rank)
             out_key.append(str(s.doc_keys[int(d)]))
-            out_s.append(round(float(sc), 4))
+            out_s.append(float(sql_round([float(sc)])[0]))
     return pa.table({
         "qid": pa.array(out_q, pa.int32()),
         "rank": pa.array(out_r, pa.int32()),
@@ -122,11 +126,14 @@ def code_search_topk(sf_dir: str) -> Any:
 
 def code_phrase_topk(sf_dir: str) -> Any:
     """Exact phrase search over documents-as-corpus (body positions,
-    record:position analog); rows-only driver check — conformance vs the
-    brute-force oracle is in tests/test_phrase.py."""
+    record:position analog), exact-matched against a DuckDB phrase-BM25
+    reimplementation (see _code_phrase_sql) and additionally gated by
+    tests/test_phrase.py."""
     import pyarrow as pa
 
     from prosearch_ray.query.searcher import IndexSearcher
+
+    from prosearch_ray.pipelines.common import sql_round
 
     index_dir = _build_docs_index(sf_dir)
     s = IndexSearcher(index_dir)
@@ -137,7 +144,7 @@ def code_phrase_topk(sf_dir: str) -> Any:
             out_q.append(qid)
             out_r.append(rank)
             out_key.append(str(s.doc_keys[int(d)]))
-            out_s.append(round(float(sc), 4))
+            out_s.append(float(sql_round([float(sc)])[0]))
     return pa.table({
         "qid": pa.array(out_q, pa.int32()),
         "rank": pa.array(out_r, pa.int32()),
@@ -462,4 +469,215 @@ def oracle_sql() -> dict[str, str]:
                          / 255.0)) AS features
         FROM documents ORDER BY media_id
     """
+    # full-engine BM25 / phrase oracles: DuckDB reimplementation of the
+    # code-aware tokenizer, fieldnorm quantization and tantivy scoring
+    d["code_search_topk"] = _code_search_sql()
+    d["code_phrase_topk"] = _code_phrase_sql()
     return d
+
+
+# The ids CTE reproduces the ENGINE's doc ids so ties break identically:
+# bucket = big-endian md5 prefix (byte-swapped md5_number_upper) mod the
+# ceil(N/512) bucket count, then doc_key rank within bucket order.
+_CODE_IDS_CTES = """
+d AS (
+  SELECT doc_id AS src_id, text,
+         source || '/docs/doc' || lpad(doc_id::VARCHAR, 7, '0') || '.txt' AS doc_key
+  FROM documents
+),
+nb AS (SELECT greatest(1, ceil(count(*) / 512.0)::BIGINT) AS nb FROM documents),
+-- engine content dedup: identical text keeps the smallest doc_key
+w AS (SELECT * FROM d
+      QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_key) = 1),
+ids AS (
+  SELECT src_id, doc_key, text,
+         (row_number() OVER (ORDER BY
+           ((((md5_number_upper(doc_key) >> 56) & 255)
+           + (((md5_number_upper(doc_key) >> 48) & 255) * 256::UBIGINT)
+           + (((md5_number_upper(doc_key) >> 40) & 255) * 65536::UBIGINT)
+           + (((md5_number_upper(doc_key) >> 32) & 255) * 16777216::UBIGINT)
+           + (((md5_number_upper(doc_key) >> 24) & 255) * 4294967296::UBIGINT)
+           + (((md5_number_upper(doc_key) >> 16) & 255) * 1099511627776::UBIGINT)
+           + (((md5_number_upper(doc_key) >> 8) & 255) * 281474976710656::UBIGINT)
+           + ((md5_number_upper(doc_key) & 255) * 72057594037927936::UBIGINT))
+            % (SELECT nb FROM nb)), doc_key) - 1)::BIGINT AS doc
+  FROM w
+)"""
+
+# code-aware token expansion of a (doc, [pos,] raw) stream — exactly
+# prosearch_ray.text.tokenizer.expand_token: strip edge punctuation, emit
+# lower(core), and add camel/digit/separator split parts when they differ.
+# RE2 has no lookahead, so camel boundaries are inserted as spaces first.
+
+
+def _expand_cte(src: str, extra_col: str = "") -> str:
+    col = f"{extra_col}, " if extra_col else ""
+    return f"""(
+  SELECT doc, {col}
+         CASE WHEN parts = [lower(core)] THEN [lower(core)]
+              ELSE list_prepend(lower(core), parts) END AS toks
+  FROM (
+    SELECT doc, {col}core,
+           list_filter(string_split_regex(lower(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(core,
+               '([a-z])([A-Z])', '\\\\1 \\\\2', 'g'),
+               '([A-Z])([A-Z][a-z])', '\\\\1 \\\\2', 'g'),
+               '([0-9])([A-Za-z])', '\\\\1 \\\\2', 'g'),
+               '([A-Za-z])([0-9])', '\\\\1 \\\\2', 'g')),
+             '[^a-z0-9]+'), x -> x <> '') AS parts
+    FROM (SELECT doc, {col}
+                 regexp_replace(regexp_replace(raw, '^[^0-9A-Za-z]+', ''),
+                                '[^0-9A-Za-z]+$', '') AS core
+          FROM {src}) WHERE core <> '')
+)"""
+
+
+def _fnt_values() -> str:
+    from prosearch_ray.index.fieldnorm import FIELD_NORMS_TABLE
+
+    return ", ".join(str(int(v)) for v in FIELD_NORMS_TABLE)
+
+
+def _code_search_sql() -> str:
+    qterms = ("(0, 'table'), (1, 'hash'), (1, 'value'), (2, 'merge'), "
+              "(2, 'batch'), (3, 'scan')")
+    return f"""
+WITH {_CODE_IDS_CTES},
+fnt AS (SELECT unnest([{_fnt_values()}]) AS v),
+q(qid, term) AS (VALUES {qterms}),
+nq AS (SELECT qid, count(*)::BIGINT AS n_terms FROM q GROUP BY 1),
+braw AS (SELECT doc, unnest(string_split_regex(text, '\\s+')) AS raw FROM ids),
+traw AS (SELECT doc, unnest(string_split_regex(doc_key, '\\s+')) AS raw FROM ids),
+bexp AS {_expand_cte('braw')},
+texp AS {_expand_cte('traw')},
+btok AS (SELECT doc, unnest(toks) AS tok FROM bexp),
+ttok AS (SELECT doc, unnest(toks) AS tok FROM texp),
+blen AS (SELECT i.doc, count(b.tok)::BIGINT AS len
+         FROM ids i LEFT JOIN btok b ON i.doc = b.doc GROUP BY 1),
+tlen AS (SELECT i.doc, count(t.tok)::BIGINT AS len
+         FROM ids i LEFT JOIN ttok t ON i.doc = t.doc GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM ids)::DOUBLE AS n,
+         (SELECT sum(len) FROM blen)::DOUBLE / (SELECT count(*) FROM ids) AS avgdl_b,
+         (SELECT sum(len) FROM tlen)::DOUBLE / (SELECT count(*) FROM ids) AS avgdl_t
+),
+norms AS (
+  SELECT b.doc,
+         (SELECT max(v) FROM fnt WHERE v <= b.len)::DOUBLE AS qlen_b,
+         (SELECT max(v) FROM fnt WHERE v <= t.len)::DOUBLE AS qlen_t
+  FROM blen b JOIN tlen t ON b.doc = t.doc
+),
+tfb AS (SELECT doc, tok, count(*)::BIGINT AS tf FROM btok
+        WHERE tok IN (SELECT term FROM q) GROUP BY 1, 2),
+intit AS (SELECT DISTINCT doc, tok FROM ttok
+          WHERE tok IN (SELECT term FROM q)),
+df AS (
+  SELECT term,
+         (SELECT count(*) FROM tfb WHERE tok = term)::DOUBLE AS df_b,
+         (SELECT count(*) FROM intit WHERE tok = term)::DOUBLE AS df_t
+  FROM (SELECT DISTINCT term FROM q)
+),
+contrib AS (
+  SELECT q.qid, i.doc, q.term,
+         coalesce(f.tf, 0) AS tf,
+         (t.doc IS NOT NULL) AS in_title
+  FROM q
+  CROSS JOIN ids i
+  LEFT JOIN tfb f ON f.doc = i.doc AND f.tok = q.term
+  LEFT JOIN intit t ON t.doc = i.doc AND t.tok = q.term
+  WHERE coalesce(f.tf, 0) > 0 OR t.doc IS NOT NULL
+),
+scored AS (
+  SELECT c.qid, c.doc,
+         count(*)::BIGINT AS n_matched,
+         sum(
+           CASE WHEN c.tf > 0 THEN
+             ln(1 + ((SELECT n FROM stats) - d.df_b + 0.5) / (d.df_b + 0.5))
+             * (c.tf * 2.2 / (c.tf + 1.2 * (0.25 + 0.75 * nm.qlen_b
+                 / (SELECT avgdl_b FROM stats))))
+           ELSE 0 END
+           + CASE WHEN c.in_title THEN
+             ln(1 + ((SELECT n FROM stats) - d.df_t + 0.5) / (d.df_t + 0.5))
+             * (2.2 / (1 + 1.2 * (0.25 + 0.75 * nm.qlen_t
+                 / (SELECT avgdl_t FROM stats)))) * 1.5
+           ELSE 0 END
+         ) AS score
+  FROM contrib c
+  JOIN df d ON d.term = c.term
+  JOIN norms nm ON nm.doc = c.doc
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT s.qid, s.doc, s.score,
+         row_number() OVER (PARTITION BY s.qid
+                            ORDER BY s.score DESC, s.doc) - 1 AS rank
+  FROM scored s JOIN nq ON nq.qid = s.qid
+  WHERE s.n_matched = nq.n_terms
+)
+SELECT r.qid::INTEGER AS qid, r.rank::INTEGER AS rank, i.doc_key,
+       round(r.score, 4) AS score
+FROM ranked r JOIN ids i ON i.doc = r.doc
+WHERE r.rank < 10
+ORDER BY qid, rank
+"""
+
+
+def _code_phrase_sql() -> str:
+    qp = ("(0, 0, 'hash'), (0, 1, 'value'), (1, 0, 'merge'), (1, 1, 'batch'), "
+          "(2, 0, 'key'), (2, 1, 'agg'), (2, 2, 'row')")
+    return f"""
+WITH {_CODE_IDS_CTES},
+fnt AS (SELECT unnest([{_fnt_values()}]) AS v),
+qp(qid, j, term) AS (VALUES {qp}),
+nq AS (SELECT qid, count(*)::BIGINT AS n_terms FROM qp GROUP BY 1),
+rawpos AS (
+  SELECT i.doc, u.i - 1 AS pos, arr[u.i] AS raw
+  FROM (SELECT doc, string_split_regex(text, '\\s+') AS arr FROM ids) i,
+       unnest(generate_series(1, len(i.arr))) u(i)
+),
+pexp AS {_expand_cte('rawpos', 'pos')},
+blen AS (
+  SELECT i.doc, coalesce(sum(len(p.toks)), 0)::BIGINT AS len
+  FROM ids i LEFT JOIN pexp p ON i.doc = p.doc GROUP BY 1
+),
+stats AS (
+  SELECT (SELECT count(*) FROM ids)::DOUBLE AS n,
+         (SELECT sum(len) FROM blen)::DOUBLE / (SELECT count(*) FROM ids) AS avgdl_b
+),
+pm AS (
+  SELECT DISTINCT doc, pos, tok
+  FROM (SELECT doc, pos, unnest(toks) AS tok FROM pexp)
+  WHERE tok IN (SELECT term FROM qp)
+),
+occ AS (
+  SELECT qp.qid, pm.doc, pm.pos - qp.j AS s
+  FROM qp JOIN pm ON pm.tok = qp.term
+),
+hits AS (
+  SELECT o.qid, o.doc, o.s
+  FROM occ o JOIN nq ON nq.qid = o.qid
+  GROUP BY o.qid, o.doc, o.s, nq.n_terms
+  HAVING count(*) = nq.n_terms
+),
+doctf AS (SELECT qid, doc, count(*)::BIGINT AS tf FROM hits GROUP BY 1, 2),
+dfp AS (SELECT qid, count(*)::DOUBLE AS df_p FROM doctf GROUP BY 1),
+scored AS (
+  SELECT t.qid, t.doc,
+         ln(1 + ((SELECT n FROM stats) - f.df_p + 0.5) / (f.df_p + 0.5))
+         * (t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75
+             * (SELECT max(v) FROM fnt WHERE v <= b.len)::DOUBLE
+             / (SELECT avgdl_b FROM stats)))) AS score
+  FROM doctf t JOIN dfp f ON f.qid = t.qid JOIN blen b ON b.doc = t.doc
+),
+ranked AS (
+  SELECT qid, doc, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc) - 1 AS rank
+  FROM scored
+)
+SELECT r.qid::INTEGER AS qid, r.rank::INTEGER AS rank, i.doc_key,
+       round(r.score, 4) AS score
+FROM ranked r JOIN ids i ON i.doc = r.doc
+WHERE r.rank < 10
+ORDER BY qid, rank
+"""
