@@ -170,6 +170,8 @@ class IndexSearcher:
         # the (TopDocs, Count) multicollector analog (serve.rs:413-419,
         # bench.rs:79): top-k pruning never changes it
         self.last_count = 0
+        # candidates skipped by bucket-bound pruning in the LAST search()
+        self.last_pruned = 0
 
     def prewarm(self, n_top_terms: int = 64) -> int:
         """Prefetch + decode the highest-df terms into the postings LRU
@@ -418,6 +420,10 @@ class IndexSearcher:
             best_ids, best_scores = ids[top], scs[top]
             if len(best_ids) >= k:
                 kth = float(best_scores[-1])
+        # observability: candidates whose bucket bound lost to the k-th
+        # score and were never scored (pinned by the skew test)
+        self.last_pruned = int(len(cand)) - int(
+            sum(ends[j] - starts[j] for j in order[:i]))
         return best_ids, best_scores
 
     def _live_count(self, ids: np.ndarray) -> int:
@@ -432,6 +438,7 @@ class IndexSearcher:
         """Returns (doc_ids, scores), rank-ordered by (-score, doc_id);
         the corpus-wide live match count lands in ``self.last_count``."""
         self.last_count = 0
+        self.last_pruned = 0
         plan = scoring.query_plan(query, self.boost_terms)
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
         if not plan:

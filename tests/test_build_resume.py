@@ -108,3 +108,40 @@ def test_fresh_rebuild_is_deterministic(built, tiny_corpus, tmp_path):
     s1 = json.load(open(os.path.join(index_dir, "stats.json")))
     s2 = json.load(open(os.path.join(other, "stats.json")))
     assert s1 == s2
+
+
+def test_positions_merge_resumes_independently(built, tiny_corpus):
+    """A kill between the scoring merge and the positions merge leaves
+    _merge.json without pos_fp — resume must re-run ONLY the positions
+    exchange (no bucket rebuilds, no scoring re-merge) and reproduce the
+    positions parts byte-identically."""
+    import json
+
+    import ray.data as rd
+
+    from prosearch_ray.index.build import build_index
+
+    index_dir, _ = built
+    pos_dir = os.path.join(index_dir, "positions")
+    before = {f: open(os.path.join(pos_dir, f), "rb").read()
+              for f in sorted(os.listdir(pos_dir)) if f.endswith(".parquet")}
+    assert before, "build must produce positions parts"
+
+    # emulate the kill: positions state gone, scoring state intact
+    mp = os.path.join(index_dir, "_merge.json")
+    ms = json.load(open(mp))
+    ms.pop("pos_fp")
+    with open(mp, "w") as f:
+        json.dump(ms, f)
+    for f in before:
+        os.remove(os.path.join(pos_dir, f))
+
+    report = build_index(rd.from_arrow(tiny_corpus), index_dir,
+                         docs_per_bucket=64)
+    assert report["built_buckets"] == 0          # no segment rebuilds
+    assert not report["merged"]                  # no scoring re-merge
+    assert report["phases"]["merge_positions"] > 0
+    after = {f: open(os.path.join(pos_dir, f), "rb").read()
+             for f in sorted(os.listdir(pos_dir)) if f.endswith(".parquet")}
+    assert after == before
+    assert json.load(open(mp)).get("pos_fp") == ms["fingerprint"]
