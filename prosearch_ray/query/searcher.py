@@ -150,6 +150,13 @@ class IndexSearcher:
         else:
             self.tombstones = np.empty(0, np.int64)
         self.num_parts = st.get("num_parts", 0)
+        # merge fingerprint keys the cross-actor shared position cache (a
+        # rebuilt index must never serve another fingerprint's arrays)
+        try:
+            with open(os.path.join(index_dir, "_merge.json")) as f:
+                self._merge_fp = json.load(f).get("fingerprint", "")
+        except (OSError, ValueError):
+            self._merge_fp = ""
         self._part_cache: Dict[int, tuple] = {}
         self._pos_part_cache: Dict[int, tuple] = {}
         self._pos_parts_present: Optional[bool] = None
@@ -713,6 +720,23 @@ class IndexSearcher:
             else:
                 missing.append(t)
         if missing:
+            from prosearch_ray.state import poscache
+
+            shared_on = poscache.enabled()
+            if shared_on:
+                # another actor may have decoded these already — shared
+                # plasma arrays are zero-copy read-only views, so a hit
+                # costs no heap and no decode
+                hit = poscache.fetch(
+                    [f"{self._merge_fp}:{t}" for t in missing])
+                for t in list(missing):
+                    c = hit.get(f"{self._merge_fp}:{t}")
+                    if c is not None:
+                        out[t] = c
+                        self._pos_gaps_lru[t] = c
+                        self._pos_gaps_bytes += c.nbytes
+                        missing.remove(t)
+        if missing:
             fresh = self._pos_gaps(missing, postings)
             for t in missing:
                 g = fresh.get(t)
@@ -721,10 +745,12 @@ class IndexSearcher:
                 out[t] = c
                 self._pos_gaps_lru[t] = c
                 self._pos_gaps_bytes += c.nbytes if c is not None else 0
-            while (self._pos_gaps_bytes > self._pos_gaps_budget
-                   and len(self._pos_gaps_lru) > len(terms)):
-                _, old = self._pos_gaps_lru.popitem(last=False)
-                self._pos_gaps_bytes -= old.nbytes if old is not None else 0
+                if c is not None and shared_on:
+                    poscache.publish(f"{self._merge_fp}:{t}", c)
+        while (self._pos_gaps_bytes > self._pos_gaps_budget
+               and len(self._pos_gaps_lru) > len(terms)):
+            _, old = self._pos_gaps_lru.popitem(last=False)
+            self._pos_gaps_bytes -= old.nbytes if old is not None else 0
         return out
 
     def _phrase_doc_tfs(self, tokens

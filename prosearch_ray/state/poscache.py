@@ -1,0 +1,98 @@
+"""Cross-actor cache of decoded phrase position cumsums.
+
+Every query actor keeps a byte-budgeted local LRU of per-term position
+cumsum arrays (searcher.py).  On a node running N actors that means N
+copies of each hot stopword term's ~100 MB array.  This registry
+de-duplicates them through the Ray OBJECT STORE: the first actor to decode
+a term ``ray.put``s the array and publishes the ref under
+(index fingerprint, term); every other actor maps the SAME shared-memory
+object zero-copy (``ray.get`` of a numpy array is a read-only view over
+plasma — no heap copy, and the store can spill cold entries).
+
+Design notes for multi-node: the registry is a ``num_cpus=0`` named actor
+(one per job); object locality is per-node — a remote node's first reader
+pays one transfer, after which the object is resident there too.  All
+failures degrade silently to local decode (the cache is an optimization,
+never a correctness dependency)."""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+_ACTOR_NAME = "prosearch-pos-cumsum-registry"
+_NAMESPACE = "prosearch_ray"
+
+
+def enabled() -> bool:
+    if os.environ.get("PROSEARCH_SHARED_POS_CACHE", "1") == "0":
+        return False
+    try:
+        import ray
+        return ray.is_initialized()
+    except Exception:
+        return False
+
+
+_REG = None
+
+
+def _registry():
+    # the handle is cached per process: a named, non-detached actor is
+    # reclaimed by Ray as soon as no handle references it, so dropping the
+    # handle between calls would silently reset the cache
+    global _REG
+    if _REG is not None:
+        return _REG
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class _PosCumsumRegistry:
+        """Holds {key: [ObjectRef]} — the held refs keep the plasma
+        objects alive.  Refs are wrapped in lists so Ray never
+        auto-resolves them in transit."""
+
+        def __init__(self):
+            self._refs: Dict[str, list] = {}
+
+        def lookup(self, keys: List[str]) -> List[Optional[list]]:
+            return [self._refs.get(k) for k in keys]
+
+        def publish(self, key: str, wrapped_ref: list) -> None:
+            self._refs.setdefault(key, wrapped_ref)
+
+        def size(self) -> int:
+            return len(self._refs)
+
+    _REG = _PosCumsumRegistry.options(
+        name=_ACTOR_NAME, namespace=_NAMESPACE,
+        get_if_exists=True).remote()
+    return _REG
+
+
+def fetch(keys: List[str]) -> Dict[str, "object"]:
+    """Shared arrays for the given keys (missing keys omitted)."""
+    import ray
+
+    try:
+        reg = _registry()
+        wrapped = ray.get(reg.lookup.remote(keys), timeout=5)
+        out = {}
+        for k, w in zip(keys, wrapped):
+            if w:
+                out[k] = ray.get(w[0], timeout=5)
+        return out
+    except Exception:
+        return {}
+
+
+def publish(key: str, arr) -> None:
+    """Publish a decoded array; best-effort."""
+    import ray
+
+    try:
+        reg = _registry()
+        ref = ray.put(arr)
+        reg.publish.remote(key, [ref])
+    except Exception:
+        pass
