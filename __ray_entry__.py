@@ -4,7 +4,7 @@
 actor-pool query) on sf0.001; ``queries()`` exposes one callable per
 implemented operator/pipeline from SURVEY.md §2 plus the training-data
 operator suite (dedup / similarity / text analysis / multimodal);
-``oracle_sql()`` gives the DuckDB-equivalent SQL for EVERY entry — 31/31,
+``oracle_sql()`` gives the DuckDB-equivalent SQL for EVERY entry — 33/33,
 including SimHash (md5-based feature hash, bit_or/bit_count SQL), the
 multimodal stub (md5_number_upper bytes), and the two full-engine code
 searches, whose oracles reimplement the code-aware tokenizer, fieldnorm
@@ -154,8 +154,9 @@ def code_phrase_topk(sf_dir: str) -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from prosearch_ray.pipelines import (dedup, docsearch, multimodal,
-                                         relational, similarity, textstats)
+    from prosearch_ray.pipelines import (curate, dedup, docsearch,
+                                         multimodal, relational, similarity,
+                                         textstats)
 
     return {
         # relational / crawl-state analogs (SURVEY.md §2.5-2.8)
@@ -178,7 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": docsearch.token_counts,
         "bm25_topk": docsearch.bm25_topk,
         "exact_dedup": docsearch.exact_dedup,
-        # full engine over documents-as-corpus (rows-only)
+        # full engine over documents-as-corpus (DuckDB BM25 oracles)
         "code_search_topk": code_search_topk,
         "code_phrase_topk": code_phrase_topk,
         # dedup suite
@@ -186,6 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dup_pairs": dedup.minhash_dup_pairs,
         "simhash_dup_pairs": dedup.simhash_dup_pairs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
+        "dedup_clusters": dedup.dedup_clusters,
+        "clean_corpus": curate.clean_corpus,
         # similarity search.  The driver entries for the approximate variants
         # run their DEGENERATE-EXACT configurations (all-bucket probe /
         # all-cluster probe) so the brute-force SQL oracle applies; the
@@ -468,6 +471,93 @@ def oracle_sql() -> dict[str, str]:
                    i -> (((md5_number_upper(text) >> (8 * i)) & 255)::DOUBLE
                          / 255.0)) AS features
         FROM documents ORDER BY media_id
+    """
+    # near-dup clusters: connected components (recursive CTE) over the SAME
+    # exact-Jaccard pair set the minhash path verifies against
+    d["dedup_clusters"] = f"""
+        WITH RECURSIVE
+        toks AS (SELECT doc_id, {TOK_SQL} t FROM documents),
+        sh AS (SELECT doc_id,
+                      unnest(list_distinct(list_transform(
+                          generate_series(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i + 1]))) shingle
+               FROM toks WHERE len(t) >= 2),
+        sz AS (SELECT doc_id, count(*)::DOUBLE sz FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id ida, b.doc_id idb, count(*)::DOUBLE inter
+                  FROM sh a JOIN sh b
+                       ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        pairs AS (
+          SELECT ida, idb FROM inter
+          JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id
+          WHERE inter / (sa.sz + sb.sz - inter) >= 0.6),
+        edges AS (SELECT ida AS a, idb AS b FROM pairs
+                  UNION ALL SELECT idb, ida FROM pairs),
+        reach(doc, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.a, reach.r FROM edges e JOIN reach ON reach.doc = e.b)
+        SELECT doc AS doc_id, min(r)::BIGINT AS cluster,
+               (min(r) = doc) AS is_keeper
+        FROM reach GROUP BY doc ORDER BY doc
+    """
+    # corpus curation: keeper filter (clusters CTE) + language argmax +
+    # type-token-ratio gate, composed exactly as the fused Ray stage
+    d["clean_corpus"] = f"""
+        WITH RECURSIVE
+        toks AS (SELECT doc_id, {TOK_SQL} t FROM documents),
+        sh AS (SELECT doc_id,
+                      unnest(list_distinct(list_transform(
+                          generate_series(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i + 1]))) shingle
+               FROM toks WHERE len(t) >= 2),
+        sz AS (SELECT doc_id, count(*)::DOUBLE sz FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id ida, b.doc_id idb, count(*)::DOUBLE inter
+                  FROM sh a JOIN sh b
+                       ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        pairs AS (
+          SELECT ida, idb FROM inter
+          JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id
+          WHERE inter / (sa.sz + sb.sz - inter) >= 0.6),
+        edges AS (SELECT ida AS a, idb AS b FROM pairs
+                  UNION ALL SELECT idb, ida FROM pairs),
+        reach(doc, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.a, reach.r FROM edges e JOIN reach ON reach.doc = e.b),
+        comp AS (SELECT doc AS doc_id, min(r) AS cluster
+                 FROM reach GROUP BY doc),
+        tk AS (SELECT doc_id, text, t AS toks FROM toks
+               JOIN documents USING (doc_id)),
+        sig AS (SELECT doc_id, text, toks,
+                  greatest(1, len(toks))::DOUBLE n,
+                  len(list_filter(toks, x -> x IN ('das','der','die','ein',
+                      'ist','mit','nicht','und')))::DOUBLE c_de,
+                  len(list_filter(toks, x -> x IN ('a','and','in','is','of',
+                      'table','the','to','value')))::DOUBLE c_en,
+                  len(list_filter(toks, x -> x IN ('de','el','es','la','los',
+                      'por','que','una')))::DOUBLE c_es,
+                  len(list_filter(toks, x -> x IN ('des','est','et','la','le',
+                      'les','pas','une')))::DOUBLE c_fr
+                FROM tk),
+        feat AS (
+          SELECT doc_id,
+                 CASE WHEN regexp_matches(substr(text, 1, 200),
+                                          '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                      WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+                      WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+                      WHEN c_es >= c_fr THEN 'es' ELSE 'fr' END AS pred_lang,
+                 round(CASE WHEN len(toks) = 0 THEN 0
+                       ELSE len(list_distinct(toks))::DOUBLE / len(toks) END,
+                       4) AS ttr
+          FROM sig)
+        SELECT f.doc_id, f.pred_lang, f.ttr
+        FROM feat f JOIN comp c USING (doc_id)
+        WHERE c.cluster = f.doc_id
+          AND f.pred_lang IN ('de', 'en', 'es', 'fr')
+          AND f.ttr >= 0.5
+        ORDER BY f.doc_id
     """
     # full-engine BM25 / phrase oracles: DuckDB reimplementation of the
     # code-aware tokenizer, fieldnorm quantization and tantivy scoring

@@ -1,0 +1,81 @@
+"""End-to-end corpus curation — the composition a training-data pipeline
+actually runs over raw documents: near-duplicate KEEPER filter + quality
+gate + language gate, emitting the clean training subset.
+
+Scale shape: the three per-doc signals fuse into ONE ``map_batches`` pass
+(no per-signal re-read, no doc-level join); the only cross-doc state is the
+non-keeper id set from the dedup clustering, which is the near-dup LOSER
+list — orders of magnitude smaller than the corpus — broadcast once via the
+object store.  Every predicate is SQL-expressible, so the whole composition
+is exact-checked against DuckDB by the driver."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from prosearch_ray.pipelines.common import read, sql_round
+from prosearch_ray.pipelines.dedup import dedup_clusters
+from prosearch_ray.pipelines.textstats import LANG_MARKERS
+from prosearch_ray.state.broadcast import bget, bput
+from prosearch_ray.text.tokenizer import simple_tokenize
+
+DEFAULT_MIN_TTR = 0.5
+DEFAULT_LANGS = ("de", "en", "es", "fr")
+
+
+class _CurateStage:
+    """Actor-pool stage: marker lexicons built once; per batch computes
+    language prediction + type-token ratio and applies all three gates."""
+
+    def __init__(self, non_keepers_ref, min_ttr: float, keep_langs):
+        self.non_keepers = bget(non_keepers_ref)  # sorted int64 ids
+        self.min_ttr = float(min_ttr)
+        self.keep_langs = frozenset(keep_langs)
+        self.langs = sorted(k for k in LANG_MARKERS if LANG_MARKERS[k])
+        self.markers = {k: LANG_MARKERS[k] for k in self.langs}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        dup = np.isin(ids, self.non_keepers, assume_unique=True)
+        out_id, out_lang, out_ttr = [], [], []
+        for i, text in enumerate(t.column("text").to_pylist()):
+            if dup[i]:
+                continue
+            toks = simple_tokenize(text)
+            n = max(1, len(toks))
+            if any("一" <= ch <= "鿿" for ch in text[:200]):
+                pred = "zh"
+            else:
+                scores = {lang: sum(tok in mk for tok in toks) / n
+                          for lang, mk in self.markers.items()}
+                pred = max(sorted(scores), key=lambda k: scores[k])
+            if pred not in self.keep_langs:
+                continue
+            ttr = float(sql_round(
+                [len(set(toks)) / len(toks) if toks else 0.0])[0])
+            if ttr < self.min_ttr:
+                continue
+            out_id.append(int(ids[i]))
+            out_lang.append(pred)
+            out_ttr.append(ttr)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "pred_lang": pa.array(out_lang, pa.string()),
+            "ttr": pa.array(out_ttr, pa.float64()),
+        })
+
+
+def clean_corpus(sf_dir: str, min_ttr: float = DEFAULT_MIN_TTR,
+                 keep_langs=DEFAULT_LANGS) -> "rd.Dataset":
+    clusters = dedup_clusters(sf_dir)
+    keep_mask = clusters.column("is_keeper").to_numpy(zero_copy_only=False)
+    non_keepers = np.sort(
+        clusters.column("doc_id").to_numpy()[~keep_mask]).astype(np.int64)
+    ref = bput(non_keepers)
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        _CurateStage, fn_constructor_args=(ref, min_ttr, tuple(keep_langs)),
+        batch_format="pyarrow", concurrency=2, num_cpus=1)

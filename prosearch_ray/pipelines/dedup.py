@@ -408,3 +408,50 @@ def embedding_dup_pairs(sf_dir: str,
         "idb": pa.array([r["idb"] for r in out], pa.int64()),
         "cos": pa.array(sql_round([r["cos"] for r in out], 4), pa.float64()),
     })
+
+
+# ------------------------------------------------------------------ clusters
+def dedup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD
+                   ) -> pa.Table:
+    """Near-dup CLUSTER assignment — the "keep one per duplicate group"
+    step of a training-data pipeline: connected components over the
+    MinHash-verified exact-Jaccard pair set, labeling every doc with the
+    smallest doc_id reachable from it (singletons label themselves) and a
+    keeper flag.
+
+    Scale shape: the candidate/verify stages are the distributed
+    ``minhash_dup_pairs`` path (no all-pairs scan); the union-find runs on
+    the PAIR LIST, which is the already-reduced near-dup output —
+    orders of magnitude smaller than the corpus (at 100 TB the pair list
+    for a sane threshold fits a single task; were it ever to grow
+    pathological, iterative min-label propagation over joins is the
+    drop-in replacement)."""
+    pairs = minhash_dup_pairs(sf_dir, threshold=threshold)
+    docs = read(sf_dir, "documents", columns=["doc_id"])
+    doc_ids = np.sort(np.concatenate(
+        [t.column("doc_id").to_numpy() for t in
+         docs.iter_batches(batch_size=65536, batch_format="pyarrow")]))
+
+    parent: Dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs.column("ida").to_pylist(),
+                    pairs.column("idb").to_pylist()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    cluster = np.array([find(int(d)) for d in doc_ids], dtype=np.int64)
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "cluster": pa.array(cluster, pa.int64()),
+        "is_keeper": pa.array(cluster == doc_ids, pa.bool_()),
+    })

@@ -147,3 +147,44 @@ def test_ivf_partial_probe_recall():
     recalls = [len(es[q] & As.get(q, set())) / len(es[q]) for q in es]
     assert np.mean(recalls) >= 0.3  # near-orthogonal vectors cluster poorly,
     # but probing 3/8 cells must still recover a meaningful fraction
+
+
+def test_dedup_clusters_invariants():
+    """Cluster labels: every pair co-clusters, reps are cluster minima,
+    exactly one keeper per cluster, singletons keep themselves."""
+    from prosearch_ray.pipelines.dedup import dedup_clusters, minhash_dup_pairs
+
+    t = dedup_clusters(SF)
+    cl = dict(zip(t.column("doc_id").to_pylist(),
+                  t.column("cluster").to_pylist()))
+    keep = dict(zip(t.column("doc_id").to_pylist(),
+                    t.column("is_keeper").to_pylist()))
+    pairs = minhash_dup_pairs(SF)
+    assert pairs.num_rows > 0, "fixture data should contain near-dups"
+    for a, b in zip(pairs.column("ida").to_pylist(),
+                    pairs.column("idb").to_pylist()):
+        assert cl[a] == cl[b], (a, b)
+    clusters = {}
+    for d, c in cl.items():
+        assert c <= d  # label = smallest member
+        clusters.setdefault(c, []).append(d)
+    for c, members in clusters.items():
+        assert min(members) == c
+        assert sum(keep[m] for m in members) == 1
+        assert keep[c]
+
+
+def test_clean_corpus_gates():
+    """clean_corpus keeps exactly the keeper + language + ttr survivors."""
+    from prosearch_ray.pipelines.curate import clean_corpus
+    from prosearch_ray.pipelines.dedup import dedup_clusters
+
+    out = clean_corpus(SF).to_pandas()
+    assert len(out) > 0
+    cl = dedup_clusters(SF)
+    keepers = set(cl.column("doc_id").to_pylist()[i]
+                  for i, k in enumerate(cl.column("is_keeper").to_pylist())
+                  if k)
+    assert set(out["doc_id"]) <= keepers
+    assert set(out["pred_lang"]) <= {"de", "en", "es", "fr"}
+    assert (out["ttr"] >= 0.5).all()
