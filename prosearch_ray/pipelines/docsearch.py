@@ -41,11 +41,29 @@ def term_df(sf_dir: str, limit: int = 100) -> pa.Table:
     docs = read(sf_dir, "documents", columns=["text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for text in t.column("text").to_pylist():
-            c.update(set(simple_tokenize(text)))
-        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
-                         "df_part": pa.array(list(c.values()), pa.int64())})
+        """Vectorized per-batch partial df: Arrow lower+regex-split (same
+        token set as simple_tokenize for ASCII — pinned by the SQL oracle),
+        then per-doc distinct via one packed-key np.unique; no Python loop
+        over rows or tokens."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        split = pc.split_pattern_regex(
+            pc.utf8_lower(t.column("text")), "[^a-z0-9]+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        counts = np.diff(split.offsets.to_numpy().astype(np.int64))
+        flat = split.flatten()
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        denc = flat.filter(pa.array(keep)).dictionary_encode()
+        tid = denc.indices.to_numpy().astype(np.int64)
+        packed = (doc_of[keep] << np.int64(32)) | tid
+        dist_tid = (np.unique(packed) & np.int64(0xFFFFFFFF))
+        df_part = np.bincount(dist_tid, minlength=len(denc.dictionary))
+        return pa.table({
+            "term": denc.dictionary,
+            "df_part": pa.array(df_part, pa.int64())})
 
     agg = docs.map_batches(partial, batch_format="pyarrow").groupby(
         "term").aggregate(Sum("df_part", alias_name="df"))
