@@ -94,11 +94,17 @@ def decode_varints(buf: bytes) -> np.ndarray:
         run_starts = cont_idx[np.concatenate(([0], splits))]
         run_lasts = cont_idx[np.concatenate((splits - 1, [cont_idx.size - 1]))]
         vidx = np.searchsorted(last_pos, run_starts)
-        for s, e, v in zip(run_starts, run_lasts, vidx):
-            val = 0
-            for k, b in enumerate(raw[s:e + 2]):
-                val |= (int(b) & 0x7F) << (7 * k)
-            out[v] = val
+        # rebuild the multi-byte values vectorized over byte position: run r
+        # spans raw[run_starts[r] : run_lasts[r] + 2] (continuation bytes plus
+        # the terminal byte); iterate over the (tiny) max run length instead
+        # of a per-run Python loop
+        run_len = run_lasts + 2 - run_starts
+        vals = np.zeros(len(run_starts), dtype=np.uint64)
+        for k in range(int(run_len.max())):
+            m = run_len > k
+            vals[m] |= ((raw[run_starts[m] + k] & np.uint64(0x7F)).astype(
+                np.uint64) << np.uint64(7 * k))
+        out[vidx] = vals
         return out
     # value index of every byte = count of terminated values before it
     value_idx = np.concatenate(([0], np.cumsum(is_last)[:-1]))
@@ -248,7 +254,8 @@ def decode_bitset_grouped(buf: bytes, group_bit_counts) -> np.ndarray:
     idx = (np.repeat(byte_starts[nz] * 8, glens[nz])
            + np.arange(total, dtype=np.int64)
            - np.repeat(val_starts[nz], glens[nz]))
-    return bits[idx].astype(bool)
+    # unpackbits yields 0/1 uint8 — reinterpret as bool without a copy
+    return bits[idx].view(np.bool_)
 
 
 def encode_bitset(flags) -> bytes:

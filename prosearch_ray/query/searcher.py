@@ -67,8 +67,10 @@ class _TermPostings:
         self.seg_min_nt = seg_min_nt
         self.df_title = int(df_title)
         self.df_body = int(df_body)
-        self.doc_ids = decode_deltas_grouped(doc_blob, df).astype(np.int64)
-        self.tfs = decode_varints(tf_blob).astype(np.int64)
+        # ids/tfs are < 2^63 by construction — reinterpret the decoded
+        # uint64 buffers as int64 instead of copying 8 bytes/posting twice
+        self.doc_ids = decode_deltas_grouped(doc_blob, df).view(np.int64)
+        self.tfs = decode_varints(tf_blob).view(np.int64)
         self.flags = decode_bitset_grouped(flag_blob, df)
 
 
