@@ -50,7 +50,7 @@ class _TermPostings:
 
     __slots__ = ("doc_ids", "tfs", "flags", "df_title", "df_body",
                  "seg_starts", "seg_ends", "seg_max_tf", "seg_min_nb",
-                 "seg_min_nt", "seg_bucket")
+                 "seg_min_nt", "seg_bucket", "lut")
 
     def __init__(self, seg_bucket: np.ndarray, seg_df: np.ndarray,
                  seg_max_tf: np.ndarray,
@@ -72,6 +72,7 @@ class _TermPostings:
         self.doc_ids = decode_deltas_grouped(doc_blob, df).view(np.int64)
         self.tfs = decode_varints(tf_blob).view(np.int64)
         self.flags = decode_bitset_grouped(flag_blob, df)
+        self.lut = None  # (body_lut, title_lut, tf_cap) filled by the searcher
 
 
 def _list_row_np(col, i: int) -> np.ndarray:
@@ -123,11 +124,16 @@ class IndexSearcher:
                 "norm_title": pa.array([], pa.uint8()),
                 "norm_body": pa.array([], pa.uint8())})
         ids = meta.column("doc_id").to_numpy()
-        self.norm_title = np.zeros(self.n_docs, dtype=np.float64)
-        self.norm_body = np.zeros(self.n_docs, dtype=np.float64)
+        # quantized norm IDS (uint8) are the primary fast field — BM25 scores
+        # are looked up by (tf, norm_id) in per-term tables; the dequantized
+        # float lengths are kept for the bound/phrase paths
+        self.norm_title_id = np.zeros(self.n_docs, dtype=np.uint8)
+        self.norm_body_id = np.zeros(self.n_docs, dtype=np.uint8)
+        self.norm_title_id[ids] = meta.column("norm_title").to_numpy()
+        self.norm_body_id[ids] = meta.column("norm_body").to_numpy()
+        self.norm_title = id_to_fieldnorm(self.norm_title_id).astype(np.float64)
+        self.norm_body = id_to_fieldnorm(self.norm_body_id).astype(np.float64)
         bucket_of_doc = np.zeros(self.n_docs, dtype=np.int64)
-        self.norm_title[ids] = id_to_fieldnorm(meta.column("norm_title").to_numpy())
-        self.norm_body[ids] = id_to_fieldnorm(meta.column("norm_body").to_numpy())
         bucket_of_doc[ids] = meta.column("bucket").to_numpy()
         # doc_keys stay an Arrow string array (no 388k-element to_pylist at
         # actor startup); top-k consumers index it per hit
@@ -284,16 +290,75 @@ class IndexSearcher:
         return out
 
     # ------------------------------------------------------------------ score
+    _LUT_TF_CAP = 255
+
+    def _term_lut(self, tp: _TermPostings):
+        """(body_lut, title_lut, tf_cap) for one term, cached on the postings
+        object (lifetime == postings LRU residency).
+
+        BM25 inputs are quantized — tf is a small int and fieldnorms are one
+        of 256 table values — so each term's per-posting score contribution
+        takes only (tf_cap+1) x 256 distinct values.  The tables are built
+        with exactly the ops ``scoring.score_components`` applies per element
+        (same order, float64), so LUT scoring is bit-identical to the direct
+        kernel; postings with tf > tf_cap (rare) are patched exactly."""
+        if tp.lut is not None:
+            return tp.lut
+        max_tf = int(tp.seg_max_tf.max()) if len(tp.seg_max_tf) else 1
+        cap = min(max_tf, self._LUT_TF_CAP)
+        idf_t = scoring.idf([tp.df_title], self.n_docs)[0]
+        idf_b = scoring.idf([tp.df_body], self.n_docs)[0]
+        lens = id_to_fieldnorm(np.arange(256, dtype=np.uint8))
+        tf_col = np.arange(cap + 1, dtype=np.int64)[:, None]
+        body = np.where(
+            tf_col > 0,
+            idf_b * scoring.tf_factor(tf_col, lens[None, :],
+                                      self.avgdl_body) * scoring.BODY_BOOST,
+            0.0)
+        title = idf_t * scoring.tf_factor(
+            1.0, lens, self.avgdl_title) * scoring.TITLE_BOOST
+        tp.lut = (body.ravel(), title, cap, max_tf > cap)
+        return tp.lut
+
     def _term_scores(self, tp: _TermPostings, idx: np.ndarray, boost: float
                      ) -> np.ndarray:
         """Score contribution of one term at posting positions ``idx``."""
         ids = tp.doc_ids[idx]
-        return scoring.score_components(
-            tp.tfs[idx], tp.flags[idx],
-            self.norm_title[ids], self.norm_body[ids],
-            scoring.idf([tp.df_title], self.n_docs)[0],
-            scoring.idf([tp.df_body], self.n_docs)[0],
-            self.avgdl_title, self.avgdl_body, boost)
+        return self._score_lut(tp, tp.tfs[idx], tp.flags[idx],
+                               self.norm_title_id[ids],
+                               self.norm_body_id[ids], idx, boost)
+
+    def _score_lut(self, tp: _TermPostings, tfs: np.ndarray, flags: np.ndarray,
+                   ntid: np.ndarray, nbid: np.ndarray, idx: np.ndarray,
+                   boost: float) -> np.ndarray:
+        """LUT-gather scoring (bit-identical to ``scoring.score_components``);
+        ``idx`` is only needed to patch tf > tf_cap overflows exactly.
+        Fused in-place: gather body by (tf, norm_body_id), gather title by
+        norm_title_id, mask by the title flag via multiply (flag in {0,1},
+        table entries positive — identical to the where() form)."""
+        blut, tlut, cap, may_over = self._term_lut(tp)
+        over = None
+        if may_over:
+            over = tfs > cap
+            tfs = np.minimum(tfs, cap)
+        ix = tfs * 256
+        ix += nbid
+        sc = blut.take(ix)
+        tpart = tlut.take(ntid)
+        tpart *= flags
+        sc += tpart
+        if boost != 1.0:
+            sc *= boost
+        if over is not None and over.any():
+            oi = np.flatnonzero(over)
+            ids = tp.doc_ids[idx[oi]]
+            sc[oi] = scoring.score_components(
+                tp.tfs[idx[oi]], flags[oi],
+                self.norm_title[ids], self.norm_body[ids],
+                scoring.idf([tp.df_title], self.n_docs)[0],
+                scoring.idf([tp.df_body], self.n_docs)[0],
+                self.avgdl_title, self.avgdl_body, boost)
+        return sc
 
     def _segment_bounds(self, tp: _TermPostings, boost: float) -> np.ndarray:
         """Vectorized per-segment score upper bounds from block-max metadata."""
@@ -373,7 +438,6 @@ class IndexSearcher:
         bound.  ``last_count`` was already taken from the FULL candidate
         set — pruning skips scoring, never counting."""
         bound = np.zeros(self.num_buckets, dtype=np.float64)
-        idf_tb = {}
         pos = {}
         # positions of cand within each term's postings via a REUSED dense
         # rank array: one O(df) scatter + O(|cand|) gather per term — cheaper
@@ -383,10 +447,26 @@ class IndexSearcher:
         for term, boost in plan:
             tp = postings[term]
             bound[tp.seg_bucket] += self._segment_bounds(tp, boost)
-            idf_tb[term] = (scoring.idf([tp.df_title], self.n_docs)[0],
-                            scoring.idf([tp.df_body], self.n_docs)[0])
             rank[tp.doc_ids] = np.arange(len(tp.doc_ids), dtype=np.int64)
             pos[term] = rank[cand]
+        # flat bounds (every bucket holds a near-max doc — e.g. a uniform
+        # corpus): the prune condition ``bound < kth`` can never fire because
+        # no score exceeds its bucket bound, so skip the run machinery and
+        # score candidates in doc order — result-identical, ~20% faster
+        if len(bound) and float(bound.max() - bound.min()) <= 1e-12 * max(
+                1.0, abs(float(bound[0]))):
+            ntid = self.norm_title_id[cand]
+            nbid = self.norm_body_id[cand]
+            sc = np.zeros(len(cand), dtype=np.float64)
+            for term, boost in plan:
+                tp = postings[term]
+                p = pos[term]
+                sc += self._score_lut(tp, tp.tfs[p], tp.flags[p],
+                                      ntid, nbid, p, boost)
+            top = scoring.top_k_indices(sc, cand, k)
+            self.last_pruned = 0
+            return cand[top], sc[top]
+
         # cand is ascending and bucket doc-ranges are contiguous, so each
         # bucket's candidates form one run
         cb = np.searchsorted(self.bucket_bounds, cand, side="right") - 1
@@ -414,15 +494,13 @@ class IndexSearcher:
                 break
             idx = np.concatenate(chunk)
             cc = cand[idx]
-            nt, nb = self.norm_title[cc], self.norm_body[cc]
+            ntid, nbid = self.norm_title_id[cc], self.norm_body_id[cc]
             sc = np.zeros(len(cc), dtype=np.float64)
             for term, boost in plan:
                 tp = postings[term]
                 p = pos[term][idx]
-                idf_t, idf_b = idf_tb[term]
-                sc += scoring.score_components(
-                    tp.tfs[p], tp.flags[p], nt, nb, idf_t, idf_b,
-                    self.avgdl_title, self.avgdl_body, boost)
+                sc += self._score_lut(tp, tp.tfs[p], tp.flags[p],
+                                      ntid, nbid, p, boost)
             ids = np.concatenate([best_ids, cc])
             scs = np.concatenate([best_scores, sc])
             top = scoring.top_k_indices(scs, ids, k)
