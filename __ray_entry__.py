@@ -156,7 +156,7 @@ def code_phrase_topk(sf_dir: str) -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from prosearch_ray.pipelines import (curate, dedup, docsearch,
                                          multimodal, relational, similarity,
-                                         textstats)
+                                         textstats, trainprep)
 
     return {
         # relational / crawl-state analogs (SURVEY.md §2.5-2.8)
@@ -197,6 +197,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": similarity.knn_cosine,
         "lsh_knn": lambda sf_dir: similarity.lsh_knn(sf_dir, n_planes=0),
         "ivf_knn": lambda sf_dir: similarity.ivf_knn(sf_dir, n_probe=16),
+        # training-data preparation
+        "pack_sequences": trainprep.pack_sequences,
+        "ngram_counts": trainprep.ngram_counts,
         # text analysis
         "lang_id": textstats.lang_id,
         "quality_score": textstats.quality_score,
@@ -308,6 +311,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts": f"""
             SELECT doc_id, len({TOK_SQL})::BIGINT AS n_tokens FROM documents
+        """,
+        "pack_sequences": f"""
+            WITH tok AS (SELECT doc_id, source,
+                                len({TOK_SQL})::BIGINT AS n_tokens
+                         FROM documents),
+            c AS (SELECT doc_id, source, n_tokens,
+                         SUM(n_tokens) OVER (PARTITION BY source
+                                             ORDER BY doc_id) AS cum
+                  FROM tok)
+            SELECT doc_id, source, n_tokens,
+                   (cum - n_tokens)::BIGINT AS start_tok,
+                   ((cum - n_tokens) // 512)::BIGINT AS seq_id
+            FROM c
+        """,
+        "ngram_counts": f"""
+            WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term,
+                                unnest(range(len({TOK_SQL}))) AS pos
+                         FROM documents),
+            nxt AS (SELECT doc_id, term,
+                           lead(term) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS t2
+                    FROM tok)
+            SELECT term || ' ' || t2 AS bigram, count(*)::BIGINT AS n
+            FROM nxt WHERE t2 IS NOT NULL
+            GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100
         """,
         "bm25_topk": f"""
             WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),

@@ -1,0 +1,153 @@
+"""Training-data preparation operators: sequence packing and n-gram counts.
+
+Both are SQL-checkable (driver oracles in __ray_entry__.oracle_sql) and use
+the simple tokenizer (lowercase + split on non-[a-z0-9] runs) whose SQL
+parity is pinned by tests/test_sql_tokenizer_parity.py.
+
+``pack_sequences`` is the concat-then-chunk packing an LLM training pipeline
+runs before batching: documents are laid end-to-end per source shard and cut
+into fixed token-budget sequences, so each doc gets a global start offset
+and a sequence id.  The global per-source prefix sum is computed with the
+bucketed-exchange pattern (the same salt-free bounded-group shape as the
+index build): a tiny per-(source, bucket) aggregate broadcast as base
+offsets + an exact within-bucket cumsum under ``groupby(...).map_groups``
+where every group is at most ``bucket_docs`` rows — no global sort, no
+driver-side scan of the corpus.
+
+``ngram_counts`` is the classic distributed n-gram count: vectorized
+per-batch bigram partial counts (map-side combining) -> small
+``groupby(bigram).sum`` -> per-block top-k prune -> tiny driver merge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from prosearch_ray.pipelines.common import read
+from prosearch_ray.state.broadcast import bget, bput
+
+PACK_BUDGET = 512       # tokens per packed training sequence
+PACK_BUCKET_DOCS = 4096  # docs per prefix-sum bucket (bounded group size)
+NGRAM_TOP_K = 100
+
+
+def _split_tokens(col: pa.ChunkedArray):
+    """Vectorized simple-tokenize of a string column: returns
+    ``(flat_tokens, doc_of, n_docs)`` with empty tokens dropped (identical
+    token stream to the SQL ``list_filter(string_split_regex(...))``)."""
+    split = pc.split_pattern_regex(pc.utf8_lower(col), "[^a-z0-9]+")
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    counts = np.diff(split.offsets.to_numpy().astype(np.int64))
+    flat = split.flatten()
+    doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    return flat.filter(pa.array(keep)), doc_of[keep], len(counts)
+
+
+def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET,
+                   bucket_docs: int = PACK_BUCKET_DOCS) -> "rd.Dataset":
+    """Concat-then-chunk sequence packing per source shard.
+
+    Output per doc: ``start_tok`` = tokens laid down before it in its
+    source (docs ordered by doc_id), ``seq_id`` = start_tok // budget.
+    """
+    docs = read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        _, doc_of, n = _split_tokens(t.column("text"))
+        n_tok = np.bincount(doc_of, minlength=n)
+        ids = t.column("doc_id").to_numpy()
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "source": t.column("source"),
+            "bucket": pa.array(ids // bucket_docs, pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+        })
+
+    # the counted table is the ~1% derivative of the corpus — materialize it
+    # once instead of re-tokenizing for each of the two consumers below
+    counted = docs.map_batches(count, batch_format="pyarrow").materialize()
+
+    # tiny aggregate: total tokens per (source, bucket) -> exclusive prefix
+    # per source on the driver, broadcast as base offsets
+    partials = counted.groupby(["source", "bucket"]).aggregate(
+        Sum("n_tokens", alias_name="tok_sum")).take_all()
+    partials.sort(key=lambda r: (r["source"], r["bucket"]))
+    bases = {}
+    run_source, run_sum = None, 0
+    for r in partials:
+        if r["source"] != run_source:
+            run_source, run_sum = r["source"], 0
+        bases[(r["source"], int(r["bucket"]))] = run_sum
+        run_sum += int(r["tok_sum"])
+    ref = bput(bases)
+
+    def pack_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+                "start_tok": pa.array([], pa.int64()),
+                "seq_id": pa.array([], pa.int64())})
+        t = t.sort_by("doc_id")
+        base = bget(ref)[(t.column("source")[0].as_py(),
+                          int(t.column("bucket")[0].as_py()))]
+        n_tok = t.column("n_tokens").to_numpy()
+        start = base + np.cumsum(n_tok) - n_tok
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "source": t.column("source"),
+            "n_tokens": t.column("n_tokens"),
+            "start_tok": pa.array(start, pa.int64()),
+            "seq_id": pa.array(start // budget, pa.int64()),
+        })
+
+    return counted.groupby(["source", "bucket"]).map_groups(
+        pack_group, batch_format="pyarrow")
+
+
+def ngram_counts(sf_dir: str, k: int = NGRAM_TOP_K) -> pa.Table:
+    """Top-k bigrams by occurrence count over documents.text."""
+    docs = read(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, doc_of, _ = _split_tokens(t.column("text"))
+        n = len(flat)
+        if n < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n_part": pa.array([], pa.int64())})
+        # adjacent token pairs within one doc (never across doc boundaries)
+        same_doc = doc_of[1:] == doc_of[:-1]
+        pairs = pc.binary_join_element_wise(
+            flat.slice(0, n - 1), flat.slice(1, n - 1), " ")
+        pairs = pairs.filter(pa.array(same_doc))
+        vc = pc.value_counts(pairs)
+        return pa.table({"bigram": vc.field("values"),
+                         "n_part": pc.cast(vc.field("counts"), pa.int64())})
+
+    agg = docs.map_batches(partial, batch_format="pyarrow").groupby(
+        "bigram").aggregate(Sum("n_part", alias_name="n"))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        # after the groupby each bigram lives in exactly one block, so a
+        # per-block (count desc, bigram asc) head-k keeps every global
+        # top-k candidate
+        if t.num_rows <= k:
+            return t
+        return t.sort_by([("n", "descending"), ("bigram", "ascending")]
+                         ).slice(0, k)
+
+    rows = agg.map_batches(local_topk, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (-int(r["n"]), r["bigram"]))
+    rows = rows[:k]
+    return pa.table({
+        "bigram": pa.array([r["bigram"] for r in rows], pa.string()),
+        "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+    })

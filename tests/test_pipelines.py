@@ -188,3 +188,38 @@ def test_clean_corpus_gates():
     assert set(out["doc_id"]) <= keepers
     assert set(out["pred_lang"]) <= {"de", "en", "es", "fr"}
     assert (out["ttr"] >= 0.5).all()
+
+
+def test_pack_sequences_invariants():
+    """Packing must lay docs end-to-end per source: offsets are the
+    per-source exclusive prefix sum in doc_id order, and seq_id is the
+    token-budget chunk of that offset."""
+    from prosearch_ray.pipelines.trainprep import pack_sequences
+
+    rows = pack_sequences(SF, budget=64).to_pandas()
+    assert len(rows) == 500
+    for src, g in rows.groupby("source"):
+        g = g.sort_values("doc_id")
+        start = g["start_tok"].to_numpy()
+        n_tok = g["n_tokens"].to_numpy()
+        assert start[0] == 0
+        assert (start[1:] == start[:-1] + n_tok[:-1]).all()
+        assert (g["seq_id"].to_numpy() == start // 64).all()
+
+
+def test_ngram_counts_match_brute_force():
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from prosearch_ray.pipelines.trainprep import ngram_counts
+    from prosearch_ray.text.tokenizer import simple_tokenize
+
+    c = Counter()
+    for text in pq.read_table(SF + "/documents.parquet",
+                              columns=["text"]).column("text").to_pylist():
+        toks = simple_tokenize(text)
+        c.update(a + " " + b for a, b in zip(toks, toks[1:]))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    got = ngram_counts(SF).to_pylist()
+    assert [(r["bigram"], r["n"]) for r in got] == want
