@@ -110,3 +110,29 @@ def test_default_boost_set_is_reference_set():
     plan = dict(query_plan("terraform docker"))
     assert plan["terraform"] == TERM_BOOST
     assert plan["docker"] == 1.0
+
+
+def test_wide_conjunctive_query_beyond_255_terms(ray_session, tmp_path):
+    """A plan with > 255 unique terms must still find a doc containing all
+    of them (the dense-AND presence counter is uint16 — a uint8 would
+    saturate and silently return empty)."""
+    import ray.data as rd
+
+    from prosearch_ray.index.build import build_index
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    terms = [f"tok{i:03d}" for i in range(300)]
+    corpus = pa.table({
+        "repo": ["r/wide", "r/wide"],
+        "path": ["all.py", "other.py"],
+        "commit": ["a" * 40] * 2,
+        "lang": ["py"] * 2,
+        "content": [" ".join(terms), "tok000 alone here"],
+    })
+    idx = str(tmp_path / "wide")
+    build_index(rd.from_arrow(corpus), idx, docs_per_bucket=64,
+                n_input_estimate=2)
+    s = IndexSearcher(idx)
+    ids, scores = s.search(" ".join(terms), 10)
+    assert len(ids) == 1 and s.last_count == 1
+    assert s.doc_keys[int(ids[0])].as_py().endswith("all.py")
