@@ -50,7 +50,7 @@ class _TermPostings:
 
     __slots__ = ("doc_ids", "tfs", "flags", "df_title", "df_body",
                  "seg_starts", "seg_ends", "seg_max_tf", "seg_min_nb",
-                 "seg_min_nt", "seg_bucket", "lut")
+                 "seg_min_nt", "seg_bucket", "lut", "scores")
 
     def __init__(self, seg_bucket: np.ndarray, seg_df: np.ndarray,
                  seg_max_tf: np.ndarray,
@@ -72,7 +72,8 @@ class _TermPostings:
         self.doc_ids = decode_deltas_grouped(doc_blob, df).view(np.int64)
         self.tfs = decode_varints(tf_blob).view(np.int64)
         self.flags = decode_bitset_grouped(flag_blob, df)
-        self.lut = None  # (body_lut, title_lut, tf_cap) filled by the searcher
+        self.lut = None     # (body_lut, title_lut, tf_cap, may_overflow)
+        self.scores = None  # cached boost-free per-posting contributions
 
 
 def _list_row_np(col, i: int) -> np.ndarray:
@@ -320,13 +321,26 @@ class IndexSearcher:
         tp.lut = (body.ravel(), title, cap, max_tf > cap)
         return tp.lut
 
+    def _term_contrib(self, tp: _TermPostings) -> np.ndarray:
+        """Boost-free per-posting score contributions of one term, computed
+        once per postings-LRU residency (one LUT pass over df), then served
+        as a plain array — every later query over the term is one gather.
+        Tombstones never enter here: deletes are filtered on the candidate
+        side, contributions are per-posting facts."""
+        if tp.scores is None:
+            ids = tp.doc_ids
+            tp.scores = self._score_lut(
+                tp, tp.tfs, tp.flags, self.norm_title_id[ids],
+                self.norm_body_id[ids], None, 1.0)
+        return tp.scores
+
     def _term_scores(self, tp: _TermPostings, idx: np.ndarray, boost: float
                      ) -> np.ndarray:
         """Score contribution of one term at posting positions ``idx``."""
-        ids = tp.doc_ids[idx]
-        return self._score_lut(tp, tp.tfs[idx], tp.flags[idx],
-                               self.norm_title_id[ids],
-                               self.norm_body_id[ids], idx, boost)
+        sc = self._term_contrib(tp)[idx]
+        if boost != 1.0:
+            sc *= boost
+        return sc
 
     def _score_lut(self, tp: _TermPostings, tfs: np.ndarray, flags: np.ndarray,
                    ntid: np.ndarray, nbid: np.ndarray, idx: np.ndarray,
@@ -351,9 +365,10 @@ class IndexSearcher:
             sc *= boost
         if over is not None and over.any():
             oi = np.flatnonzero(over)
-            ids = tp.doc_ids[idx[oi]]
+            pidx = oi if idx is None else idx[oi]  # None = identity mapping
+            ids = tp.doc_ids[pidx]
             sc[oi] = scoring.score_components(
-                tp.tfs[idx[oi]], flags[oi],
+                tp.tfs[pidx], flags[oi],
                 self.norm_title[ids], self.norm_body[ids],
                 scoring.idf([tp.df_title], self.n_docs)[0],
                 scoring.idf([tp.df_body], self.n_docs)[0],
@@ -394,6 +409,18 @@ class IndexSearcher:
         score.  (Conjunctive multi-term queries use intersection instead —
         the product path's query algebra is AND-only, serve.rs:344.)"""
         bounds = self._segment_bounds(tp, boost)
+        # flat bounds: nothing can prune (``bound < kth`` needs a score above
+        # some other bucket's bound) — score the whole posting list in place
+        # with no per-chunk index materialization; result-identical
+        if (len(bounds) and not len(self.tombstones)
+                and float(bounds.max() - bounds.min()) <= 1e-12 * max(
+                    1.0, abs(float(bounds[0])))):
+            ids = tp.doc_ids
+            sc = self._term_contrib(tp)
+            if boost != 1.0:
+                sc = sc * boost  # new array — never scale the cache in place
+            top = scoring.top_k_indices(sc, ids, k)
+            return ids[top], sc[top]
         order = np.argsort(-bounds, kind="stable")
         best_ids = np.empty(0, np.int64)
         best_scores = np.empty(0, np.float64)
@@ -455,14 +482,9 @@ class IndexSearcher:
         # score candidates in doc order — result-identical, ~20% faster
         if len(bound) and float(bound.max() - bound.min()) <= 1e-12 * max(
                 1.0, abs(float(bound[0]))):
-            ntid = self.norm_title_id[cand]
-            nbid = self.norm_body_id[cand]
             sc = np.zeros(len(cand), dtype=np.float64)
             for term, boost in plan:
-                tp = postings[term]
-                p = pos[term]
-                sc += self._score_lut(tp, tp.tfs[p], tp.flags[p],
-                                      ntid, nbid, p, boost)
+                sc += self._term_scores(postings[term], pos[term], boost)
             top = scoring.top_k_indices(sc, cand, k)
             self.last_pruned = 0
             return cand[top], sc[top]
@@ -494,13 +516,9 @@ class IndexSearcher:
                 break
             idx = np.concatenate(chunk)
             cc = cand[idx]
-            ntid, nbid = self.norm_title_id[cc], self.norm_body_id[cc]
             sc = np.zeros(len(cc), dtype=np.float64)
             for term, boost in plan:
-                tp = postings[term]
-                p = pos[term][idx]
-                sc += self._score_lut(tp, tp.tfs[p], tp.flags[p],
-                                      ntid, nbid, p, boost)
+                sc += self._term_scores(postings[term], pos[term][idx], boost)
             ids = np.concatenate([best_ids, cc])
             scs = np.concatenate([best_scores, sc])
             top = scoring.top_k_indices(scs, ids, k)
