@@ -201,7 +201,8 @@ class IndexSearcher:
         df = d.column("df").to_numpy()
         order = np.argsort(-df, kind="stable")[:n_top_terms]
         terms = [d.column("term")[int(i)].as_py() for i in order]
-        self.fetch_postings(terms)
+        for tp in self.fetch_postings(terms).values():
+            self._term_contrib(tp)  # precompute the per-posting score cache
         return len(terms)
 
     # ------------------------------------------------------------------ fetch
