@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quota_filter": relational.quota_filter,
         "user_sessions": relational.user_sessions,
         "asof_last_event": relational.asof_last_event,
+        "range_join_events": relational.range_join_events,
         # text / search core (SQL-checkable simple-tokenizer variants)
         "term_df": docsearch.term_df,
         "token_counts": docsearch.token_counts,
@@ -287,6 +288,16 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY e.ts DESC, e.event_id DESC LIMIT 1
                    ), -1)::BIGINT AS last_event_id
             FROM orders
+        """,
+        "range_join_events": """
+            SELECT o.o_orderkey,
+                   count(e.ts)::BIGINT AS n_events_7d,
+                   round(coalesce(sum(e.value), 0), 4) AS value_sum_7d
+            FROM orders o LEFT JOIN events e
+              ON e.user_id = o.o_custkey
+             AND e.ts >= o.o_orderdate
+             AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+            GROUP BY o.o_orderkey
         """,
         "user_sessions": """
             WITH ordered AS (

@@ -383,3 +383,66 @@ def asof_last_event(sf_dir: str) -> "rd.Dataset":
         })
 
     return both.groupby("key").map_groups(asof_group, batch_format="pyarrow")
+
+
+def range_join_events(sf_dir: str, window_days: int = 7) -> "rd.Dataset":
+    """Interval/range join — for every order, count and value-sum of that
+    customer's events with ts in [o_orderdate, o_orderdate + window).
+
+    Same bucketed shape as ``asof_last_event``: tag both sides, ONE
+    co-grouping shuffle on the customer key (groups are bounded by
+    events-per-user), then two vectorized searchsorted probes per group
+    give each order its event interval; sums come from one cumsum.  No
+    all-pairs expansion, no driver-side materialization."""
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_orderkey",
+                                             "o_orderdate"])
+    events = read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    window_us = np.int64(window_days) * 86_400_000_000
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(t.column("o_custkey"), pa.int64()),
+            "kind": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+            "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "ts": pc.cast(t.column("o_orderdate"), pa.timestamp("us")),
+            "value": pa.array(np.zeros(t.num_rows, np.float64), pa.float64()),
+        })
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(t.column("user_id"), pa.int64()),
+            "kind": pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
+            "o_orderkey": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+            "ts": pc.cast(t.column("ts"), pa.timestamp("us")),
+            "value": pc.cast(t.column("value"), pa.float64()),
+        })
+
+    both = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        events.map_batches(tag_events, batch_format="pyarrow"))
+
+    def range_group(g: pa.Table) -> pa.Table:
+        kind = g.column("kind").to_numpy()
+        ts = g.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        ev_mask = kind == 1
+        ord_mask = ~ev_mask
+        if not ord_mask.any():
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "n_events_7d": pa.array([], pa.int64()),
+                             "value_sum_7d": pa.array([], pa.float64())})
+        okeys = g.column("o_orderkey").to_numpy()[ord_mask]
+        odates = ts[ord_mask]
+        ev_ts = ts[ev_mask]
+        ev_val = g.column("value").to_numpy()[ev_mask]
+        order_ev = np.argsort(ev_ts, kind="stable")
+        ev_ts, ev_val = ev_ts[order_ev], ev_val[order_ev]
+        lo = np.searchsorted(ev_ts, odates, side="left")
+        hi = np.searchsorted(ev_ts, odates + window_us, side="left")
+        cs = np.concatenate(([0.0], np.cumsum(ev_val)))
+        return pa.table({
+            "o_orderkey": pa.array(okeys, pa.int64()),
+            "n_events_7d": pa.array(hi - lo, pa.int64()),
+            "value_sum_7d": pa.array(sql_round(cs[hi] - cs[lo], 4),
+                                     pa.float64()),
+        })
+
+    return both.groupby("key").map_groups(range_group, batch_format="pyarrow")

@@ -223,3 +223,24 @@ def test_ngram_counts_match_brute_force():
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
     got = ngram_counts(SF).to_pylist()
     assert [(r["bigram"], r["n"]) for r in got] == want
+
+
+def test_range_join_matches_brute_force():
+    import pyarrow.parquet as pq
+
+    from prosearch_ray.pipelines.relational import range_join_events
+
+    ev = pq.read_table(SF + "/events.parquet",
+                       columns=["user_id", "ts", "value"]).to_pandas()
+    orders = pq.read_table(
+        SF + "/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    got = range_join_events(SF).to_pandas().set_index("o_orderkey")
+    assert len(got) == len(orders)
+    week = np.timedelta64(7, "D")
+    for r in orders.sample(50, random_state=7).itertuples():
+        m = ev[(ev.user_id == r.o_custkey) & (ev.ts >= r.o_orderdate)
+               & (ev.ts.values < np.datetime64(r.o_orderdate) + week)]
+        assert got.loc[r.o_orderkey, "n_events_7d"] == len(m)
+        assert abs(got.loc[r.o_orderkey, "value_sum_7d"]
+                   - round(float(m.value.sum()), 4)) < 1e-6
