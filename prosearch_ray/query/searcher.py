@@ -50,7 +50,7 @@ class _TermPostings:
 
     __slots__ = ("doc_ids", "tfs", "flags", "df_title", "df_body",
                  "seg_starts", "seg_ends", "seg_max_tf", "seg_min_nb",
-                 "seg_min_nt", "seg_bucket", "lut", "scores")
+                 "seg_min_nt", "seg_bucket", "lut", "scores", "term")
 
     def __init__(self, seg_bucket: np.ndarray, seg_df: np.ndarray,
                  seg_max_tf: np.ndarray,
@@ -74,6 +74,25 @@ class _TermPostings:
         self.flags = decode_bitset_grouped(flag_blob, df)
         self.lut = None     # (body_lut, title_lut, tf_cap, may_overflow)
         self.scores = None  # cached boost-free per-posting contributions
+        self.term = ""      # set by the searcher at fetch time
+
+    _SHARED_FIELDS = ("doc_ids", "tfs", "flags", "df_title", "df_body",
+                      "seg_starts", "seg_ends", "seg_max_tf", "seg_min_nb",
+                      "seg_min_nt", "seg_bucket", "scores")
+
+    def to_shared(self) -> dict:
+        """Bundle for the cross-actor object-store cache (read-only views on
+        the receiving side — nothing in the query path mutates these)."""
+        return {f: getattr(self, f) for f in self._SHARED_FIELDS}
+
+    @classmethod
+    def from_shared(cls, bundle: dict) -> "_TermPostings":
+        tp = cls.__new__(cls)
+        for f in cls._SHARED_FIELDS:
+            setattr(tp, f, bundle[f])
+        tp.lut = None
+        tp.term = ""
+        return tp
 
 
 def _list_row_np(col, i: int) -> np.ndarray:
@@ -245,10 +264,25 @@ class IndexSearcher:
                 missing.append(t)
         if not missing:
             return out
-        by_part: Dict[int, List[str]] = {}
-        for t in missing:
-            by_part.setdefault(layout.term_part(t, self.num_parts), []).append(t)
+        # cross-actor shared bundles first: another actor on this node may
+        # already have fetched + decoded + scored these terms — reuse its
+        # arrays zero-copy from the object store instead of re-doing the
+        # row-group read, varint decode and contribution pass per actor
         found: Dict[str, _TermPostings] = {}
+        to_fetch = missing
+        if self._merge_fp:
+            from prosearch_ray.state import poscache
+            if poscache.enabled():
+                hit = poscache.fetch(
+                    [f"tp:{self._merge_fp}:{t}" for t in missing])
+                for t in missing:
+                    b = hit.get(f"tp:{self._merge_fp}:{t}")
+                    if b is not None:
+                        found[t] = _TermPostings.from_shared(b)
+                to_fetch = [t for t in missing if t not in found]
+        by_part: Dict[int, List[str]] = {}
+        for t in to_fetch:
+            by_part.setdefault(layout.term_part(t, self.num_parts), []).append(t)
         for part, part_terms in by_part.items():
             pf, ranges = self._part_handle(part)
             if pf is None:
@@ -282,6 +316,7 @@ class IndexSearcher:
                     _large_binary_row(tbl.column("doc_ids"), i),
                     _large_binary_row(tbl.column("tfs"), i),
                     _large_binary_row(tbl.column("title_flags"), i))
+                found[t].term = t
         for t in missing:
             tp = found.get(t)
             self._postings_lru[t] = tp
@@ -293,6 +328,9 @@ class IndexSearcher:
 
     # ------------------------------------------------------------------ score
     _LUT_TF_CAP = 255
+    # only stopword-grade terms are worth a cross-actor shared bundle — the
+    # registry round-trip costs more than a small term's local decode
+    _SHARE_MIN_DF = 65536
 
     def _term_lut(self, tp: _TermPostings):
         """(body_lut, title_lut, tf_cap) for one term, cached on the postings
@@ -333,6 +371,14 @@ class IndexSearcher:
             tp.scores = self._score_lut(
                 tp, tp.tfs, tp.flags, self.norm_title_id[ids],
                 self.norm_body_id[ids], None, 1.0)
+            # big terms: publish the full decoded+scored bundle for the
+            # other actors of the pool (best-effort, read-only on arrival)
+            if (tp.term and len(ids) >= self._SHARE_MIN_DF
+                    and self._merge_fp):
+                from prosearch_ray.state import poscache
+                if poscache.enabled():
+                    poscache.publish(
+                        f"tp:{self._merge_fp}:{tp.term}", tp.to_shared())
         return tp.scores
 
     def _term_scores(self, tp: _TermPostings, idx: np.ndarray, boost: float

@@ -1,13 +1,15 @@
-"""Cross-actor cache of decoded phrase position cumsums.
+"""Cross-actor cache of decoded per-term arrays (keyed blobs).
 
-Every query actor keeps a byte-budgeted local LRU of per-term position
-cumsum arrays (searcher.py).  On a node running N actors that means N
-copies of each hot stopword term's ~100 MB array.  This registry
-de-duplicates them through the Ray OBJECT STORE: the first actor to decode
-a term ``ray.put``s the array and publishes the ref under
-(index fingerprint, term); every other actor maps the SAME shared-memory
-object zero-copy (``ray.get`` of a numpy array is a read-only view over
-plasma — no heap copy, and the store can spill cold entries).
+Every query actor keeps local LRUs of per-term decoded arrays: phrase
+position cumsums and, for stopword-grade terms, full postings bundles
+(ids/tfs/flags + the boost-free contribution array, ``tp:`` keys).  On a
+node running N actors that means N copies of each hot term's arrays.  This
+registry de-duplicates them through the Ray OBJECT STORE: the first actor
+to decode a term ``ray.put``s the array(s) and publishes the ref under
+(kind, index fingerprint, term); every other actor maps the SAME
+shared-memory object zero-copy (``ray.get`` of a numpy array is a
+read-only view over plasma — no heap copy, and the store can spill cold
+entries).
 
 Design notes for multi-node: the registry is a ``num_cpus=0`` named actor
 (one per job); object locality is per-node — a remote node's first reader

@@ -171,3 +171,31 @@ def test_html_stats_page():
     assert "<td>example.com</td>" in page
     assert "<td>12</td>" in page
     assert "4096 bytes" in page or "4.0 KiB" in page or "kB" in page
+
+
+def test_shared_postings_bundles_across_searchers(tiny_index):
+    """Cross-actor postings sharing: a second searcher must pick up the
+    first one's decoded+scored bundle from the object-store registry and
+    return identical results (ids, scores, count)."""
+    import numpy as np
+
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    index_dir, _ = tiny_index
+    q = "merge hash"
+    s1 = IndexSearcher(index_dir)
+    s1._SHARE_MIN_DF = 1  # share every term at fixture scale
+    ids1, sc1 = s1.search(q)
+    c1 = s1.last_count
+
+    s2 = IndexSearcher(index_dir)
+    s2._SHARE_MIN_DF = 1
+    from prosearch_ray.index import scoring as _scoring
+    terms = [t for t, _ in _scoring.query_plan(q, s2.boost_terms)]
+    tps = s2.fetch_postings(terms)
+    # the bundle arrives pre-scored (contributions computed by s1)
+    assert all(tps[t].scores is not None for t in tps)
+    ids2, sc2 = s2.search(q)
+    assert np.array_equal(ids1, ids2)
+    assert np.array_equal(sc1, sc2)
+    assert s2.last_count == c1
