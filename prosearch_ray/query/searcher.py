@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import bisect
+import time
 from collections import OrderedDict
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -196,6 +197,10 @@ class IndexSearcher:
         # so hot terms (the boost set, stopword-grade tokens) stay resident
         self._postings_lru: "OrderedDict[str, Optional[_TermPostings]]" = OrderedDict()
         self._postings_lru_cap = 4096
+        # locally-cached view of the cross-actor shared-bundle key set
+        self._shared_known: set = set()
+        self._shared_known_at = float("-inf")
+        self._share_publish = True
         # separate (smaller) LRU for decoded phrase position keys — entries
         # are fatter (one uint64 per occurrence)
         self._positions_lru: "OrderedDict[str, Optional[np.ndarray]]" = OrderedDict()
@@ -220,8 +225,18 @@ class IndexSearcher:
         df = d.column("df").to_numpy()
         order = np.argsort(-df, kind="stable")[:n_top_terms]
         terms = [d.column("term")[int(i)].as_py() for i in order]
-        for tp in self.fetch_postings(terms).values():
-            self._term_contrib(tp)  # precompute the per-posting score cache
+        # prewarm decodes locally and NEVER publishes: the whole pool warms
+        # concurrently while early-ready actors already serve queries, so
+        # object-store churn here would tax live query latency for bundles
+        # every peer is busy building anyway.  Cross-actor sharing happens
+        # at query time (rare cold big terms), where one publisher saves
+        # every later actor the decode.
+        self._share_publish = False
+        try:
+            for tp in self.fetch_postings(terms).values():
+                self._term_contrib(tp)  # precompute the score cache
+        finally:
+            self._share_publish = True
         return len(terms)
 
     # ------------------------------------------------------------------ fetch
@@ -270,16 +285,26 @@ class IndexSearcher:
         # row-group read, varint decode and contribution pass per actor
         found: Dict[str, _TermPostings] = {}
         to_fetch = missing
-        if self._merge_fp:
+        if self._merge_fp and self._share_postings_enabled():
             from prosearch_ray.state import poscache
             if poscache.enabled():
-                hit = poscache.fetch(
-                    [f"tp:{self._merge_fp}:{t}" for t in missing])
-                for t in missing:
-                    b = hit.get(f"tp:{self._merge_fp}:{t}")
-                    if b is not None:
-                        found[t] = _TermPostings.from_shared(b)
-                to_fetch = [t for t in missing if t not in found]
+                # locally-cached published-key set (short refresh): terms
+                # that were never shared cost a set test here, not an RPC
+                now = time.monotonic()
+                if now - self._shared_known_at > 60.0:
+                    self._shared_known = set(poscache.known_keys(
+                        f"tp:{self._merge_fp}:"))
+                    self._shared_known_at = now
+                ask = [t for t in missing
+                       if f"tp:{self._merge_fp}:{t}" in self._shared_known]
+                if ask:
+                    hit = poscache.fetch(
+                        [f"tp:{self._merge_fp}:{t}" for t in ask])
+                    for t in ask:
+                        b = hit.get(f"tp:{self._merge_fp}:{t}")
+                        if b is not None:
+                            found[t] = _TermPostings.from_shared(b)
+                    to_fetch = [t for t in missing if t not in found]
         by_part: Dict[int, List[str]] = {}
         for t in to_fetch:
             by_part.setdefault(layout.term_part(t, self.num_parts), []).append(t)
@@ -332,6 +357,17 @@ class IndexSearcher:
     # registry round-trip costs more than a small term's local decode
     _SHARE_MIN_DF = 65536
 
+    @staticmethod
+    def _share_postings_enabled() -> bool:
+        """Cross-actor postings-bundle sharing is OPT-IN
+        (PROSEARCH_SHARED_POSTINGS=1): it trades query latency during the
+        cold-start window (object-store puts + registry RPCs land while the
+        pool is still warming; measured +40% p50 on a 57-query burst right
+        after pool startup) for an N-actors-to-1 heap dedup of hot-term
+        arrays — the right default for long-lived memory-constrained pools,
+        the wrong one for short query jobs."""
+        return os.environ.get("PROSEARCH_SHARED_POSTINGS", "0") == "1"
+
     def _term_lut(self, tp: _TermPostings):
         """(body_lut, title_lut, tf_cap) for one term, cached on the postings
         object (lifetime == postings LRU residency).
@@ -373,8 +409,9 @@ class IndexSearcher:
                 self.norm_body_id[ids], None, 1.0)
             # big terms: publish the full decoded+scored bundle for the
             # other actors of the pool (best-effort, read-only on arrival)
-            if (tp.term and len(ids) >= self._SHARE_MIN_DF
-                    and self._merge_fp):
+            if (self._share_publish and tp.term
+                    and len(ids) >= self._SHARE_MIN_DF and self._merge_fp
+                    and self._share_postings_enabled()):
                 from prosearch_ray.state import poscache
                 if poscache.enabled():
                     poscache.publish(

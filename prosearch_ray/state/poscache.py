@@ -63,6 +63,9 @@ def _registry():
         def publish(self, key: str, wrapped_ref: list) -> None:
             self._refs.setdefault(key, wrapped_ref)
 
+        def keys_with_prefix(self, prefix: str) -> List[str]:
+            return [k for k in self._refs if k.startswith(prefix)]
+
         def size(self) -> int:
             return len(self._refs)
 
@@ -88,13 +91,33 @@ def fetch(keys: List[str]) -> Dict[str, "object"]:
         return {}
 
 
-def publish(key: str, arr) -> None:
-    """Publish a decoded array; best-effort."""
+def known_keys(prefix: str) -> List[str]:
+    """Keys currently published under ``prefix`` — callers cache this set
+    locally (with a short refresh interval) so per-query lookups for
+    never-shared terms cost a set membership test, not a registry RPC."""
     import ray
 
     try:
         reg = _registry()
+        return ray.get(reg.keys_with_prefix.remote(prefix), timeout=5)
+    except Exception:
+        return []
+
+
+def publish(key: str, arr) -> None:
+    """Publish a decoded array; best-effort.  Looks the key up first — when
+    a pool of actors warms the same hot terms concurrently, the losers skip
+    the (multi-MB) ``ray.put`` instead of shipping an object the registry's
+    setdefault would immediately drop."""
+    import ray
+
+    try:
+        reg = _registry()
+        if ray.get(reg.lookup.remote([key]), timeout=5)[0]:
+            return
         ref = ray.put(arr)
-        reg.publish.remote(key, [ref])
+        # synchronous ack: once publish() returns, a lookup from any actor
+        # sees the key (keeps the reuse path and tests race-free)
+        ray.get(reg.publish.remote(key, [ref]), timeout=5)
     except Exception:
         pass

@@ -173,11 +173,13 @@ def test_html_stats_page():
     assert "4096 bytes" in page or "4.0 KiB" in page or "kB" in page
 
 
-def test_shared_postings_bundles_across_searchers(tiny_index):
+def test_shared_postings_bundles_across_searchers(tiny_index, monkeypatch):
     """Cross-actor postings sharing: a second searcher must pick up the
     first one's decoded+scored bundle from the object-store registry and
     return identical results (ids, scores, count)."""
     import numpy as np
+
+    monkeypatch.setenv("PROSEARCH_SHARED_POSTINGS", "1")
 
     from prosearch_ray.query.searcher import IndexSearcher
 
