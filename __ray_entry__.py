@@ -74,6 +74,55 @@ def _build_docs_index(sf_dir: str) -> str:
     return index_dir
 
 
+def _build_docs_sharded(sf_dir: str, num_shards: int = 3) -> str:
+    import shutil
+
+    import pyarrow.parquet as pq  # noqa: F401
+
+    from prosearch_ray.index.sharded import build_sharded_index
+
+    root = _index_dir_for(sf_dir) + f"-sharded{num_shards}"
+    try:
+        build_sharded_index(_documents_as_corpus(sf_dir), root,
+                            num_shards=num_shards, docs_per_bucket=512)
+    except Exception:
+        shutil.rmtree(root, ignore_errors=True)
+        build_sharded_index(_documents_as_corpus(sf_dir), root,
+                            num_shards=num_shards, docs_per_bucket=512)
+    return root
+
+
+def code_search_topk_sharded(sf_dir: str) -> Any:
+    """Scatter-gather search over a 3-shard build of documents-as-corpus
+    with corpus-wide BM25 stats (DFS query model) — same DuckDB oracle as
+    code_search_topk with the sharded merge's doc_key tie-break."""
+    import pyarrow as pa
+
+    from prosearch_ray.pipelines.common import sql_round
+    from prosearch_ray.query.sharded import ShardedSearcher
+
+    root = _build_docs_sharded(sf_dir)
+    m = ShardedSearcher(root)
+    try:
+        out_q, out_r, out_key, out_s = [], [], [], []
+        for qid, q in enumerate(["table", "hash value", "merge batch",
+                                 "scan"]):
+            keys, scores = m.search(q, 10)
+            for rank, (dk, sc) in enumerate(zip(keys, scores)):
+                out_q.append(qid)
+                out_r.append(rank)
+                out_key.append(dk)
+                out_s.append(float(sql_round([float(sc)])[0]))
+    finally:
+        m.shutdown()
+    return pa.table({
+        "qid": pa.array(out_q, pa.int32()),
+        "rank": pa.array(out_r, pa.int32()),
+        "doc_key": pa.array(out_key, pa.string()),
+        "score": pa.array(out_s, pa.float64()),
+    })
+
+
 def entry() -> Any:
     """Flagship: build the inverted index over sf0.001 documents (mapped to
     the corpus schema), serve BM25 queries through the actor pool, return the
@@ -183,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full engine over documents-as-corpus (DuckDB BM25 oracles)
         "code_search_topk": code_search_topk,
         "code_phrase_topk": code_phrase_topk,
+        "code_search_topk_sharded": code_search_topk_sharded,
         # dedup suite
         "jaccard_pairs": dedup.jaccard_pairs,
         "minhash_dup_pairs": dedup.minhash_dup_pairs,
@@ -601,6 +651,7 @@ def oracle_sql() -> dict[str, str]:
     # full-engine BM25 / phrase oracles: DuckDB reimplementation of the
     # code-aware tokenizer, fieldnorm quantization and tantivy scoring
     d["code_search_topk"] = _code_search_sql()
+    d["code_search_topk_sharded"] = _code_search_sql(tiebreak="key")
     d["code_phrase_topk"] = _code_phrase_sql()
     return d
 
@@ -667,7 +718,10 @@ def _fnt_values() -> str:
     return ", ".join(str(int(v)) for v in FIELD_NORMS_TABLE)
 
 
-def _code_search_sql() -> str:
+def _code_search_sql(tiebreak: str = "doc") -> str:
+    """tiebreak="doc": equal scores rank by engine doc_id (unsharded
+    searcher).  tiebreak="key": by doc_key (the sharded merge's order)."""
+    tb = "i2.doc_key" if tiebreak == "key" else "s.doc"
     qterms = ("(0, 'table'), (1, 'hash'), (1, 'value'), (2, 'merge'), "
               "(2, 'batch'), (3, 'scan')")
     return f"""
@@ -739,8 +793,8 @@ scored AS (
 ranked AS (
   SELECT s.qid, s.doc, s.score,
          row_number() OVER (PARTITION BY s.qid
-                            ORDER BY s.score DESC, s.doc) - 1 AS rank
-  FROM scored s JOIN nq ON nq.qid = s.qid
+                            ORDER BY s.score DESC, {tb}) - 1 AS rank
+  FROM scored s JOIN ids i2 ON i2.doc = s.doc JOIN nq ON nq.qid = s.qid
   WHERE s.n_matched = nq.n_terms
 )
 SELECT r.qid::INTEGER AS qid, r.rank::INTEGER AS rank, i.doc_key,

@@ -115,7 +115,8 @@ def _large_binary_row(col, i: int) -> memoryview:
 
 class IndexSearcher:
     def __init__(self, index_dir: str,
-                 boost_terms: frozenset = scoring.DEFAULT_BOOST_TERMS):
+                 boost_terms: frozenset = scoring.DEFAULT_BOOST_TERMS,
+                 global_stats_dir: Optional[str] = None):
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "stats.json")) as f:
             st = json.load(f)
@@ -123,6 +124,23 @@ class IndexSearcher:
         self.avgdl_title = st["avgdl_title"]
         self.avgdl_body = st["avgdl_body"]
         self.boost_terms = boost_terms
+        # sharded mode (index/sharded.py): this index holds one doc shard of
+        # a larger corpus; BM25 statistics (N, avgdl, per-term df) must be
+        # the CORPUS-WIDE values or shard scores diverge from an unsharded
+        # build.  score_n_docs feeds idf only — local n_docs keeps sizing
+        # the doc-id-indexed arrays.
+        self.score_n_docs = self.n_docs
+        self._global_dict_handle = None
+        self._global_dict_path = None
+        if global_stats_dir is not None:
+            with open(os.path.join(global_stats_dir,
+                                   "global_stats.json")) as f:
+                g = json.load(f)
+            self.score_n_docs = g["n_docs"]
+            self.avgdl_title = g["avgdl_title"]
+            self.avgdl_body = g["avgdl_body"]
+            self._global_dict_path = os.path.join(global_stats_dir,
+                                                  "global_dict.parquet")
 
         # docmeta fast fields: norm ids + doc keys indexed by compact doc_id.
         meta_dir = os.path.join(index_dir, "docmeta")
@@ -285,7 +303,11 @@ class IndexSearcher:
         # row-group read, varint decode and contribution pass per actor
         found: Dict[str, _TermPostings] = {}
         to_fetch = missing
-        if self._merge_fp and self._share_postings_enabled():
+        # sharded mode disables cross-actor bundle reuse: a bundle published
+        # by a local-stats searcher of the same shard would carry shard-local
+        # dfs/contributions under the same fingerprint
+        if (self._merge_fp and self._global_dict_path is None
+                and self._share_postings_enabled()):
             from prosearch_ray.state import poscache
             if poscache.enabled():
                 # locally-cached published-key set (short refresh): terms
@@ -342,6 +364,10 @@ class IndexSearcher:
                     _large_binary_row(tbl.column("tfs"), i),
                     _large_binary_row(tbl.column("title_flags"), i))
                 found[t].term = t
+        if self._global_dict_path is not None and found:
+            for t, (dft, dfb) in self._global_df(list(found)).items():
+                found[t].df_title = dft
+                found[t].df_body = dfb
         for t in missing:
             tp = found.get(t)
             self._postings_lru[t] = tp
@@ -349,6 +375,43 @@ class IndexSearcher:
                 self._postings_lru.popitem(last=False)
             if tp is not None:
                 out[t] = tp
+        return out
+
+    def _global_df(self, terms: List[str]) -> Dict[str, Tuple[int, int]]:
+        """Corpus-wide (df_title, df_body) for the given terms from the
+        sharded build's merged dictionary — a term-sorted parquet point-read
+        (row-group min/max stats + bisect, same seek shape as the postings
+        fetch)."""
+        h = self._global_dict_handle
+        if h is None:
+            pf = pq.ParquetFile(self._global_dict_path)
+            ti = pf.schema_arrow.get_field_index("term")
+            ranges = []
+            md = pf.metadata
+            for rg in range(md.num_row_groups):
+                stats = md.row_group(rg).column(ti).statistics
+                if stats is None or not stats.has_min_max:
+                    ranges.append((None, None))
+                else:
+                    ranges.append((stats.min, stats.max))
+            h = self._global_dict_handle = (pf, ranges)
+        pf, ranges = h
+        rgs = sorted({
+            rg for rg, (mn, mx) in enumerate(ranges)
+            for t in terms
+            if mn is None or (mn <= t <= mx)})
+        out: Dict[str, Tuple[int, int]] = {}
+        if not rgs:
+            return out
+        tbl = pf.read_row_groups(
+            rgs, columns=["term", "df_title", "df_body"]).combine_chunks()
+        term_strs = tbl.column("term").to_pylist()
+        dft = tbl.column("df_title").to_numpy()
+        dfb = tbl.column("df_body").to_numpy()
+        for t in terms:
+            i = bisect.bisect_left(term_strs, t)
+            if i < len(term_strs) and term_strs[i] == t:
+                out[t] = (int(dft[i]), int(dfb[i]))
         return out
 
     # ------------------------------------------------------------------ score
@@ -382,8 +445,8 @@ class IndexSearcher:
             return tp.lut
         max_tf = int(tp.seg_max_tf.max()) if len(tp.seg_max_tf) else 1
         cap = min(max_tf, self._LUT_TF_CAP)
-        idf_t = scoring.idf([tp.df_title], self.n_docs)[0]
-        idf_b = scoring.idf([tp.df_body], self.n_docs)[0]
+        idf_t = scoring.idf([tp.df_title], self.score_n_docs)[0]
+        idf_b = scoring.idf([tp.df_body], self.score_n_docs)[0]
         lens = id_to_fieldnorm(np.arange(256, dtype=np.uint8))
         tf_col = np.arange(cap + 1, dtype=np.int64)[:, None]
         body = np.where(
@@ -411,6 +474,7 @@ class IndexSearcher:
             # other actors of the pool (best-effort, read-only on arrival)
             if (self._share_publish and tp.term
                     and len(ids) >= self._SHARE_MIN_DF and self._merge_fp
+                    and self._global_dict_path is None
                     and self._share_postings_enabled()):
                 from prosearch_ray.state import poscache
                 if poscache.enabled():
@@ -454,15 +518,15 @@ class IndexSearcher:
             sc[oi] = scoring.score_components(
                 tp.tfs[pidx], flags[oi],
                 self.norm_title[ids], self.norm_body[ids],
-                scoring.idf([tp.df_title], self.n_docs)[0],
-                scoring.idf([tp.df_body], self.n_docs)[0],
+                scoring.idf([tp.df_title], self.score_n_docs)[0],
+                scoring.idf([tp.df_body], self.score_n_docs)[0],
                 self.avgdl_title, self.avgdl_body, boost)
         return sc
 
     def _segment_bounds(self, tp: _TermPostings, boost: float) -> np.ndarray:
         """Vectorized per-segment score upper bounds from block-max metadata."""
-        idf_t = scoring.idf([tp.df_title], self.n_docs)[0]
-        idf_b = scoring.idf([tp.df_body], self.n_docs)[0]
+        idf_t = scoring.idf([tp.df_title], self.score_n_docs)[0]
+        idf_b = scoring.idf([tp.df_body], self.score_n_docs)[0]
         bounds = np.zeros(len(tp.seg_starts), dtype=np.float64)
         if tp.df_body:
             has_body = tp.seg_max_tf > 0
@@ -853,34 +917,38 @@ class IndexSearcher:
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
         if not tokens:
             return empty
-        if len(tokens) == 1:
-            # degenerate phrase = body-only term query with body tf
-            postings = self.fetch_postings(tokens)
-            tp = postings.get(tokens[0])
-            if tp is None:
-                return empty
-            mask = tp.tfs > 0
-            ids = tp.doc_ids[mask]
-            if len(self.tombstones):
-                ids = ids[~np.isin(ids, self.tombstones, assume_unique=True)]
-            if len(ids) == 0:
-                return empty
-            tfs = tp.tfs[np.searchsorted(tp.doc_ids, ids)]
-            df_p = len(ids)
-            self.last_count = df_p
-            scores = (scoring.idf([df_p], self.n_docs)[0]
-                      * scoring.tf_factor(tfs, self.norm_body[ids],
-                                          self.avgdl_body))
-            top = scoring.top_k_indices(scores, ids, k)
-            return ids[top], scores[top]
-
-        r = self._phrase_doc_tfs(tokens)
+        r = self._phrase_candidates(tokens)
         if r is None:
             return empty
         ids, counts = r
         df_p = len(ids)
         self.last_count = df_p
-        scores = (scoring.idf([df_p], self.n_docs)[0]
+        return self._phrase_topk(ids, counts, df_p, k)
+
+    def _phrase_candidates(self, tokens
+                           ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """(doc_ids, phrase occurrence counts) of every live doc containing
+        the full phrase — the evaluation half of ``search_phrase``; sharded
+        search runs this per shard, sums the counts' length into the global
+        df_p, then scores (two-phase distributed-frequency query)."""
+        if len(tokens) == 1:
+            # degenerate phrase = body-only term query with body tf
+            tp = self.fetch_postings(tokens).get(tokens[0])
+            if tp is None:
+                return None
+            mask = tp.tfs > 0
+            ids = tp.doc_ids[mask]
+            if len(self.tombstones):
+                ids = ids[~np.isin(ids, self.tombstones, assume_unique=True)]
+            if len(ids) == 0:
+                return None
+            return ids, tp.tfs[np.searchsorted(tp.doc_ids, ids)]
+        return self._phrase_doc_tfs(tokens)
+
+    def _phrase_topk(self, ids: np.ndarray, counts: np.ndarray, df_p: int,
+                     k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Score phrase candidates with df_p (corpus-wide in sharded mode)."""
+        scores = (scoring.idf([df_p], self.score_n_docs)[0]
                   * scoring.tf_factor(counts.astype(np.float64),
                                       self.norm_body[ids], self.avgdl_body))
         top = scoring.top_k_indices(scores, ids, k)
@@ -1123,7 +1191,7 @@ class IndexSearcher:
                 return empty
             ids, tfs = r
         df_p = len(ids)
-        scores = (scoring.idf([df_p], self.n_docs)[0]
+        scores = (scoring.idf([df_p], self.score_n_docs)[0]
                   * scoring.tf_factor(tfs.astype(np.float64),
                                       self.norm_body[ids], self.avgdl_body))
         return ids, scores

@@ -1,0 +1,118 @@
+"""Scatter-gather search over a doc-sharded index (index/sharded.py).
+
+One long-lived Ray actor per shard holds an ``IndexSearcher`` opened with
+the corpus-wide statistics (``global_stats_dir``), so every shard scores
+with the SAME N / avgdl / per-term df as an unsharded build — per-doc
+scores are bit-identical, and the driver-side merge is a pure top-k heap
+over (score desc, doc_key asc) plus a count sum (the distributed
+``(TopDocs, Count)`` collector).
+
+Phrase search is two-phase (the classic distributed-frequency query): every
+shard evaluates its local phrase candidates once and reports its local
+df_p; the driver sums them and asks each shard to score its cached
+candidates under the global df_p.
+
+Tie-break note: an unsharded index breaks score ties by its compact doc_id
+(bucket-then-key order); shard-local doc ids are meaningless globally, so
+the sharded merge breaks ties by doc_key — the same ordering whenever
+scores are distinct.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import ray
+
+from prosearch_ray.index import scoring
+from prosearch_ray.index.sharded import shard_dirs
+
+
+class _ShardWorker:
+    """Per-shard search server (runs as a Ray actor)."""
+
+    def __init__(self, shard_dir: str, root: str, boost_terms):
+        from prosearch_ray.query.searcher import IndexSearcher
+
+        self.s = IndexSearcher(shard_dir, boost_terms=boost_terms,
+                               global_stats_dir=root)
+        self._phrase_cache: Tuple[Optional[str], object] = (None, None)
+
+    def _keys(self, ids) -> List[str]:
+        return [self.s.doc_keys[int(i)].as_py() for i in ids]
+
+    def search(self, query: str, k: int):
+        ids, scs = self.s.search(query, int(k))
+        return self._keys(ids), [float(x) for x in scs], int(self.s.last_count)
+
+    def phrase_candidates(self, query: str) -> int:
+        """Phase 1: evaluate the phrase locally, cache candidates, return
+        the local df_p."""
+        from prosearch_ray.text.tokenizer import _EDGE_RE
+
+        tokens = [c.lower() for c in
+                  (_EDGE_RE.sub("", raw) for raw in query.split()) if c]
+        r = self.s._phrase_candidates(tokens) if tokens else None
+        self._phrase_cache = (query, r)
+        return 0 if r is None else len(r[0])
+
+    def phrase_topk(self, query: str, df_p_global: int, k: int):
+        """Phase 2: score the cached candidates under the corpus-wide
+        df_p."""
+        cq, r = self._phrase_cache
+        if cq != query:  # actor restarted between phases — re-evaluate
+            self.phrase_candidates(query)
+            _, r = self._phrase_cache
+        if r is None:
+            return [], []
+        ids, counts = r
+        top_ids, scs = self.s._phrase_topk(ids, counts, int(df_p_global),
+                                           int(k))
+        return self._keys(top_ids), [float(x) for x in scs]
+
+
+class ShardedSearcher:
+    """Fan a query to every shard actor and merge.  ``last_count`` carries
+    the corpus-wide live match count, like ``IndexSearcher``."""
+
+    def __init__(self, root: str,
+                 boost_terms: frozenset = scoring.DEFAULT_BOOST_TERMS):
+        dirs = shard_dirs(root)
+        if not dirs:
+            raise FileNotFoundError(f"no shard=* index dirs under {root}")
+        actor = ray.remote(num_cpus=1)(_ShardWorker)
+        self.actors = [actor.remote(d, root, boost_terms) for d in dirs]
+        self.last_count = 0
+
+    @staticmethod
+    def _merge(parts, k: int) -> Tuple[List[str], List[float]]:
+        rows = []
+        for keys, scs in parts:
+            rows.extend(zip(keys, scs))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        rows = rows[:k]
+        return [r[0] for r in rows], [r[1] for r in rows]
+
+    def search(self, query: str, k: int = scoring.DEFAULT_K
+               ) -> Tuple[List[str], List[float]]:
+        res = ray.get([a.search.remote(query, k) for a in self.actors])
+        self.last_count = sum(c for _, _, c in res)
+        return self._merge([(keys, scs) for keys, scs, _ in res], k)
+
+    def search_phrase(self, query: str, k: int = scoring.DEFAULT_K
+                      ) -> Tuple[List[str], List[float]]:
+        counts = ray.get([a.phrase_candidates.remote(query)
+                          for a in self.actors])
+        df_p = int(sum(counts))
+        self.last_count = df_p
+        if df_p == 0:
+            return [], []
+        res = ray.get([a.phrase_topk.remote(query, df_p, k)
+                       for a in self.actors])
+        return self._merge(res, k)
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

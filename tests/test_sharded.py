@@ -1,0 +1,87 @@
+"""Sharded build + scatter-gather search vs the unsharded index: same doc
+set (upsert + cross-shard content dedup), same counts, bit-identical BM25
+scores (corpus-wide stats), same docs wherever scores are distinct."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def both_indexes(ray_session, tmp_path_factory):
+    from prosearch_ray.fixtures import write_corpus
+    from prosearch_ray.index.build import build_index
+    from prosearch_ray.index.sharded import build_sharded_index
+
+    base = tmp_path_factory.mktemp("sharded")
+    d = write_corpus(str(base / "corpus"), n_docs=1500)
+    single_dir = str(base / "single")
+    root = str(base / "shards")
+    rep1 = build_index(d + "/corpus", single_dir, docs_per_bucket=128)
+    rep2 = build_sharded_index(d + "/corpus", root, num_shards=3,
+                               docs_per_bucket=128)
+    return single_dir, root, rep1, rep2
+
+
+def _compare(skeys, sscores, mkeys, mscores, count_s, count_m):
+    assert count_s == count_m
+    assert len(skeys) == len(mkeys)
+    assert np.allclose(sscores, mscores, rtol=0, atol=1e-12)
+    if len(sscores):
+        kth = sscores[-1]
+        # identical docs wherever the score is strictly above the k-th
+        # (equal-score groups at the boundary may resolve ties differently:
+        # doc_id order vs doc_key order)
+        ssel = {k for k, sc in zip(skeys, sscores) if sc > kth}
+        msel = {k for k, sc in zip(mkeys, mscores) if sc > kth}
+        assert ssel == msel
+
+
+def test_same_doc_set(both_indexes):
+    _, _, rep1, rep2 = both_indexes
+    assert rep1["n_docs"] == rep2["n_docs"]
+    assert rep1["n_terms"] == rep2["n_terms"]
+
+
+def test_search_matches_unsharded(both_indexes):
+    from prosearch_ray.fixtures.gen import generate_queries
+    from prosearch_ray.query.searcher import IndexSearcher
+    from prosearch_ray.query.sharded import ShardedSearcher
+
+    single_dir, root, _, _ = both_indexes
+    s = IndexSearcher(single_dir)
+    m = ShardedSearcher(root)
+    try:
+        n_nonempty = 0
+        for row in generate_queries().to_pylist():
+            ids, scs = s.search(row["query"], row["k"])
+            skeys = [s.doc_keys[int(i)].as_py() for i in ids]
+            count_s = s.last_count
+            mkeys, mscores = m.search(row["query"], row["k"])
+            _compare(skeys, list(map(float, scs)), mkeys, mscores,
+                     count_s, m.last_count)
+            n_nonempty += bool(len(mkeys))
+        assert n_nonempty >= 20
+    finally:
+        m.shutdown()
+
+
+def test_phrase_matches_unsharded(both_indexes):
+    from prosearch_ray.query.searcher import IndexSearcher
+    from prosearch_ray.query.sharded import ShardedSearcher
+
+    single_dir, root, _, _ = both_indexes
+    s = IndexSearcher(single_dir)
+    m = ShardedSearcher(root)
+    try:
+        hits = 0
+        for q in ("merge hash", "the parse", "batch doc", "zzz nothing"):
+            ids, scs = s.search_phrase(q)
+            skeys = [s.doc_keys[int(i)].as_py() for i in ids]
+            count_s = s.last_count
+            mkeys, mscores = m.search_phrase(q)
+            _compare(skeys, list(map(float, scs)), mkeys, mscores,
+                     count_s, m.last_count)
+            hits += bool(len(mkeys))
+        assert hits >= 1
+    finally:
+        m.shutdown()
