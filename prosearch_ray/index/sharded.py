@@ -101,6 +101,105 @@ def _cross_shard_losers(corpus_root: str) -> set:
     return set(sub.column("doc_key").to_numpy(zero_copy_only=False)[loser_mask])
 
 
+def refresh_global(root: str) -> dict:
+    """Re-derive ``global_stats.json`` + ``global_dict.parquet`` from the
+    current shard outputs (after a delta fold changed a shard's stats or
+    dictionary)."""
+    n_docs = total_lt = total_lb = 0
+    shard_counts = []
+    for d in shard_dirs(root):
+        sp = os.path.join(d, "stats.json")
+        if not os.path.exists(sp):
+            continue
+        with open(sp) as f:
+            st = json.load(f)
+        n_docs += st["n_docs"]
+        total_lt += st["total_len_title"]
+        total_lb += st["total_len_body"]
+        shard_counts.append(st["n_docs"])
+    gstats = {
+        "n_docs": n_docs,
+        "num_shards": len(shard_counts),
+        "shard_n_docs": shard_counts,
+        "avgdl_title": (total_lt / n_docs) if n_docs else 0.0,
+        "avgdl_body": (total_lb / n_docs) if n_docs else 0.0,
+    }
+    tmp = os.path.join(root, "global_stats.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(gstats, f)
+    os.replace(tmp, os.path.join(root, "global_stats.json"))
+
+    dict_files = []
+    for d in shard_dirs(root):
+        dd = os.path.join(d, "dict")
+        if os.path.isdir(dd):
+            dict_files += [os.path.join(dd, f) for f in os.listdir(dd)
+                           if f.endswith(".parquet")]
+    if dict_files:
+        dicts = pads.dataset(dict_files).to_table(
+            columns=["term", "df", "df_title", "df_body"])
+        merged = pa.TableGroupBy(dicts, "term").aggregate(
+            [("df", "sum"), ("df_title", "sum"), ("df_body", "sum")])
+        merged = merged.rename_columns(
+            ["term", "df", "df_title", "df_body"]).sort_by("term")
+        tmp = os.path.join(root, "global_dict.parquet.tmp")
+        pq.write_table(merged, tmp, row_group_size=8192)
+        os.replace(tmp, os.path.join(root, "global_dict.parquet"))
+        gstats["n_terms"] = merged.num_rows
+    return gstats
+
+
+def add_documents_sharded(root: str, source, *,
+                          langs: FrozenSet[str] = DEFAULT_LANGS) -> dict:
+    """Incremental upsert into a sharded index: route delta rows to their
+    key shard, fold each affected shard's delta (index/delta.py), then
+    refresh the corpus-wide stats/dictionary.  Deltas are assumed small
+    (the single-index delta path makes the same assumption), so routing
+    happens driver-side."""
+    from prosearch_ray.index.delta import add_documents
+
+    if isinstance(source, str):
+        tbl = pads.dataset(source).to_table()
+    elif isinstance(source, pa.Table):
+        tbl = source
+    else:  # Dataset
+        tbl = pa.concat_tables(
+            [b for b in source.iter_batches(batch_format="pyarrow")
+             if b.num_rows], promote_options="default")
+    dirs = shard_dirs(root)
+    num_shards = len(dirs)
+    keys = [docid.doc_key(r, p)
+            for r, p in zip(tbl.column("repo").to_pylist(),
+                            tbl.column("path").to_pylist())]
+    shards = np.fromiter((docid.bucket_of(k, num_shards) for k in keys),
+                         dtype=np.int64, count=len(keys))
+    added = tombstoned = 0
+    for s in range(num_shards):
+        sub = tbl.filter(pa.array(shards == s))
+        if sub.num_rows == 0:
+            continue
+        import ray.data as _rd
+        rep = add_documents(dirs[s], _rd.from_arrow(sub), langs=langs,
+                            n_input_estimate=sub.num_rows)
+        added += rep.get("added", 0)
+        tombstoned += rep.get("tombstoned", 0)
+    g = refresh_global(root)
+    return {"added": added, "tombstoned": tombstoned, "n_docs": g["n_docs"]}
+
+
+def delete_docs_sharded(root: str, doc_keys) -> int:
+    """Delete-by-key across shards (tombstones; corpus stats keep counting
+    deleted docs until compaction, same as the unsharded index)."""
+    from prosearch_ray.index.delta import delete_docs
+
+    dirs = shard_dirs(root)
+    num_shards = len(dirs)
+    by_shard: dict = {}
+    for k in doc_keys:
+        by_shard.setdefault(docid.bucket_of(k, num_shards), []).append(k)
+    return sum(delete_docs(dirs[s], ks) for s, ks in by_shard.items())
+
+
 def build_sharded_index(
     source, root: str, num_shards: int = 4, *,
     docs_per_bucket: int = docid.DOCS_PER_BUCKET_DEFAULT,
@@ -127,7 +226,13 @@ def build_sharded_index(
         sdir = os.path.join(corpus_root, f"shard={s}")
         idx_dir = os.path.join(root, f"shard={s:03d}")
         if not os.path.isdir(sdir):
-            os.makedirs(os.path.join(idx_dir), exist_ok=True)
+            # a shard that received zero docs still gets a (searchable)
+            # empty index so the scatter-gather pool stays uniform
+            empty = pa.table({c: pa.array([], pa.string())
+                              for c in CORPUS_COLUMNS})
+            reports.append(build_index(rd.from_arrow(empty), idx_dir,
+                                       docs_per_bucket=docs_per_bucket,
+                                       langs=langs, n_input_estimate=0))
             continue
         sds = rd.read_parquet(sdir, columns=CORPUS_COLUMNS + ["doc_key"])
         n_est = sds.count()
@@ -143,44 +248,10 @@ def build_sharded_index(
             sds, idx_dir, docs_per_bucket=docs_per_bucket, langs=langs,
             resume=resume, n_input_estimate=n_est))
 
-    # corpus-wide stats: sums over the shard stats files
-    n_docs = sum(r["n_docs"] for r in reports)
-    total_lt = sum(r["total_len_title"] for r in reports)
-    total_lb = sum(r["total_len_body"] for r in reports)
-    gstats = {
-        "n_docs": n_docs,
-        "num_shards": num_shards,
-        "shard_n_docs": [r["n_docs"] for r in reports],
-        "avgdl_title": (total_lt / n_docs) if n_docs else 0.0,
-        "avgdl_body": (total_lb / n_docs) if n_docs else 0.0,
-    }
-    tmp = os.path.join(root, "global_stats.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(gstats, f)
-    os.replace(tmp, os.path.join(root, "global_stats.json"))
-
-    # merged dictionary: per-term corpus-wide df, term-sorted for point
-    # reads.  Driver-side pyarrow groupby here (dict rows ≈ vocab size); at
-    # corpus scale this is one more small spill exchange over hash(term).
-    dict_files = []
-    for d in shard_dirs(root):
-        dd = os.path.join(d, "dict")
-        if os.path.isdir(dd):
-            dict_files += [os.path.join(dd, f) for f in os.listdir(dd)
-                           if f.endswith(".parquet")]
-    if dict_files:
-        dicts = pads.dataset(dict_files).to_table(
-            columns=["term", "df", "df_title", "df_body"])
-        merged = pa.TableGroupBy(dicts, "term").aggregate(
-            [("df", "sum"), ("df_title", "sum"), ("df_body", "sum")])
-        merged = merged.rename_columns(
-            ["term", "df", "df_title", "df_body"]).sort_by("term")
-        pq.write_table(merged, os.path.join(root, "global_dict.parquet"),
-                       row_group_size=8192)
-        n_terms = merged.num_rows
-    else:
-        n_terms = 0
-
-    return {"n_docs": n_docs, "n_terms": n_terms, "num_shards": num_shards,
-            "shards": reports, **{k: gstats[k]
-                                  for k in ("avgdl_title", "avgdl_body")}}
+    # corpus-wide stats + merged dictionary (term-sorted for point reads).
+    # Driver-side pyarrow groupby over the shard dicts (rows ≈ vocab size);
+    # at corpus scale this is one more small spill exchange over hash(term).
+    g = refresh_global(root)
+    return {"n_docs": g["n_docs"], "n_terms": g.get("n_terms", 0),
+            "num_shards": num_shards, "shards": reports,
+            "avgdl_title": g["avgdl_title"], "avgdl_body": g["avgdl_body"]}

@@ -85,3 +85,53 @@ def test_phrase_matches_unsharded(both_indexes):
         assert hits >= 1
     finally:
         m.shutdown()
+
+
+def test_sharded_delta_matches_unsharded(both_indexes, tmp_path):
+    """Upsert + delete folded into the sharded index must match the same
+    delta applied to the unsharded index: identical counts and scores."""
+    import shutil
+
+    import pyarrow as pa
+
+    from prosearch_ray.index.delta import add_documents, delete_docs
+    from prosearch_ray.index.sharded import (add_documents_sharded,
+                                             delete_docs_sharded)
+    from prosearch_ray.query.searcher import IndexSearcher
+    from prosearch_ray.query.sharded import ShardedSearcher
+
+    single_src, root_src, _, _ = both_indexes
+    single = str(tmp_path / "single")
+    root = str(tmp_path / "shards")
+    shutil.copytree(single_src, single)
+    shutil.copytree(root_src, root)
+
+    delta = pa.table({
+        "repo": ["org0000/repo000-000", "org9999/newrepo"],
+        "path": ["pkg/Hash.java", "fresh/brandnew.py"],
+        "commit": ["f" * 40, "e" * 40],
+        "lang": ["java", "py"],
+        "content": ["totally rewritten hash merge content",
+                    "brandnewuniq merge hash token"],
+    })
+    import ray.data as rd
+    add_documents(single, rd.from_arrow(delta))
+    add_documents_sharded(root, delta)
+    s0 = IndexSearcher(single_src)
+    victim = s0.doc_keys[0].as_py()
+    delete_docs(single, [victim])
+    delete_docs_sharded(root, [victim])
+
+    s = IndexSearcher(single)
+    m = ShardedSearcher(root)
+    try:
+        for q in ("merge hash", "brandnewuniq", "totally rewritten"):
+            ids, scs = s.search(q)
+            skeys = [s.doc_keys[int(i)].as_py() for i in ids]
+            count_s = s.last_count
+            mkeys, mscores = m.search(q)
+            _compare(skeys, list(map(float, scs)), mkeys, mscores,
+                     count_s, m.last_count)
+        assert victim not in m.search("merge hash", 10_000)[0]
+    finally:
+        m.shutdown()
