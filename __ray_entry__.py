@@ -77,8 +77,6 @@ def _build_docs_index(sf_dir: str) -> str:
 def _build_docs_sharded(sf_dir: str, num_shards: int = 3) -> str:
     import shutil
 
-    import pyarrow.parquet as pq  # noqa: F401
-
     from prosearch_ray.index.sharded import build_sharded_index
 
     root = _index_dir_for(sf_dir) + f"-sharded{num_shards}"

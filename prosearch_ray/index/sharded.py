@@ -46,8 +46,12 @@ from prosearch_ray.sinks import write_partitioned
 
 
 def shard_dirs(root: str):
-    return [os.path.join(root, d) for d in sorted(os.listdir(root))
-            if d.startswith("shard=")]
+    """Shard index dirs in NUMERIC shard order (lexicographic sorting of
+    zero-padded names breaks past 1000 shards and would misroute keyed
+    updates)."""
+    names = [d for d in os.listdir(root) if d.startswith("shard=")]
+    names.sort(key=lambda d: int(d.split("=", 1)[1]))
+    return [os.path.join(root, d) for d in names]
 
 
 def _tag_batch(langs: FrozenSet[str], num_shards: int):
@@ -178,8 +182,7 @@ def add_documents_sharded(root: str, source, *,
         sub = tbl.filter(pa.array(shards == s))
         if sub.num_rows == 0:
             continue
-        import ray.data as _rd
-        rep = add_documents(dirs[s], _rd.from_arrow(sub), langs=langs,
+        rep = add_documents(dirs[s], rd.from_arrow(sub), langs=langs,
                             n_input_estimate=sub.num_rows)
         added += rep.get("added", 0)
         tombstoned += rep.get("tombstoned", 0)

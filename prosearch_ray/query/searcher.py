@@ -113,6 +113,21 @@ def _large_binary_row(col, i: int) -> memoryview:
     return memoryview(arr.buffers()[2])[offs[i]:offs[i + 1]]
 
 
+def _term_rg_ranges(pf: "pq.ParquetFile"):
+    """Per-row-group (min_term, max_term) stats of a term-sorted parquet —
+    the seek index shared by the postings parts and the sharded build's
+    global dictionary.  (None, None) = no stats, always read."""
+    term_idx = pf.schema_arrow.get_field_index("term")
+    ranges = []
+    for rg in range(pf.metadata.num_row_groups):
+        stats = pf.metadata.row_group(rg).column(term_idx).statistics
+        if stats is None or not stats.has_min_max:
+            ranges.append((None, None))
+        else:
+            ranges.append((stats.min, stats.max))
+    return ranges
+
+
 class IndexSearcher:
     def __init__(self, index_dir: str,
                  boost_terms: frozenset = scoring.DEFAULT_BOOST_TERMS,
@@ -141,6 +156,13 @@ class IndexSearcher:
             self.avgdl_body = g["avgdl_body"]
             self._global_dict_path = os.path.join(global_stats_dir,
                                                   "global_dict.parquet")
+        # score-tie ordering: None = shard-local doc_id (the unsharded
+        # contract).  Sharded mode ranks ties by doc_key instead — the
+        # driver merge orders by (score desc, doc_key), so the PER-SHARD
+        # truncation must agree or a tie group straddling a shard's local
+        # k-boundary would drop the globally-smallest key (set after
+        # docmeta loads, below).
+        self.tie_rank: Optional[np.ndarray] = None
 
         # docmeta fast fields: norm ids + doc keys indexed by compact doc_id.
         meta_dir = os.path.join(index_dir, "docmeta")
@@ -178,6 +200,10 @@ class IndexSearcher:
         # actor startup); top-k consumers index it per hit
         self.doc_keys = meta.column("doc_key").chunk(0) if meta.num_rows \
             else pa.array([], pa.string())
+        if self._global_dict_path is not None and meta.num_rows:
+            order = pc.sort_indices(self.doc_keys).to_numpy().astype(np.int64)
+            self.tie_rank = np.empty(self.n_docs, dtype=np.int64)
+            self.tie_rank[order] = np.arange(self.n_docs, dtype=np.int64)
         # bucket b's doc_ids span [bucket_bounds[b], bucket_bounds[b+1]) —
         # doc_ids are assigned contiguously per bucket (cumsum of bucket
         # counts, build.py), which makes bucket-level score bounds cheap
@@ -270,15 +296,7 @@ class IndexSearcher:
                 h = (None, [])
             else:
                 pf = pq.ParquetFile(path)
-                term_idx = pf.schema_arrow.get_field_index("term")
-                ranges = []
-                for rg in range(pf.metadata.num_row_groups):
-                    stats = pf.metadata.row_group(rg).column(term_idx).statistics
-                    if stats is None or not stats.has_min_max:
-                        ranges.append((None, None))  # no stats: always read
-                    else:
-                        ranges.append((stats.min, stats.max))
-                h = (pf, ranges)
+                h = (pf, _term_rg_ranges(pf))
             self._part_cache[part] = h
         return h
 
@@ -385,16 +403,7 @@ class IndexSearcher:
         h = self._global_dict_handle
         if h is None:
             pf = pq.ParquetFile(self._global_dict_path)
-            ti = pf.schema_arrow.get_field_index("term")
-            ranges = []
-            md = pf.metadata
-            for rg in range(md.num_row_groups):
-                stats = md.row_group(rg).column(ti).statistics
-                if stats is None or not stats.has_min_max:
-                    ranges.append((None, None))
-                else:
-                    ranges.append((stats.min, stats.max))
-            h = self._global_dict_handle = (pf, ranges)
+            h = self._global_dict_handle = (pf, _term_rg_ranges(pf))
         pf, ranges = h
         rgs = sorted({
             rg for rg, (mn, mx) in enumerate(ranges)
@@ -415,6 +424,14 @@ class IndexSearcher:
         return out
 
     # ------------------------------------------------------------------ score
+    def _topk(self, scores: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+        """Top-k indices with the searcher's tie order: (-score, doc_id)
+        normally, (-score, doc_key rank) in sharded mode (must match the
+        driver merge's ordering or boundary ties truncate wrongly)."""
+        if self.tie_rank is None:
+            return scoring.top_k_indices(scores, ids, k)
+        return scoring.top_k_indices(scores, self.tie_rank[ids], k)
+
     _LUT_TF_CAP = 255
     # only stopword-grade terms are worth a cross-actor shared bundle — the
     # registry round-trip costs more than a small term's local decode
@@ -567,7 +584,7 @@ class IndexSearcher:
             sc = self._term_contrib(tp)
             if boost != 1.0:
                 sc = sc * boost  # new array — never scale the cache in place
-            top = scoring.top_k_indices(sc, ids, k)
+            top = self._topk(sc, ids, k)
             return ids[top], sc[top]
         order = np.argsort(-bounds, kind="stable")
         best_ids = np.empty(0, np.int64)
@@ -594,7 +611,7 @@ class IndexSearcher:
                 idx = idx[alive]
             ids = np.concatenate([best_ids, tp.doc_ids[idx]])
             scs = np.concatenate([best_scores, self._term_scores(tp, idx, boost)])
-            top = scoring.top_k_indices(scs, ids, k)
+            top = self._topk(scs, ids, k)
             best_ids, best_scores = ids[top], scs[top]
             if len(best_ids) >= k:
                 kth = float(best_scores[-1])
@@ -633,7 +650,7 @@ class IndexSearcher:
             sc = np.zeros(len(cand), dtype=np.float64)
             for term, boost in plan:
                 sc += self._term_scores(postings[term], pos[term], boost)
-            top = scoring.top_k_indices(sc, cand, k)
+            top = self._topk(sc, cand, k)
             self.last_pruned = 0
             return cand[top], sc[top]
 
@@ -669,7 +686,7 @@ class IndexSearcher:
                 sc += self._term_scores(postings[term], pos[term][idx], boost)
             ids = np.concatenate([best_ids, cc])
             scs = np.concatenate([best_scores, sc])
-            top = scoring.top_k_indices(scs, ids, k)
+            top = self._topk(scs, ids, k)
             best_ids, best_scores = ids[top], scs[top]
             if len(best_ids) >= k:
                 kth = float(best_scores[-1])
@@ -739,7 +756,7 @@ class IndexSearcher:
                 tp = postings[term]
                 pos = np.searchsorted(tp.doc_ids, cand)
                 scores += self._term_scores(tp, pos, boost)
-        top = scoring.top_k_indices(scores, cand, k)
+        top = self._topk(scores, cand, k)
         return cand[top], scores[top]
 
     # ----------------------------------------------------------------- phrase
@@ -909,10 +926,9 @@ class IndexSearcher:
         the oracle): BM25 with tf = number of phrase occurrences and
         idf = ln(1 + (N - df_p + 0.5)/(df_p + 0.5)) where df_p = number of
         docs containing the full phrase."""
-        from prosearch_ray.text.tokenizer import _EDGE_RE
+        from prosearch_ray.text.tokenizer import phrase_tokens
 
-        tokens = [c.lower() for c in
-                  (_EDGE_RE.sub("", raw) for raw in query.split()) if c]
+        tokens = phrase_tokens(query)
         self.last_count = 0
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
         if not tokens:
@@ -951,7 +967,7 @@ class IndexSearcher:
         scores = (scoring.idf([df_p], self.score_n_docs)[0]
                   * scoring.tf_factor(counts.astype(np.float64),
                                       self.norm_body[ids], self.avgdl_body))
-        top = scoring.top_k_indices(scores, ids, k)
+        top = self._topk(scores, ids, k)
         return ids[top], scores[top]
 
     def _cached_pos_cumsum(self, terms: Sequence[str],
@@ -1166,10 +1182,9 @@ class IndexSearcher:
 
     def _match_phrase_full(self, text: str):
         """Full phrase match: (sorted doc_ids, phrase BM25 scores)."""
-        from prosearch_ray.text.tokenizer import _EDGE_RE
+        from prosearch_ray.text.tokenizer import phrase_tokens
 
-        tokens = [c.lower() for c in
-                  (_EDGE_RE.sub("", raw) for raw in text.split()) if c]
+        tokens = phrase_tokens(text)
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
         if not tokens:
             return empty
@@ -1278,7 +1293,7 @@ class IndexSearcher:
         if len(cand) == 0:
             return empty
         self.last_count = len(cand)
-        top = scoring.top_k_indices(scores, cand, k)
+        top = self._topk(scores, cand, k)
         return cand[top], scores[top]
 
     # -------------------------------------------------------------- documents

@@ -49,10 +49,9 @@ class _ShardWorker:
     def phrase_candidates(self, query: str) -> int:
         """Phase 1: evaluate the phrase locally, cache candidates, return
         the local df_p."""
-        from prosearch_ray.text.tokenizer import _EDGE_RE
+        from prosearch_ray.text.tokenizer import phrase_tokens
 
-        tokens = [c.lower() for c in
-                  (_EDGE_RE.sub("", raw) for raw in query.split()) if c]
+        tokens = phrase_tokens(query)
         r = self.s._phrase_candidates(tokens) if tokens else None
         self._phrase_cache = (query, r)
         return 0 if r is None else len(r[0])

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 from typing import Callable, List, Optional
+from urllib.parse import unquote
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -42,7 +43,9 @@ def committed_partitions(out_dir: str, partition_col: str) -> List[str]:
     for name in sorted(os.listdir(out_dir)):
         if name.startswith(prefix) and os.path.exists(
                 os.path.join(out_dir, name, SUCCESS)):
-            done.append(name[len(prefix):])
+            # hive dir names percent-encode special chars — decode so the
+            # resume prune compares against the RAW column values
+            done.append(unquote(name[len(prefix):]))
     return done
 
 
@@ -97,5 +100,5 @@ def write_partitioned(ds: "rd.Dataset", out_dir: str, partition_col: str,
                 and not os.path.exists(os.path.join(d, SUCCESS))):
             with open(os.path.join(d, SUCCESS), "w") as f:
                 f.write("ok")
-            written.append(name[len(prefix):])
+            written.append(unquote(name[len(prefix):]))
     return {"written": written, "skipped": sorted(set(done))}

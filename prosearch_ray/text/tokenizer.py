@@ -112,3 +112,13 @@ def simple_tokenize(text: str) -> List[str]:
     non-[a-z0-9] runs, drop empties. Mirrors the DuckDB expression in the
     module docstring."""
     return [t for t in _SIMPLE_RE.split(text.lower()) if t]
+
+
+def phrase_tokens(text: str):
+    """Phrase-query tokenization shared by every phrase entry point
+    (searcher.search_phrase, the raw-syntax parser, the sharded shard
+    worker): lowercased raw whitespace tokens with non-alphanumeric edges
+    stripped, empties dropped.  One definition — sharded-vs-unsharded
+    phrase parity depends on these sites never diverging."""
+    return [c.lower() for c in
+            (_EDGE_RE.sub("", raw) for raw in text.split()) if c]

@@ -135,3 +135,37 @@ def test_sharded_delta_matches_unsharded(both_indexes, tmp_path):
         assert victim not in m.search("merge hash", 10_000)[0]
     finally:
         m.shutdown()
+
+
+def test_boundary_ties_resolve_by_doc_key(ray_session, tmp_path):
+    """A tie group larger than k straddling every shard's local k-boundary:
+    per-shard truncation must rank ties by doc_key (like the merge), so the
+    merged top-k is exactly the k smallest doc_keys of the tie group."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from prosearch_ray.index.sharded import build_sharded_index
+    from prosearch_ray.query.sharded import ShardedSearcher
+
+    n = 40
+    corpus = pa.table({
+        "repo": ["org/ties"] * n,
+        "path": [f"p{i:02d}.py" for i in range(n)],
+        "commit": ["a" * 40] * n,
+        "lang": ["py"] * n,
+        # identical token count + tf -> identical quantized norm -> exactly
+        # equal BM25 scores; filler keeps contents distinct (no dedup)
+        "content": [f"alpha fill{i:04d} pad pad" for i in range(n)],
+    })
+    root = str(tmp_path / "ties")
+    build_sharded_index(rd.from_arrow(corpus), root, num_shards=3,
+                        docs_per_bucket=4)
+    m = ShardedSearcher(root)
+    try:
+        keys, scores = m.search("alpha", 10)
+        assert m.last_count == n
+        assert len(set(scores)) == 1  # genuinely tied
+        want = sorted(f"org/ties/p{i:02d}.py" for i in range(n))[:10]
+        assert keys == want
+    finally:
+        m.shutdown()
