@@ -222,6 +222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": relational.user_sessions,
         "asof_last_event": relational.asof_last_event,
         "range_join_events": relational.range_join_events,
+        "topk_per_group": relational.topk_per_group,
+        "stratified_sample": curate.stratified_sample,
         # text / search core (SQL-checkable simple-tokenizer variants)
         "term_df": docsearch.term_df,
         "token_counts": docsearch.token_counts,
@@ -346,6 +348,22 @@ def oracle_sql() -> dict[str, str]:
              AND e.ts >= o.o_orderdate
              AND e.ts < o.o_orderdate + INTERVAL 7 DAY
             GROUP BY o.o_orderkey
+        """,
+        "topk_per_group": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC,
+                                                   o_orderkey) AS rnk
+                FROM orders)
+            WHERE rnk <= 3
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE md5_number_lower(cast(doc_id AS VARCHAR)) % 100 <
+                  CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 40
+                            WHEN 'fr' THEN 25 WHEN 'zh' THEN 10
+                            ELSE 0 END
         """,
         "user_sessions": """
             WITH ordered AS (

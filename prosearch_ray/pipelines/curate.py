@@ -79,3 +79,33 @@ def clean_corpus(sf_dir: str, min_ttr: float = DEFAULT_MIN_TTR,
     return docs.map_batches(
         _CurateStage, fn_constructor_args=(ref, min_ttr, tuple(keep_langs)),
         batch_format="pyarrow", concurrency=2, num_cpus=1)
+
+
+# per-lang sampling rates (percent) for the deterministic stratified sample
+SAMPLE_RATES = {"en": 60, "de": 40, "fr": 25, "zh": 10}
+
+
+def stratified_sample(sf_dir: str, rates=None) -> "rd.Dataset":
+    """Deterministic stratified downsampling — the standard corpus-mixing
+    step of a training-data pipeline: keep a doc iff
+    ``md5_number_lower(doc_id) % 100 < rate[lang]``.  Pure per-row filter
+    (no shuffle, no state); the hash convention matches DuckDB's
+    ``md5_number_lower`` so the driver exact-checks the kept set."""
+    import hashlib
+
+    rates = dict(SAMPLE_RATES if rates is None else rates)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        langs = t.column("lang").to_pylist()
+        mask = []
+        for i, lang in zip(ids, langs):
+            h = int.from_bytes(
+                hashlib.md5(str(i).encode()).digest()[8:], "little")
+            mask.append(h % 100 < rates.get(lang, 0))
+        t = t.filter(pa.array(mask))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "lang": t.column("lang")})
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return docs.map_batches(keep, batch_format="pyarrow")

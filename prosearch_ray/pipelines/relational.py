@@ -446,3 +446,20 @@ def range_join_events(sf_dir: str, window_days: int = 7) -> "rd.Dataset":
         })
 
     return both.groupby("key").map_groups(range_group, batch_format="pyarrow")
+
+
+def topk_per_group(sf_dir: str, k: int = 3) -> "rd.Dataset":
+    """Windowed rank — top-k orders by price per customer (the per-group
+    head that quota/fairness surfaces need).  One bounded-group shuffle on
+    the customer key; rank computed vectorized inside each group."""
+    orders = read(sf_dir, "orders",
+                  columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def head(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("o_totalprice", "descending"),
+                       ("o_orderkey", "ascending")]).slice(0, k)
+        return g.append_column(
+            "rnk", pa.array(np.arange(1, g.num_rows + 1), pa.int64()))
+
+    return orders.groupby("o_custkey").map_groups(
+        head, batch_format="pyarrow")
