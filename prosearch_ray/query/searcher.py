@@ -1122,9 +1122,15 @@ class IndexSearcher:
             base_j = np.where(v_lo_j > 0, c_j[np.maximum(v_lo_j - 1, 0)],
                               np.uint64(0))
             tv = base_j + (occ_pos + j).astype(np.uint64)
+            # one binary search instead of two: tv occupies the contiguous
+            # run [li, ri) of equal cumsum values; it overlaps the doc's
+            # value range [v_lo, v_hi) iff m = max(li, v_lo) still holds tv
+            # (m < ri) and lies before v_hi — c_j[m] == tv tests m < ri
+            # exactly, because c_j[m] > tv for any m >= ri and for absent tv
             li = np.searchsorted(c_j, tv, side="left")
-            ri = np.searchsorted(c_j, tv, side="right")
-            ok = (li < v_hi_j) & (ri > v_lo_j) & (li < ri)
+            m = np.maximum(li, v_lo_j)
+            ok = m < v_hi_j
+            ok &= c_j[np.minimum(m, len(c_j) - 1)] == tv
             occ_docs, occ_pos = occ_docs[ok], occ_pos[ok]
             if len(occ_docs) == 0:
                 return None
