@@ -144,3 +144,32 @@ def test_position_cumsums_shared_across_searchers(phrase_setup, tiny_index):
     assert shared, "second searcher did not use the shared cache"
     reg_size = ray.get(poscache._registry().size.remote())
     assert reg_size >= 1
+
+
+def test_probe_path_matches_key_path_randomized(ray_session, tiny_index):
+    """The cumsum-probe evaluation (single-binary-search run-overlap test)
+    must agree with the independent occurrence-key implementation on
+    random 2-4 token phrases over the fixture corpus."""
+    import numpy as np
+
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    rng = np.random.default_rng(5)
+    s_probe = IndexSearcher(tiny_index[0])
+    s_keys = IndexSearcher(tiny_index[0])
+    s_keys._pos_parts_present = False  # force the key-based fallback
+    vocab = list(STOPWORDISH[:6]) + list(WORD_POOL[:10]) + ["zzznothing"]
+    checked = agreed_nonempty = 0
+    for _ in range(60):
+        n = int(rng.integers(2, 5))
+        toks = [vocab[int(i)] for i in rng.integers(0, len(vocab), n)]
+        a = s_probe._phrase_doc_tfs(toks)
+        b = s_keys._phrase_doc_tfs(toks)
+        checked += 1
+        if a is None or b is None:
+            assert a is None and b is None, toks
+            continue
+        assert np.array_equal(a[0], b[0]), toks
+        assert np.array_equal(a[1], b[1]), toks
+        agreed_nonempty += 1
+    assert checked == 60 and agreed_nonempty >= 5
