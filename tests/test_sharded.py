@@ -169,3 +169,26 @@ def test_boundary_ties_resolve_by_doc_key(ray_session, tmp_path):
         assert keys == want
     finally:
         m.shutdown()
+
+
+def test_sharded_rebuild_resumes(both_indexes, tmp_path_factory):
+    """Re-running the sharded build over the same inputs must resume: no
+    bucket re-tokenized anywhere, identical corpus-wide stats."""
+    import json
+    import os
+
+    from prosearch_ray.index.sharded import build_sharded_index
+
+    _, root, _, rep2 = both_indexes
+    # the module fixture's corpus lives next to the shard root
+    corpus_dir = os.path.join(os.path.dirname(root), "corpus", "corpus")
+    assert os.path.isdir(corpus_dir)
+    rep3 = build_sharded_index(corpus_dir, root, num_shards=3,
+                               docs_per_bucket=128)
+    assert rep3["n_docs"] == rep2["n_docs"]
+    assert rep3["n_terms"] == rep2["n_terms"]
+    for shard_rep in rep3["shards"]:
+        assert shard_rep["built_buckets"] == 0, "resume re-tokenized a bucket"
+    with open(os.path.join(root, "global_stats.json")) as f:
+        g = json.load(f)
+    assert g["n_docs"] == rep2["n_docs"]
