@@ -76,24 +76,9 @@ def _tag_batch(langs: FrozenSet[str], num_shards: int):
     return fn
 
 
-def _cross_shard_losers(corpus_root: str) -> set:
-    """doc_keys whose upsert-surviving version loses global content dedup
-    (min-doc_key winner per sha — build.py's fixup rule, applied across
-    shards).  Key columns only; at corpus scale this becomes a distributed
-    groupby whose (tiny) loser list comes back to the driver — same
-    threshold pattern as _content_dedup_fixup."""
-    tbl = pads.dataset(corpus_root, partitioning="hive").to_table(
-        columns=["doc_key", "sha_hex", "commit"])
-    if tbl.num_rows == 0:
-        return set()
-    # upsert resolve: first row per key under (key asc, commit desc, sha
-    # desc) — identical to _canonicalize_bucket, but corpus-wide
-    tbl = tbl.sort_by([("doc_key", "ascending"), ("commit", "descending"),
-                       ("sha_hex", "descending")])
-    keys = tbl.column("doc_key").to_numpy(zero_copy_only=False)
-    first = np.concatenate(([True], keys[1:] != keys[:-1]))
-    surv = tbl.filter(pa.array(first))
-    # duplicated shas among survivors -> min doc_key wins
+def _losers_from_survivors(surv: pa.Table) -> set:
+    """Among upsert-surviving (doc_key, sha_hex) rows: every key except the
+    min-doc_key winner of each duplicated sha (build.py's fixup rule)."""
     vc = pc.value_counts(surv.column("sha_hex"))
     dup_shas = vc.field("values").filter(pc.greater(vc.field("counts"), 1))
     if not len(dup_shas):
@@ -103,6 +88,62 @@ def _cross_shard_losers(corpus_root: str) -> set:
     shas = sub.column("sha_hex").to_numpy(zero_copy_only=False)
     loser_mask = np.concatenate(([False], shas[1:] == shas[:-1]))
     return set(sub.column("doc_key").to_numpy(zero_copy_only=False)[loser_mask])
+
+
+def _upsert_survivors_driver(tbl: pa.Table) -> pa.Table:
+    """First row per key under (key asc, commit desc, sha desc) — identical
+    to build.py's _canonicalize_bucket, corpus-wide."""
+    tbl = tbl.sort_by([("doc_key", "ascending"), ("commit", "descending"),
+                       ("sha_hex", "descending")])
+    keys = tbl.column("doc_key").to_numpy(zero_copy_only=False)
+    first = np.concatenate(([True], keys[1:] != keys[:-1]))
+    return tbl.filter(pa.array(first))
+
+
+def _cross_shard_losers(corpus_root: str,
+                        driver_threshold: int = 2_000_000) -> set:
+    """doc_keys whose upsert-surviving version loses global content dedup
+    (min-doc_key winner per sha — build.py's fixup rule, applied across
+    shards).  Key columns only.  Under ``driver_threshold`` rows the scan
+    runs on the driver via pyarrow; above it, upsert resolution happens as
+    a bounded-group distributed pass (per-batch winner combiner — one row
+    per key per batch — then a small groupby(doc_key) re-resolution) and
+    only the tiny survivor-key/sha projection lands on the driver for the
+    duplicate-sha winner pick — the same threshold pattern as
+    _content_dedup_fixup."""
+    ds = pads.dataset(corpus_root, partitioning="hive")
+    n_rows = ds.count_rows()
+    if n_rows == 0:
+        return set()
+    if n_rows <= driver_threshold:
+        return _losers_from_survivors(_upsert_survivors_driver(
+            ds.to_table(columns=["doc_key", "sha_hex", "commit"])))
+
+    dset = rd.read_parquet(corpus_root,
+                           columns=["doc_key", "sha_hex", "commit"])
+
+    def batch_winners(t: pa.Table) -> pa.Table:
+        # map-side combiner: at most one candidate row per key per batch
+        return _upsert_survivors_driver(t)
+
+    def group_winner(g: pa.Table) -> pa.Table:
+        g = _upsert_survivors_driver(g)
+        return g.select(["doc_key", "sha_hex"])
+
+    surv_rows = (dset.map_batches(batch_winners, batch_format="pyarrow")
+                 .groupby("doc_key")
+                 .map_groups(group_winner, batch_format="pyarrow"))
+
+    def sha_losers(g: pa.Table) -> pa.Table:
+        # per-sha groups are bounded by a content's copy count; everything
+        # but the min-doc_key winner is a loser
+        if g.num_rows <= 1:
+            return pa.table({"doc_key": pa.array([], pa.string())})
+        return g.sort_by("doc_key").slice(1).select(["doc_key"])
+
+    losers = (surv_rows.groupby("sha_hex")
+              .map_groups(sha_losers, batch_format="pyarrow").take_all())
+    return {r["doc_key"] for r in losers}
 
 
 def refresh_global(root: str) -> dict:

@@ -192,3 +192,19 @@ def test_sharded_rebuild_resumes(both_indexes, tmp_path_factory):
     with open(os.path.join(root, "global_stats.json")) as f:
         g = json.load(f)
     assert g["n_docs"] == rep2["n_docs"]
+
+
+def test_cross_shard_losers_distributed_matches_driver(both_indexes):
+    """The distributed loser-detection path (bounded-group winner
+    resolution + per-sha loser groups) must produce exactly the driver
+    path's loser set."""
+    import os
+
+    from prosearch_ray.index.sharded import _cross_shard_losers
+
+    _, root, _, _ = both_indexes
+    corpus_root = os.path.join(root, "corpus")
+    drv = _cross_shard_losers(corpus_root)
+    dist = _cross_shard_losers(corpus_root, driver_threshold=1)
+    assert dist == drv
+    assert len(drv) > 0  # the fixture corpus contains cross-shard dups
