@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import FrozenSet, Optional
+from typing import FrozenSet
 
 import numpy as np
 import pyarrow as pa
