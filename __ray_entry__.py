@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data preparation
         "pack_sequences": trainprep.pack_sequences,
         "ngram_counts": trainprep.ngram_counts,
+        "chunk_documents": trainprep.chunk_documents,
         # text analysis
         "lang_id": textstats.lang_id,
         "quality_score": textstats.quality_score,
@@ -401,6 +402,18 @@ def oracle_sql() -> dict[str, str]:
                    (cum - n_tokens)::BIGINT AS start_tok,
                    ((cum - n_tokens) // 512)::BIGINT AS seq_id
             FROM c
+        """,
+        "chunk_documents": f"""
+            WITH tok AS (SELECT doc_id, len({TOK_SQL})::BIGINT AS n
+                         FROM documents),
+            ch AS (SELECT doc_id, n,
+                          unnest(range(0, CAST(ceil(n / 128.0) AS BIGINT)))
+                              AS chunk_id
+                   FROM tok WHERE n > 0)
+            SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+                   (chunk_id * 128)::BIGINT AS start_tok,
+                   LEAST(128, n - chunk_id * 128)::BIGINT AS chunk_tokens
+            FROM ch
         """,
         "ngram_counts": f"""
             WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term,

@@ -151,3 +151,35 @@ def ngram_counts(sf_dir: str, k: int = NGRAM_TOP_K) -> pa.Table:
         "bigram": pa.array([r["bigram"] for r in rows], pa.string()),
         "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
     })
+
+
+CHUNK_TOKENS = 128
+
+
+def chunk_documents(sf_dir: str, chunk: int = CHUNK_TOKENS) -> "rd.Dataset":
+    """Fixed-token-window chunking — the one-to-many expansion a training
+    pipeline runs on long documents (inverse of ``pack_sequences``): each
+    doc emits ceil(n_tokens/chunk) rows with the chunk's token offset and
+    length.  Pure per-batch flat expansion, no shuffle, no state."""
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        _, doc_of, n = _split_tokens(t.column("text"))
+        n_tok = np.bincount(doc_of, minlength=n)
+        ids = t.column("doc_id").to_numpy()
+        n_chunks = -(-n_tok // chunk)  # ceil; 0 chunks for empty docs
+        rep_ids = np.repeat(ids, n_chunks)
+        total = int(n_chunks.sum())
+        ends = np.cumsum(n_chunks)
+        chunk_id = (np.arange(total, dtype=np.int64)
+                    - np.repeat(ends - n_chunks, n_chunks))
+        start = chunk_id * chunk
+        length = np.minimum(chunk, np.repeat(n_tok, n_chunks) - start)
+        return pa.table({
+            "doc_id": pa.array(rep_ids, pa.int64()),
+            "chunk_id": pa.array(chunk_id, pa.int64()),
+            "start_tok": pa.array(start, pa.int64()),
+            "chunk_tokens": pa.array(length, pa.int64()),
+        })
+
+    return docs.map_batches(explode, batch_format="pyarrow")
