@@ -244,3 +244,25 @@ def test_range_join_matches_brute_force():
         assert got.loc[r.o_orderkey, "n_events_7d"] == len(m)
         assert abs(got.loc[r.o_orderkey, "value_sum_7d"]
                    - round(float(m.value.sum()), 4)) < 1e-6
+
+
+def test_chunk_documents_covers_every_token_once():
+    import pyarrow.parquet as pq
+
+    from prosearch_ray.pipelines.trainprep import chunk_documents
+    from prosearch_ray.text.tokenizer import simple_tokenize
+
+    want = {}
+    for r in pq.read_table(SF + "/documents.parquet",
+                           columns=["doc_id", "text"]).to_pylist():
+        n = len(simple_tokenize(r["text"]))
+        if n:
+            want[r["doc_id"]] = n
+    rows = chunk_documents(SF, chunk=50).to_pandas()
+    for doc_id, g in rows.groupby("doc_id"):
+        g = g.sort_values("chunk_id")
+        assert list(g["chunk_id"]) == list(range(len(g)))
+        assert (g["start_tok"] == g["chunk_id"] * 50).all()
+        assert int(g["chunk_tokens"].sum()) == want.pop(doc_id)
+        assert (g["chunk_tokens"].iloc[:-1] == 50).all()
+    assert not want  # every non-empty doc chunked
