@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # approximate configurations are recall-checked in pytest
         # (tests/test_pipelines.py).
         "knn_cosine": similarity.knn_cosine,
+        "cluster_assign": similarity.cluster_assign,
         "lsh_knn": lambda sf_dir: similarity.lsh_knn(sf_dir, n_planes=0),
         "ivf_knn": lambda sf_dir: similarity.ivf_knn(sf_dir, n_probe=16),
         # training-data preparation
@@ -495,6 +496,20 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, row_number() OVER (PARTITION BY qid
                     ORDER BY cos DESC, nid) rn FROM p)
             WHERE rn <= 10 ORDER BY qid, nid
+        """,
+        "cluster_assign": """
+            WITH s AS (SELECT vec_id AS sid, embedding AS semb
+                       FROM embeddings WHERE vec_id < 8),
+            sims AS (SELECT e.vec_id, s.sid,
+                            list_sum(list_transform(generate_series(1, len(e.embedding)),
+                                i -> e.embedding[i]::DOUBLE * s.semb[i]::DOUBLE))
+                            / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                               * sqrt(list_sum(list_transform(s.semb, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+                     FROM embeddings e CROSS JOIN s)
+            SELECT vec_id, sid AS cluster, round(sim, 4) AS sim FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, sid) AS rn FROM sims)
+            WHERE rn = 1
         """,
         "quality_score": f"""
             WITH t AS (SELECT doc_id, {TOK_SQL} toks FROM documents)

@@ -222,3 +222,34 @@ def ivf_knn(sf_dir: str, query_ids: Sequence[int] = KNN_QUERY_IDS,
                          "cos": pa.array(out_c, pa.float64())})
 
     return _merge_topk(emb.map_batches(score, batch_format="pyarrow").take_all(), k)
+
+
+CLUSTER_SEEDS = 8
+
+
+def cluster_assign(sf_dir: str, n_seeds: int = CLUSTER_SEEDS) -> "rd.Dataset":
+    """Nearest-seed cluster assignment — the (single) assignment step of
+    k-means / IVF training with deterministic seed centroids (the first
+    ``n_seeds`` vectors): each vector joins the seed with the highest
+    cosine similarity (ties to the smallest seed id).  Seeds broadcast
+    once; each batch is one float64 matmul + argmax — no shuffle."""
+    emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    s_ids, s_mat = _grab_query_rows(emb, list(range(n_seeds)))
+    order = np.argsort(s_ids)
+    s_ids, s_mat = s_ids[order], s_mat[order]
+    ref = bput((s_ids, s_mat))
+
+    def assign(t: pa.Table) -> pa.Table:
+        sids, sm = bget(ref)
+        ids = t.column("vec_id").to_numpy().astype(np.int64, copy=False)
+        m = _normalized(_mat_of(t.column("embedding")))
+        cos = m @ sm.T  # (batch, n_seeds); seed rows are unit-normalized
+        best = np.argmax(cos, axis=1)  # first max = smallest sid (sorted)
+        sim = cos[np.arange(len(ids)), best]
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(sids[best], pa.int64()),
+            "sim": pa.array(sql_round(sim, 4), pa.float64()),
+        })
+
+    return emb.map_batches(assign, batch_format="pyarrow")

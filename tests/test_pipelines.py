@@ -266,3 +266,23 @@ def test_chunk_documents_covers_every_token_once():
         assert int(g["chunk_tokens"].sum()) == want.pop(doc_id)
         assert (g["chunk_tokens"].iloc[:-1] == 50).all()
     assert not want  # every non-empty doc chunked
+
+
+def test_cluster_assign_is_nearest_seed():
+    import pyarrow.parquet as pq
+
+    from prosearch_ray.pipelines.similarity import cluster_assign
+
+    emb = pq.read_table(SF + "/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pydict()
+    vecs = {i: np.asarray(e, dtype=np.float64)
+            for i, e in zip(emb["vec_id"], emb["embedding"])}
+    seeds = {i: vecs[i] / np.linalg.norm(vecs[i]) for i in range(8)}
+    rows = cluster_assign(SF).to_pandas()
+    assert len(rows) == len(vecs)
+    for r in rows.sample(40, random_state=3).itertuples():
+        v = vecs[r.vec_id] / np.linalg.norm(vecs[r.vec_id])
+        sims = {s: float(v @ sv) for s, sv in seeds.items()}
+        best = max(sorted(sims), key=lambda s: (sims[s], -s))
+        assert r.cluster == best
+        assert abs(r.sim - round(sims[best], 4)) < 1e-6
