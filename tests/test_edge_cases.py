@@ -136,3 +136,23 @@ def test_wide_conjunctive_query_beyond_255_terms(ray_session, tmp_path):
     ids, scores = s.search(" ".join(terms), 10)
     assert len(ids) == 1 and s.last_count == 1
     assert s.doc_keys[int(ids[0])].as_py().endswith("all.py")
+
+
+def test_position_overflow_fails_loudly():
+    """A body with >= 2^22 whitespace tokens must fail the segment build
+    with a clear error (the phrase key packs position into 22 bits; silent
+    wraparound would corrupt phrase matching)."""
+    import numpy as np
+
+    from prosearch_ray.index.segment import build_segment
+
+    body = " ".join(["tok"] * ((1 << 22) + 8))
+    docs = pa.table({
+        "doc_key": ["r/big/huge.py"],
+        "title": ["r/big/huge.py"],
+        "content": [body],
+        "sha256": [b"\x00" * 32],
+        "n_chars": [len(body)],
+    })
+    with pytest.raises(ValueError, match="22-bit"):
+        build_segment(0, docs, 0)
