@@ -78,6 +78,13 @@ def decode_varints(buf: bytes) -> np.ndarray:
     if raw.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_last = (raw & 0x80) == 0
+    if not is_last[-1]:
+        # truncated/corrupt stream ending mid-value: fail loudly with a
+        # codec-level message instead of an IndexError from the vectorized
+        # patch below (or a silently dropped tail in the general path)
+        raise ValueError(
+            f"truncated varint stream: buffer of {raw.size} bytes ends on a "
+            "continuation byte")
     cont_idx = np.flatnonzero(~is_last)
     if cont_idx.size == 0:
         # fast path: every value fits one byte (typical for tf streams and

@@ -115,3 +115,21 @@ def test_decode_varints_sparse_continuation_paths():
     ]
     for vals in cases:
         assert np.array_equal(decode_varints(encode_varints(vals)), vals)
+
+
+def test_decode_varints_truncated_stream_raises():
+    """A buffer ending on a continuation byte is corrupt: every decode path
+    must fail with a descriptive codec error, not an IndexError (sparse
+    patch path) or a silently dropped tail (general path)."""
+    import numpy as np
+    import pytest
+
+    from prosearch_ray.index.codec import decode_varints, encode_varints
+
+    for vals in (
+        np.array([1, 300, 5], dtype=np.uint64),           # sparse-cont path
+        np.arange(1, 400, dtype=np.uint64) * 257,          # dense-cont path
+    ):
+        buf = encode_varints(vals)
+        with pytest.raises(ValueError, match="truncated varint"):
+            decode_varints(buf[:-1] + bytes([0x80]))
