@@ -12,17 +12,20 @@ so shard scores are bit-identical to an unsharded build:
   shard builds (upsert-resolve per key, then min-doc_key winner per sha —
   the same deterministic rule as build.py's in-index fixup), so the final
   global doc set equals the unsharded build's;
-- ``global_stats.json`` (N, avgdl) and ``global_dict.parquet`` (per-term
-  corpus-wide df, term-sorted for point reads) are derived from the shard
-  outputs; shard searchers score with these (searcher.score_n_docs /
-  _global_df), the distributed-frequency (DFS) query model.
+- ``global_stats.json`` (N, avgdl) and ``global_dict/`` (per-term
+  corpus-wide df, hash-partitioned by ``layout.term_part`` with each part
+  term-sorted for point reads) are derived from the shard outputs; shard
+  searchers score with these (searcher.score_n_docs / _global_df), the
+  distributed-frequency (DFS) query model.  Above a row threshold the
+  dictionary merge is a distributed spill exchange — the corpus vocabulary
+  never lands on the driver.
 
 Layout under ``root``::
 
     corpus/shard=K/   hive-partitioned corpus split (resumable sink)
     shard=000/ ...    one ordinary index per shard
     global_stats.json
-    global_dict.parquet
+    global_dict/part=K.parquet (+ _meta.json)
 """
 
 from __future__ import annotations
@@ -146,10 +149,149 @@ def _cross_shard_losers(corpus_root: str,
     return {r["doc_key"] for r in losers}
 
 
-def refresh_global(root: str) -> dict:
-    """Re-derive ``global_stats.json`` + ``global_dict.parquet`` from the
-    current shard outputs (after a delta fold changed a shard's stats or
-    dictionary)."""
+# global-dict merge sizing: partitions target this many rows each, and the
+# merge runs driver-side below the row threshold (same threshold pattern as
+# _cross_shard_losers / build.py's _content_dedup_fixup).  Both layouts are
+# identical on disk — a directory of term-sorted ``part=K.parquet`` files
+# routed by ``layout.term_part`` — so point reads never care which path
+# produced them.
+DICT_ROWS_PER_PART = 2_000_000
+DICT_DRIVER_ROWS = 2_000_000
+
+
+def _shard_dict_files(root: str):
+    files = []
+    for d in shard_dirs(root):
+        dd = os.path.join(d, "dict")
+        if os.path.isdir(dd):
+            files += [os.path.join(dd, f) for f in sorted(os.listdir(dd))
+                      if f.endswith(".parquet")]
+    return files
+
+
+def _dict_inputs_fingerprint(files) -> str:
+    """Identity of the merge INPUT set (paths + sizes + mtimes): a resumed
+    merge may only reuse spill/staged work produced from the same shard
+    dicts — a delta fold rewrites a shard dict and must invalidate
+    everything."""
+    import hashlib
+
+    h = hashlib.md5()
+    for f in files:
+        st = os.stat(f)
+        h.update(f"{f}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()
+
+
+def _merge_dict_tables(t: pa.Table) -> pa.Table:
+    merged = pa.TableGroupBy(t, "term").aggregate(
+        [("df", "sum"), ("df_title", "sum"), ("df_body", "sum")])
+    return merged.rename_columns(
+        ["term", "df", "df_title", "df_body"]).sort_by("term")
+
+
+def _fold_dict_part_fn(spill_dir: str, staged_dir: str):
+    """Per-partition reduce: read one term-hash partition's spill rows, sum
+    dfs per term, write the term-sorted part file (idempotent: the staged
+    file is the done marker)."""
+    from prosearch_ray.index.build import _atomic_write_table
+
+    def fn(item: dict) -> dict:
+        p = int(item["p"])
+        out = os.path.join(staged_dir, f"part={p:05d}.parquet")
+        if os.path.exists(out):
+            return {"p": p, "n_terms": pq.ParquetFile(out).metadata.num_rows}
+        pdir = os.path.join(spill_dir, f"part={p}")
+        if os.path.isdir(pdir):
+            t = pads.dataset(pdir).to_table(
+                columns=["term", "df", "df_title", "df_body"])
+        else:  # no term hashed here — still write the file so point reads
+            t = pa.table({"term": pa.array([], pa.string()),
+                          "df": pa.array([], pa.int64()),
+                          "df_title": pa.array([], pa.int64()),
+                          "df_body": pa.array([], pa.int64())})
+        merged = _merge_dict_tables(t)
+        _atomic_write_table(merged, out)
+        return {"p": p, "n_terms": merged.num_rows}
+    return fn
+
+
+def _merge_global_dict(root: str, dict_files,
+                       driver_threshold: int = DICT_DRIVER_ROWS) -> int:
+    """Merge the shard dictionaries into term-partitioned
+    ``global_dict/part=K.parquet`` files + ``_meta.json``; returns the term
+    count.  Below ``driver_threshold`` input rows the merge is one driver
+    pyarrow groupby; above it, a spill exchange keyed on
+    ``layout.term_part`` (the build's resumable shape, build.py:300-333):
+    map tasks hash-partition the shard dicts into a hive spill, one reduce
+    task per partition folds and writes its part file, and the staged
+    directory swaps in atomically.  The driver never materializes the
+    corpus vocabulary — the 100 TB query model is point reads over these
+    parts (serve.rs:314-377's dictionary-seek analog)."""
+    from prosearch_ray.index import layout
+    from prosearch_ray.index.build import _atomic_write_json, _atomic_write_table
+
+    import shutil
+
+    gd_final = os.path.join(root, "global_dict")
+    staged = os.path.join(root, "global_dict_staged")
+    spill = os.path.join(root, "dict_spill")
+    total_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in dict_files)
+    num_parts = max(1, -(-total_rows // DICT_ROWS_PER_PART))
+
+    config = {"fp": _dict_inputs_fingerprint(dict_files),
+              "num_parts": num_parts}
+    cfg_path = os.path.join(staged, "_config.json")
+    stale = True
+    if os.path.exists(cfg_path):
+        try:
+            stale = json.load(open(cfg_path)) != config
+        except (ValueError, OSError):
+            pass
+    if stale:
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(spill, ignore_errors=True)
+        os.makedirs(staged, exist_ok=True)
+        _atomic_write_json(config, cfg_path)
+
+    if total_rows <= driver_threshold:
+        merged = _merge_dict_tables(pads.dataset(dict_files).to_table(
+            columns=["term", "df", "df_title", "df_body"]))
+        parts = np.fromiter(
+            (layout.term_part(t, num_parts)
+             for t in merged.column("term").to_pylist()),
+            dtype=np.int64, count=merged.num_rows)
+        for p in range(num_parts):
+            _atomic_write_table(merged.filter(pa.array(parts == p)),
+                                os.path.join(staged, f"part={p:05d}.parquet"))
+        n_terms = merged.num_rows
+    else:
+        ds = rd.read_parquet(dict_files,
+                             columns=["term", "df", "df_title", "df_body"])
+        write_partitioned(
+            ds.map_batches(layout.add_part_column(num_parts),
+                           batch_format="pyarrow"), spill, "part")
+        rows = rd.from_items([{"p": p} for p in range(num_parts)]).map(
+            _fold_dict_part_fn(spill, staged)).take_all()
+        n_terms = sum(int(r["n_terms"]) for r in rows)
+
+    _atomic_write_json({"num_parts": num_parts, "n_terms": int(n_terms)},
+                       os.path.join(staged, "_meta.json"))
+    os.remove(cfg_path)
+    shutil.rmtree(gd_final, ignore_errors=True)
+    legacy = os.path.join(root, "global_dict.parquet")
+    if os.path.exists(legacy):
+        os.remove(legacy)
+    os.replace(staged, gd_final)
+    shutil.rmtree(spill, ignore_errors=True)
+    return int(n_terms)
+
+
+def refresh_global(root: str, *,
+                   dict_driver_threshold: int = DICT_DRIVER_ROWS) -> dict:
+    """Re-derive ``global_stats.json`` + the term-partitioned
+    ``global_dict/`` from the current shard outputs (after a delta fold
+    changed a shard's stats or dictionary)."""
     n_docs = total_lt = total_lb = 0
     shard_counts = []
     for d in shard_dirs(root):
@@ -174,23 +316,10 @@ def refresh_global(root: str) -> dict:
         json.dump(gstats, f)
     os.replace(tmp, os.path.join(root, "global_stats.json"))
 
-    dict_files = []
-    for d in shard_dirs(root):
-        dd = os.path.join(d, "dict")
-        if os.path.isdir(dd):
-            dict_files += [os.path.join(dd, f) for f in os.listdir(dd)
-                           if f.endswith(".parquet")]
+    dict_files = _shard_dict_files(root)
     if dict_files:
-        dicts = pads.dataset(dict_files).to_table(
-            columns=["term", "df", "df_title", "df_body"])
-        merged = pa.TableGroupBy(dicts, "term").aggregate(
-            [("df", "sum"), ("df_title", "sum"), ("df_body", "sum")])
-        merged = merged.rename_columns(
-            ["term", "df", "df_title", "df_body"]).sort_by("term")
-        tmp = os.path.join(root, "global_dict.parquet.tmp")
-        pq.write_table(merged, tmp, row_group_size=8192)
-        os.replace(tmp, os.path.join(root, "global_dict.parquet"))
-        gstats["n_terms"] = merged.num_rows
+        gstats["n_terms"] = _merge_global_dict(
+            root, dict_files, driver_threshold=dict_driver_threshold)
     return gstats
 
 
@@ -292,9 +421,8 @@ def build_sharded_index(
             sds, idx_dir, docs_per_bucket=docs_per_bucket, langs=langs,
             resume=resume, n_input_estimate=n_est))
 
-    # corpus-wide stats + merged dictionary (term-sorted for point reads).
-    # Driver-side pyarrow groupby over the shard dicts (rows ≈ vocab size);
-    # at corpus scale this is one more small spill exchange over hash(term).
+    # corpus-wide stats + merged dictionary: term-partitioned part files
+    # (driver groupby below the row threshold, spill exchange above it)
     g = refresh_global(root)
     return {"n_docs": g["n_docs"], "n_terms": g.get("n_terms", 0),
             "num_shards": num_shards, "shards": reports,

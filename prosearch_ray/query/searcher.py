@@ -145,8 +145,9 @@ class IndexSearcher:
         # build.  score_n_docs feeds idf only — local n_docs keeps sizing
         # the doc-id-indexed arrays.
         self.score_n_docs = self.n_docs
-        self._global_dict_handle = None
+        self._global_dict_handles: Dict[int, tuple] = {}
         self._global_dict_path = None
+        self._global_dict_parts = 0  # >0 = partitioned global_dict/ layout
         if global_stats_dir is not None:
             with open(os.path.join(global_stats_dir,
                                    "global_stats.json")) as f:
@@ -154,8 +155,16 @@ class IndexSearcher:
             self.score_n_docs = g["n_docs"]
             self.avgdl_title = g["avgdl_title"]
             self.avgdl_body = g["avgdl_body"]
-            self._global_dict_path = os.path.join(global_stats_dir,
-                                                  "global_dict.parquet")
+            # term-partitioned directory (index/sharded.py's merge output);
+            # a bare global_dict.parquet is the legacy single-file layout
+            gd_dir = os.path.join(global_stats_dir, "global_dict")
+            if os.path.isdir(gd_dir):
+                with open(os.path.join(gd_dir, "_meta.json")) as f:
+                    self._global_dict_parts = int(json.load(f)["num_parts"])
+                self._global_dict_path = gd_dir
+            else:
+                self._global_dict_path = os.path.join(global_stats_dir,
+                                                      "global_dict.parquet")
         # score-tie ordering: None = shard-local doc_id (the unsharded
         # contract).  Sharded mode ranks ties by doc_key instead — the
         # driver merge orders by (score desc, doc_key), so the PER-SHARD
@@ -397,19 +406,45 @@ class IndexSearcher:
 
     def _global_df(self, terms: List[str]) -> Dict[str, Tuple[int, int]]:
         """Corpus-wide (df_title, df_body) for the given terms from the
-        sharded build's merged dictionary — a term-sorted parquet point-read
+        sharded build's merged dictionary.  Partitioned layout: each term
+        hashes to ONE part file (``layout.term_part``, the postings-routing
+        scheme); within a part the read is a term-sorted point-read
         (row-group min/max stats + bisect, same seek shape as the postings
-        fetch)."""
-        h = self._global_dict_handle
+        fetch).  Legacy single-file dictionaries read the same way with one
+        handle."""
+        out: Dict[str, Tuple[int, int]] = {}
+        if self._global_dict_parts:
+            by_part: Dict[int, List[str]] = {}
+            for t in terms:
+                by_part.setdefault(
+                    layout.term_part(t, self._global_dict_parts), []).append(t)
+            for p, ts in by_part.items():
+                path = os.path.join(self._global_dict_path,
+                                    f"part={p:05d}.parquet")
+                out.update(self._global_df_from_file(p, path, ts))
+        else:
+            out.update(self._global_df_from_file(
+                -1, self._global_dict_path, terms))
+        return out
+
+    def _global_df_from_file(self, cache_key: int, path: str,
+                             terms: List[str]) -> Dict[str, Tuple[int, int]]:
+        h = self._global_dict_handles.get(cache_key)
         if h is None:
-            pf = pq.ParquetFile(self._global_dict_path)
-            h = self._global_dict_handle = (pf, _term_rg_ranges(pf))
+            if not os.path.exists(path):
+                h = (None, [])
+            else:
+                pf = pq.ParquetFile(path)
+                h = (pf, _term_rg_ranges(pf))
+            self._global_dict_handles[cache_key] = h
         pf, ranges = h
+        out: Dict[str, Tuple[int, int]] = {}
+        if pf is None:
+            return out
         rgs = sorted({
             rg for rg, (mn, mx) in enumerate(ranges)
             for t in terms
             if mn is None or (mn <= t <= mx)})
-        out: Dict[str, Tuple[int, int]] = {}
         if not rgs:
             return out
         tbl = pf.read_row_groups(

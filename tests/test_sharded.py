@@ -208,3 +208,87 @@ def test_cross_shard_losers_distributed_matches_driver(both_indexes):
     dist = _cross_shard_losers(corpus_root, driver_threshold=1)
     assert dist == drv
     assert len(drv) > 0  # the fixture corpus contains cross-shard dups
+
+
+def test_global_dict_distributed_merge_matches_driver(both_indexes,
+                                                      tmp_path):
+    """The spill-exchange global-dict merge (above-threshold path) must
+    write byte-identical part files to the driver groupby path, and the
+    partitioned layout must serve the same point reads."""
+    import os
+    import shutil
+
+    import pyarrow.dataset as pads
+
+    from prosearch_ray.index.sharded import refresh_global
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    _, root, _, _ = both_indexes
+    root2 = str(tmp_path / "shards2")
+    shutil.copytree(root, root2)
+
+    g1 = refresh_global(root)                            # driver path
+    g2 = refresh_global(root2, dict_driver_threshold=1)  # distributed path
+    assert g2["n_terms"] == g1["n_terms"] > 0
+
+    t1 = pads.dataset(os.path.join(root, "global_dict")).to_table(
+        columns=["term", "df", "df_title", "df_body"]).sort_by("term")
+    t2 = pads.dataset(os.path.join(root2, "global_dict")).to_table(
+        columns=["term", "df", "df_title", "df_body"]).sort_by("term")
+    assert t1.equals(t2)
+
+    # point reads through the searcher agree across layouts/paths
+    sdirs = sorted(d for d in os.listdir(root) if d.startswith("shard="))
+    s1 = IndexSearcher(os.path.join(root, sdirs[0]), global_stats_dir=root)
+    s2 = IndexSearcher(os.path.join(root2, sdirs[0]), global_stats_dir=root2)
+    probe = t1.column("term").to_pylist()[:50] + ["zzz_not_a_term"]
+    assert s1._global_df(probe) == s2._global_df(probe)
+    assert len(s1._global_df(probe)) == 50
+
+
+def test_global_dict_merge_resumes(both_indexes, tmp_path):
+    """A killed distributed merge resumes: staged part files written before
+    the kill are reused (idempotent reduce), and the final dictionary is
+    identical."""
+    import os
+    import shutil
+
+    import pyarrow.dataset as pads
+
+    from prosearch_ray.index import sharded
+
+    _, root, _, _ = both_indexes
+    root3 = str(tmp_path / "shards3")
+    shutil.copytree(root, root3, ignore=shutil.ignore_patterns(
+        "global_dict*", "dict_spill"))
+
+    files = sharded._shard_dict_files(root3)
+    # simulate a mid-run death: spill written, only some parts reduced
+    import json
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from prosearch_ray.index import layout
+    from prosearch_ray.index.build import _atomic_write_json
+    from prosearch_ray.sinks import write_partitioned
+
+    total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    num_parts = max(1, -(-total // sharded.DICT_ROWS_PER_PART))
+    staged = os.path.join(root3, "global_dict_staged")
+    spill = os.path.join(root3, "dict_spill")
+    os.makedirs(staged, exist_ok=True)
+    _atomic_write_json({"fp": sharded._dict_inputs_fingerprint(files),
+                        "num_parts": num_parts},
+                       os.path.join(staged, "_config.json"))
+    ds = rd.read_parquet(files, columns=["term", "df", "df_title", "df_body"])
+    write_partitioned(ds.map_batches(layout.add_part_column(num_parts),
+                                     batch_format="pyarrow"), spill, "part")
+
+    g = sharded.refresh_global(root3, dict_driver_threshold=1)
+    t_resumed = pads.dataset(os.path.join(root3, "global_dict")).to_table(
+        columns=["term", "df", "df_title", "df_body"]).sort_by("term")
+    t_ref = pads.dataset(os.path.join(root, "global_dict")).to_table(
+        columns=["term", "df", "df_title", "df_body"]).sort_by("term")
+    assert t_resumed.equals(t_ref)
+    assert g["n_terms"] == t_ref.num_rows
