@@ -21,7 +21,6 @@ from typing import Iterable, Tuple
 
 from prosearch_ray.functions.scalar import pretty_size
 from prosearch_ray.index import scoring
-from prosearch_ray.query.searcher import IndexSearcher
 
 DEFAULT_TITLE = "Programmer's Search"
 QUERY_PARAM = "q"
@@ -40,9 +39,11 @@ def _head(title: str) -> str:
             f"<title>{_esc(title)}</title><style>{_CSS}</style></head>")
 
 
-def render_search_page(searcher: IndexSearcher, q: str = "",
+def render_search_page(searcher, q: str = "",
                        nhits: int = scoring.DEFAULT_K) -> str:
-    """Server-rendered SERP for query ``q`` (empty = landing page)."""
+    """Server-rendered SERP for query ``q`` (empty = landing page).
+    ``searcher`` is any ``search_with_snippets`` + ``last_count`` provider
+    (``IndexSearcher`` or ``ShardedSearcher``)."""
     title = f"{q} | {DEFAULT_TITLE}" if q.strip() else DEFAULT_TITLE
     parts = ["<!DOCTYPE html>", "<html>", _head(title), "<body>",
              f"<h1>{_esc(DEFAULT_TITLE)}</h1>",

@@ -9,11 +9,13 @@ from __future__ import annotations
 import time
 
 from prosearch_ray.index import scoring
-from prosearch_ray.query.searcher import IndexSearcher
 
 
-def serp(searcher: IndexSearcher, q: str,
-         nhits: int = scoring.DEFAULT_K) -> dict:
+def serp(searcher, q: str, nhits: int = scoring.DEFAULT_K) -> dict:
+    """``searcher`` is any object with the ``search_with_snippets`` +
+    ``last_count`` contract — ``IndexSearcher`` or the scatter-gather
+    ``ShardedSearcher`` (sharded SERPs are merged-top-k identical to the
+    unsharded surface)."""
     t0 = time.perf_counter()
     hits = searcher.search_with_snippets(q, nhits)
     dt_us = int((time.perf_counter() - t0) * 1e6)

@@ -46,6 +46,25 @@ class _ShardWorker:
         ids, scs = self.s.search(query, int(k))
         return self._keys(ids), [float(x) for x in scs], int(self.s.last_count)
 
+    def snippets_for(self, doc_keys: List[str], query: str):
+        """Stored-doc fetch + snippet for keys THIS shard owns — called only
+        with the merged top-k winners, so at most k docs cross the wire per
+        query (the reference fetches stored docs per returned hit,
+        serve.rs:428-433)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from prosearch_ray.query.snippet import make_snippet
+
+        idx = pc.index_in(pa.array(doc_keys, pa.string()),
+                          value_set=self.s.doc_keys).to_pylist()
+        ids = np.array([i for i in idx if i is not None], dtype=np.int64)
+        contents = self.s.fetch_contents(ids)
+        terms = [t for t, _ in scoring.query_plan(query, self.s.boost_terms)]
+        return {key: make_snippet(contents.get(int(i), ""), terms)
+                for key, i in zip(doc_keys, idx) if i is not None}
+
     def phrase_candidates(self, query: str) -> int:
         """Phase 1: evaluate the phrase locally, cache candidates, return
         the local df_p."""
@@ -98,6 +117,33 @@ class ShardedSearcher:
         res = ray.get([a.search.remote(query, k) for a in self.actors])
         self.last_count = sum(c for _, _, c in res)
         return self._merge([(keys, scs) for keys, scs, _ in res], k)
+
+    def search_with_snippets(self, query: str, k: int = scoring.DEFAULT_K
+                             ) -> List[dict]:
+        """Full SERP hits over the sharded index — the unsharded
+        ``IndexSearcher.search_with_snippets`` contract (doc_key + title +
+        score + snippet, body dropped).  Two-phase: scatter-gather the
+        ranked keys first, then fetch stored docs + snippets ONLY for the
+        merged top-k, each from its owning shard (no shard ships more than
+        its winners' contents).  Shard-local doc ids are meaningless
+        globally, so hits carry no ``doc_id``."""
+        res = ray.get([a.search.remote(query, k) for a in self.actors])
+        self.last_count = sum(c for _, _, c in res)
+        rows = []
+        for si, (keys, scs, _) in enumerate(res):
+            rows.extend((key, sc, si) for key, sc in zip(keys, scs))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        rows = rows[:k]
+        by_shard: dict = {}
+        for key, _, si in rows:
+            by_shard.setdefault(si, []).append(key)
+        futs = {si: self.actors[si].snippets_for.remote(keys, query)
+                for si, keys in by_shard.items()}
+        snips: dict = {}
+        for fut in futs.values():
+            snips.update(ray.get(fut))
+        return [{"doc_key": key, "title": key, "score": float(sc),
+                 "snip": snips.get(key, "")} for key, sc, _ in rows]
 
     def search_phrase(self, query: str, k: int = scoring.DEFAULT_K
                       ) -> Tuple[List[str], List[float]]:

@@ -292,3 +292,45 @@ def test_global_dict_merge_resumes(both_indexes, tmp_path):
         columns=["term", "df", "df_title", "df_body"]).sort_by("term")
     assert t_resumed.equals(t_ref)
     assert g["n_terms"] == t_ref.num_rows
+
+
+def test_sharded_serp_matches_unsharded(both_indexes):
+    """SERP parity for the sharded surface: search_with_snippets / serp()
+    / the HTML page produce the same hits (doc_key, score, snippet) as the
+    unsharded index for the same queries."""
+    from prosearch_ray.query.pages import render_search_page
+    from prosearch_ray.query.searcher import IndexSearcher
+    from prosearch_ray.query.serp import serp
+    from prosearch_ray.query.sharded import ShardedSearcher
+
+    single_dir, root, _, _ = both_indexes
+    s = IndexSearcher(single_dir)
+    m = ShardedSearcher(root)
+    try:
+        nonempty = 0
+        for q in ("merge hash", "parse buffer", "the", "zzz nothing"):
+            hs = s.search_with_snippets(q, 5)
+            hm = m.search_with_snippets(q, 5)
+            assert s.last_count == m.last_count
+            assert len(hs) == len(hm)
+            kth = hs[-1]["score"] if hs else 0.0
+            # strict-above-boundary hits must agree exactly, snippets included
+            ds = {h["doc_key"]: h for h in hs if h["score"] > kth}
+            dm = {h["doc_key"]: h for h in hm if h["score"] > kth}
+            assert set(ds) == set(dm)
+            for key, h in ds.items():
+                assert abs(h["score"] - dm[key]["score"]) < 1e-12
+                assert h["snip"] == dm[key]["snip"]
+                assert dm[key]["title"] == key
+            nonempty += bool(hs)
+
+            js, jm = serp(s, q, 5), serp(m, q, 5)
+            assert js["count"] == jm["count"]
+            assert len(js["hits"]) == len(jm["hits"])
+
+            page = render_search_page(m, q, 5)
+            assert page.startswith("<!DOCTYPE html>")
+            assert f"{m.last_count} documents matched" in page
+        assert nonempty >= 3
+    finally:
+        m.shutdown()
