@@ -26,8 +26,22 @@ from prosearch_ray.text.tokenizer import simple_tokenize
 JACCARD_THRESHOLD = 0.6
 COSINE_DUP_THRESHOLD = 0.3  # testdata embeddings are near-orthogonal; 0.3
                             # yields a small non-empty pair set at sf<=0.1
+VERIFY_BUCKETS = 64  # bounded co-group fan-out for candidate verification
 
 _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64-style avalanche of int64/uint64 keys — the
+    deterministic uniform bucketing hash for the verification exchange."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xC4CEB9FE1A85EC53)
+        x ^= x >> np.uint64(33)
+    return x
 
 
 def shingles_of(text: str) -> Set[str]:
@@ -155,10 +169,21 @@ def minhash_signatures(ds: "rd.Dataset", num_perm: int = 64,
 
 
 def minhash_dup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
-                      threshold: float = JACCARD_THRESHOLD) -> pa.Table:
+                      threshold: float = JACCARD_THRESHOLD,
+                      n_buckets: int = VERIFY_BUCKETS) -> pa.Table:
     """MinHash + LSH near-dup pairs (the scale path): signature → band rows →
     groupby(band_id, band_hash) buckets → candidate pairs → EXACT Jaccard
-    verification of candidates only. Never an all-pairs scan."""
+    verification of candidates only. Never an all-pairs scan.
+
+    Verification is FULLY DISTRIBUTED (no driver-side candidate state): pair
+    membership rows and document text meet in ONE bounded co-grouping
+    exchange on hash(doc_id) % n_buckets (so only candidate docs are ever
+    shingled, each exactly once), then verified pairs form in a second
+    bounded exchange on hash(pair) % n_buckets.  Group count is n_buckets,
+    not the corpus — per-group driver overhead stays O(1) and per-bucket
+    memory is corpus/n_buckets (size n_buckets to the cluster).  Shingle
+    sets compare as 64-bit blake2b hashes: identical to string-set Jaccard
+    absent a 64-bit collision (p < 1e-11 for web-scale shingle sets)."""
     docs = read(sf_dir, "documents", columns=["doc_id", "text"])
     rows_per_band = num_perm // bands
     sig_ds = minhash_signatures(docs, num_perm=num_perm)
@@ -200,46 +225,117 @@ def minhash_dup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
         ["band_id", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pyarrow").groupby(
         ["ida", "idb"]).aggregate(Count(alias_name="n_bands"))
-    cand_rows = cand.take_all()
 
-    if not cand_rows:
-        return pa.table({"ida": pa.array([], pa.int64()),
-                         "idb": pa.array([], pa.int64()),
-                         "jac": pa.array([], pa.float64())})
+    # ---- distributed exact verification (bounded co-group exchange) ----
+    nb = np.uint64(n_buckets)
 
-    # exact verification of the (small) candidate set: broadcast shingle sets
-    # of candidate docs only
-    cand_ids = sorted({r["ida"] for r in cand_rows} | {r["idb"] for r in cand_rows})
-    cand_set = set(cand_ids)
+    def membership_rows(t: pa.Table) -> pa.Table:
+        """Two rows per candidate pair, keyed by each member doc."""
+        ia = t.column("ida").to_numpy()
+        ib = t.column("idb").to_numpy()
+        key = np.concatenate([ia, ib]) if len(ia) else np.array([], np.int64)
+        n = len(key)
+        return pa.table({
+            "bkt": pa.array((_mix64(key) % nb).astype(np.int64), pa.int64()),
+            "kind": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "key": pa.array(key, pa.int64()),
+            "ida": pa.array(np.concatenate([ia, ia]) if n else key, pa.int64()),
+            "idb": pa.array(np.concatenate([ib, ib]) if n else key, pa.int64()),
+            "text": pa.array([""] * n, pa.string()),
+        })
 
-    def cand_shingles(t: pa.Table) -> pa.Table:
-        ids, shs = [], []
-        for doc_id, text in zip(t.column("doc_id").to_pylist(),
-                                t.column("text").to_pylist()):
-            if doc_id in cand_set:
-                ids.append(doc_id)
-                shs.append(sorted(shingles_of(text)))
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "shingles": pa.array(shs, pa.list_(pa.string()))})
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        return pa.table({
+            "bkt": pa.array((_mix64(ids) % nb).astype(np.int64), pa.int64()),
+            "kind": pa.array(np.ones(len(ids), np.int8), pa.int8()),
+            "key": pa.array(ids, pa.int64()),
+            "ida": pa.array(np.full(len(ids), -1, np.int64), pa.int64()),
+            "idb": pa.array(np.full(len(ids), -1, np.int64), pa.int64()),
+            "text": t.column("text"),
+        })
 
-    sh_map: Dict[int, Set[str]] = {}
-    for r in docs.map_batches(cand_shingles, batch_format="pyarrow").take_all():
-        sh_map[r["doc_id"]] = set(r["shingles"])
+    both = cand.map_batches(membership_rows, batch_format="pyarrow").union(
+        docs.map_batches(doc_rows, batch_format="pyarrow"))
 
-    out_a, out_b, out_j = [], [], []
-    for r in sorted(cand_rows, key=lambda r: (r["ida"], r["idb"])):
-        sa, sb = sh_map.get(r["ida"], set()), sh_map.get(r["idb"], set())
-        if not sa or not sb:
-            continue
-        inter = len(sa & sb)
-        jac = inter / (len(sa) + len(sb) - inter)
-        if jac >= threshold:
-            out_a.append(r["ida"])
-            out_b.append(r["idb"])
-            out_j.append(jac)
-    return pa.table({"ida": pa.array(out_a, pa.int64()),
-                     "idb": pa.array(out_b, pa.int64()),
-                     "jac": pa.array(sql_round(out_j, 4), pa.float64())})
+    def attach_bucket(g: pa.Table) -> pa.Table:
+        """Shingle-hash only the bucket's docs that appear in ≥1 pair (each
+        exactly once) and replicate the hash set onto each membership row."""
+        kind = g.column("kind").to_numpy()
+        mem = np.flatnonzero(kind == 0)
+        out_schema = pa.schema([("pbkt", pa.int64()), ("ida", pa.int64()),
+                                ("idb", pa.int64()),
+                                ("hashes", pa.list_(pa.uint64()))])
+        if not len(mem) or (kind == 1).sum() == 0:
+            return out_schema.empty_table()
+        keys = g.column("key").to_numpy()
+        needed = set(np.unique(keys[mem]).tolist())
+        texts = g.column("text")
+        hset: Dict[int, np.ndarray] = {}
+        for i in np.flatnonzero(kind == 1):
+            k = int(keys[i])
+            if k in hset or k not in needed:
+                continue
+            hset[k] = np.fromiter(
+                (_stable_h64(s) for s in shingles_of(texts[i].as_py())),
+                dtype=np.uint64)
+        ia = g.column("ida").to_numpy()[mem]
+        ib = g.column("idb").to_numpy()[mem]
+        mkeys = keys[mem]
+        lens = np.array([len(hset.get(int(k), ())) for k in mkeys], np.int64)
+        vals = (np.concatenate([hset.get(int(k), np.array([], np.uint64))
+                                for k in mkeys])
+                if lens.sum() else np.array([], np.uint64))
+        offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        with np.errstate(over="ignore"):
+            pb = ((_mix64(ia) * np.uint64(0x9E3779B97F4A7C15)
+                   ^ _mix64(ib)) % nb).astype(np.int64)
+        return pa.table({
+            "pbkt": pa.array(pb, pa.int64()),
+            "ida": pa.array(ia, pa.int64()),
+            "idb": pa.array(ib, pa.int64()),
+            "hashes": pa.LargeListArray.from_arrays(
+                pa.array(offs, pa.int64()),
+                pa.array(vals, pa.uint64())).cast(pa.list_(pa.uint64())),
+        })
+
+    def verify_bucket(g: pa.Table) -> pa.Table:
+        """Exact Jaccard per pair from the two attached hash sets."""
+        ia = g.column("ida").to_numpy()
+        ib = g.column("idb").to_numpy()
+        hcol = g.column("hashes").combine_chunks()
+        order = np.lexsort((ib, ia))
+        out_a, out_b, out_j = [], [], []
+        i = 0
+        while i < len(order):
+            j = i + 1
+            while j < len(order) and ia[order[j]] == ia[order[i]] \
+                    and ib[order[j]] == ib[order[i]]:
+                j += 1
+            if j - i == 2:
+                sa = hcol[order[i]].values.to_numpy()
+                sb = hcol[order[i + 1]].values.to_numpy()
+                if len(sa) and len(sb):
+                    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                    jac = inter / (len(sa) + len(sb) - inter)
+                    if jac >= threshold:
+                        out_a.append(int(ia[order[i]]))
+                        out_b.append(int(ib[order[i]]))
+                        out_j.append(jac)
+            i = j
+        return pa.table({"ida": pa.array(out_a, pa.int64()),
+                         "idb": pa.array(out_b, pa.int64()),
+                         "jac": pa.array(out_j, pa.float64())})
+
+    rows = both.groupby("bkt").map_groups(
+        attach_bucket, batch_format="pyarrow").groupby("pbkt").map_groups(
+        verify_bucket, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (r["ida"], r["idb"]))
+    return pa.table({
+        "ida": pa.array([r["ida"] for r in rows], pa.int64()),
+        "idb": pa.array([r["idb"] for r in rows], pa.int64()),
+        "jac": pa.array(sql_round([r["jac"] for r in rows], 4), pa.float64()),
+    })
 
 
 # ------------------------------------------------------------------- simhash
