@@ -237,7 +237,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": dedup.jaccard_pairs,
         "minhash_dup_pairs": dedup.minhash_dup_pairs,
         "simhash_dup_pairs": dedup.simhash_dup_pairs,
-        "embedding_dup_pairs": dedup.embedding_dup_pairs,
+        # method="exact" is the ORACLE config (blocked all-pairs == the
+        # SQL semantics); the default ANN-candidates path is
+        # recall-checked in pytest (tests/test_pipelines.py).
+        "embedding_dup_pairs": lambda sf_dir: dedup.embedding_dup_pairs(
+            sf_dir, method="exact"),
         "dedup_clusters": dedup.dedup_clusters,
         "clean_corpus": curate.clean_corpus,
         # similarity search.  The driver entries for the approximate variants

@@ -436,22 +436,41 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
 
 # ----------------------------------------------------------------- embedding
 EMB_BLOCK_ROWS = 16384  # ~8 MB per block at 64-dim float64
+ANN_DUP_CLUSTERS = 8    # k-means cells for the ANN candidate path
+ANN_DUP_PROBES = 2      # clusters each vector is replicated into
 
 
 def embedding_dup_pairs(sf_dir: str,
-                        threshold: float = COSINE_DUP_THRESHOLD) -> pa.Table:
-    """EXACT embedding-cosine near-dup pairs via a blocked pairwise compare:
-    the table is normalized once, split into bounded blocks that live in the
-    OBJECT STORE (spillable — never on the driver), and one Ray task per
-    block pair (i <= j) does a single float64 matmul, shipping back only the
-    above-threshold pairs.  Compute is inherently O(n^2/2) blocks — the exact
-    semantics the SQL oracle checks; the approximate scale path is the
-    IVF/LSH candidate generation in ``minhash_dup_pairs``/``ivf_knn``."""
+                        threshold: float = COSINE_DUP_THRESHOLD,
+                        method: str = "ann",
+                        n_clusters: int = ANN_DUP_CLUSTERS,
+                        n_probe: int = ANN_DUP_PROBES,
+                        seed: int = 13) -> pa.Table:
+    """Embedding-cosine near-dup pairs.
+
+    ``method="ann"`` (DEFAULT — the scale path): k-means centroids trained on
+    a bounded sample are broadcast; each vector is replicated into its
+    ``n_probe`` nearest cells; within-cell blocked matmuls produce candidate
+    pairs whose cosine IS the exact cosine (full vectors are present), so no
+    re-verification pass is needed; a final tiny groupby dedups pairs found
+    in more than one shared cell.  Compute is O(sum c_i^2) over cell sizes —
+    never an all-pairs scan.  Recall vs the exact path is pinned in pytest.
+
+    ``method="exact"`` (the sf0.01 ORACLE config): blocked all-pairs compare
+    — the table is normalized once, split into bounded blocks that live in
+    the OBJECT STORE (spillable — never on the driver), one Ray task per
+    block pair (i <= j).  O(n^2/2) blocks by contract: this is the exact
+    semantics the SQL oracle checks and the recall reference for "ann"."""
     import ray
 
     from prosearch_ray.pipelines.similarity import _mat_of
 
     emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    if method == "ann":
+        return _ann_dup_pairs(emb, threshold, n_clusters, n_probe, seed)
+    if method != "exact":
+        raise ValueError(f"unknown method {method!r}")
     n = emb.count()
     num_blocks = max(1, -(-n // EMB_BLOCK_ROWS))
 
@@ -498,6 +517,79 @@ def embedding_dup_pairs(sf_dir: str,
 
     out = rd.from_items(pairs).map_batches(
         compare, batch_format="pyarrow", batch_size=1).take_all()
+    out.sort(key=lambda r: (r["ida"], r["idb"]))
+    return pa.table({
+        "ida": pa.array([r["ida"] for r in out], pa.int64()),
+        "idb": pa.array([r["idb"] for r in out], pa.int64()),
+        "cos": pa.array(sql_round([r["cos"] for r in out], 4), pa.float64()),
+    })
+
+
+def _ann_dup_pairs(emb: "rd.Dataset", threshold: float, n_clusters: int,
+                   n_probe: int, seed: int) -> pa.Table:
+    """ANN-candidates + exact-cosine embedding dedup (see
+    ``embedding_dup_pairs``): replicate each vector into its n_probe nearest
+    k-means cells, compare only within cells (blocked matmul), dedup pairs
+    that share more than one cell with a tiny groupby."""
+    from ray.data.aggregate import Max
+
+    from prosearch_ray.pipelines.similarity import (
+        IVF_TRAIN_CAP, _kmeans_centroids, _mat_of, _normalized,
+        _train_sample_matrix)
+
+    cent = _kmeans_centroids(
+        _train_sample_matrix(emb, IVF_TRAIN_CAP, seed), n_clusters, seed)
+    p = min(n_probe, len(cent))
+    ref = bput(cent)
+
+    def assign_rows(t: pa.Table) -> pa.Table:
+        c = bget(ref)
+        ids = t.column("vec_id").to_numpy().astype(np.int64, copy=False)
+        m = _normalized(_mat_of(t.column("embedding")))
+        if not len(ids):
+            return pa.table({
+                "cluster": pa.array([], pa.int32()),
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float64()))})
+        top = np.argsort(-(m @ c.T), axis=1)[:, :p]    # (n, p) nearest cells
+        dim = m.shape[1]
+        rep = np.repeat(m, p, axis=0)                   # vector per cell row
+        return pa.table({
+            "cluster": pa.array(top.ravel().astype(np.int32), pa.int32()),
+            "vec_id": pa.array(np.repeat(ids, p), pa.int64()),
+            "embedding": pa.ListArray.from_arrays(
+                pa.array(np.arange(len(rep) + 1, dtype=np.int32) * dim),
+                pa.array(rep.ravel(), pa.float64())),
+        })
+
+    def cell_pairs(g: pa.Table) -> pa.Table:
+        ids = g.column("vec_id").to_numpy()
+        m = _mat_of(g.column("embedding"))  # already normalized
+        ia_out, ib_out, cc_out = [], [], []
+        n = len(ids)
+        for bi in range(0, n, EMB_BLOCK_ROWS):
+            mi = m[bi:bi + EMB_BLOCK_ROWS]
+            for bj in range(bi, n, EMB_BLOCK_ROWS):
+                cos = mi @ m[bj:bj + EMB_BLOCK_ROWS].T
+                ri, cj = np.nonzero(cos >= threshold)
+                a = ids[bi + ri]
+                b = ids[bj + cj]
+                keep = a < b if bi == bj else a != b
+                a, b, c = a[keep], b[keep], cos[ri[keep], cj[keep]]
+                lo, hi = np.minimum(a, b), np.maximum(a, b)
+                ia_out.append(lo)
+                ib_out.append(hi)
+                cc_out.append(c)
+        ia = np.concatenate(ia_out) if ia_out else np.array([], np.int64)
+        ib = np.concatenate(ib_out) if ib_out else np.array([], np.int64)
+        cc = np.concatenate(cc_out) if cc_out else np.array([], np.float64)
+        return pa.table({"ida": pa.array(ia, pa.int64()),
+                         "idb": pa.array(ib, pa.int64()),
+                         "cos": pa.array(cc, pa.float64())})
+
+    out = emb.map_batches(assign_rows, batch_format="pyarrow").groupby(
+        "cluster").map_groups(cell_pairs, batch_format="pyarrow").groupby(
+        ["ida", "idb"]).aggregate(Max("cos", alias_name="cos")).take_all()
     out.sort(key=lambda r: (r["ida"], r["idb"]))
     return pa.table({
         "ida": pa.array([r["ida"] for r in out], pa.int64()),

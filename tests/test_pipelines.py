@@ -36,6 +36,23 @@ def test_simhash_pairs_are_symmetric_and_verified():
     assert simhash64("hash table merge") == simhash64("hash table merge")
 
 
+def test_embedding_ann_dedup_subset_and_recall():
+    """The default (ANN) embedding-dedup path must return a SUBSET of the
+    exact blocked-compare pairs with bit-equal cosines (within-cell cosine IS
+    the exact cosine), at useful recall even on this hostile near-orthogonal
+    corpus (threshold 0.3 pairs are not clusterable dups; measured ~0.77)."""
+    from prosearch_ray.pipelines.dedup import embedding_dup_pairs
+
+    exact = {(r["ida"], r["idb"]): r["cos"]
+             for r in embedding_dup_pairs(SF, method="exact").to_pylist()}
+    ann = {(r["ida"], r["idb"]): r["cos"]
+           for r in embedding_dup_pairs(SF).to_pylist()}
+    assert set(ann) <= set(exact)
+    for k, c in ann.items():
+        assert abs(c - exact[k]) < 1e-12
+    assert len(ann) / len(exact) >= 0.6
+
+
 def test_lsh_knn_scores_are_genuine_cosines():
     """The testdata embeddings are near-orthogonal (best cos ~0.37), so there
     are no true near-neighbors for LSH to recall — assert the mechanism
