@@ -151,6 +151,41 @@ def test_ivf_full_probe_equals_brute_force():
     assert full == exact
 
 
+def test_ivf_index_reads_only_probed_partitions(tmp_path):
+    """The materialized IVF index must satisfy queries from the probed
+    partition directories ONLY (the 100 TB contract: n_probe/n_clusters of
+    the stored bytes), and a rebuild into the same root must be a no-op
+    resume (all partitions skipped, none rewritten)."""
+    import numpy as np
+
+    from prosearch_ray.pipelines.similarity import (
+        _grab_query_rows, build_ivf_index, ivf_index_search)
+    from prosearch_ray.pipelines.common import read
+
+    root = str(tmp_path / "ivf")
+    man = build_ivf_index(SF, root, n_clusters=8, seed=13)
+    assert man["complete"] and man["written"] >= 2
+
+    emb = read(SF, "embeddings", columns=["vec_id", "embedding"])
+    q_ids, q_mat = _grab_query_rows(emb, [0, 1])
+    report = {}
+    res = ivf_index_search(root, q_ids, q_mat, n_probe=2, _report=report)
+    assert res.num_rows > 0
+    assert len(report["probed_dirs"]) <= 2 * 2  # <= queries x n_probe cells
+    assert len(report["probed_dirs"]) < report["total_partitions"]
+    # scores are genuine cosines against the full table
+    mats = {r["vec_id"]: np.asarray(r["embedding"], np.float64)
+            for r in emb.take_all()}
+    for v in mats:
+        mats[v] = mats[v] / np.linalg.norm(mats[v])
+    for r in res.to_pylist():
+        assert abs(float(mats[r["qid"]] @ mats[r["nid"]]) - r["cos"]) < 1e-3
+
+    # resume: nothing rewritten
+    man2 = build_ivf_index(SF, root, n_clusters=8, seed=13)
+    assert man2 == man
+
+
 def test_ivf_partial_probe_recall():
     from prosearch_ray.pipelines.similarity import ivf_knn, knn_cosine
 
