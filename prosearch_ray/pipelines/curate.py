@@ -18,9 +18,7 @@ import ray.data as rd
 
 from prosearch_ray.pipelines.common import read, sql_round
 from prosearch_ray.pipelines.dedup import dedup_clusters
-from prosearch_ray.pipelines.textstats import LANG_MARKERS
 from prosearch_ray.state.broadcast import bget, bput
-from prosearch_ray.text.tokenizer import simple_tokenize
 
 DEFAULT_MIN_TTR = 0.5
 DEFAULT_LANGS = ("de", "en", "es", "fr")
@@ -28,43 +26,34 @@ DEFAULT_LANGS = ("de", "en", "es", "fr")
 
 class _CurateStage:
     """Actor-pool stage: marker lexicons built once; per batch computes
-    language prediction + type-token ratio and applies all three gates."""
+    language prediction + type-token ratio (both vectorized — one Arrow
+    tokenize pass feeds the textstats kernels) and applies all three gates
+    as numpy masks."""
 
     def __init__(self, non_keepers_ref, min_ttr: float, keep_langs):
         self.non_keepers = bget(non_keepers_ref)  # sorted int64 ids
         self.min_ttr = float(min_ttr)
-        self.keep_langs = frozenset(keep_langs)
-        self.langs = sorted(k for k in LANG_MARKERS if LANG_MARKERS[k])
-        self.markers = {k: LANG_MARKERS[k] for k in self.langs}
+        self.keep_langs = sorted(keep_langs)
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        from prosearch_ray.pipelines.textstats import (_doc_token_stats,
+                                                       _lang_scores)
+        from prosearch_ray.pipelines.trainprep import _split_tokens
+
         ids = t.column("doc_id").to_numpy()
         dup = np.isin(ids, self.non_keepers, assume_unique=True)
-        out_id, out_lang, out_ttr = [], [], []
-        for i, text in enumerate(t.column("text").to_pylist()):
-            if dup[i]:
-                continue
-            toks = simple_tokenize(text)
-            n = max(1, len(toks))
-            if any("一" <= ch <= "鿿" for ch in text[:200]):
-                pred = "zh"
-            else:
-                scores = {lang: sum(tok in mk for tok in toks) / n
-                          for lang, mk in self.markers.items()}
-                pred = max(sorted(scores), key=lambda k: scores[k])
-            if pred not in self.keep_langs:
-                continue
-            ttr = float(sql_round(
-                [len(set(toks)) / len(toks) if toks else 0.0])[0])
-            if ttr < self.min_ttr:
-                continue
-            out_id.append(int(ids[i]))
-            out_lang.append(pred)
-            out_ttr.append(ttr)
+        pre = _split_tokens(t.column("text"))
+        pred, _, n_tok, _, _ = _lang_scores(t.column("text"), pre=pre)
+        _, _, _, _, n_uniq = _doc_token_stats(t.column("text"), pre=pre)
+        nz = np.maximum(1, n_tok).astype(np.float64)
+        ttr = sql_round(np.where(n_tok > 0, n_uniq / nz, 0.0), 4)
+        keep = (~dup
+                & np.isin(pred.astype(object), self.keep_langs)
+                & (ttr >= self.min_ttr))
         return pa.table({
-            "doc_id": pa.array(out_id, pa.int64()),
-            "pred_lang": pa.array(out_lang, pa.string()),
-            "ttr": pa.array(out_ttr, pa.float64()),
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "pred_lang": pa.array(pred[keep].tolist(), pa.string()),
+            "ttr": pa.array(ttr[keep], pa.float64()),
         })
 
 

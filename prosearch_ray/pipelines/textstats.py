@@ -2,17 +2,23 @@
 document fingerprinting.  All three are SQL-checkable: the marker heuristic,
 the quality features and the winnowing scheme are each expressed in DuckDB
 (see __ray_entry__.oracle_sql) and exact-matched by the driver.
+
+All kernels are VECTORIZED per batch: tokenization is one Arrow regex split
+(``trainprep._split_tokens``), marker membership is ``pc.is_in`` + bincount,
+per-doc distinct counts come from one lexsort, and gram hashing dict-encodes
+so each distinct gram is md5'd once per batch — no per-token Python loops.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
 from prosearch_ray.pipelines.common import read, sql_round
-from prosearch_ray.text.tokenizer import simple_tokenize
+from prosearch_ray.pipelines.trainprep import _split_tokens
 
 # Tiny per-language marker lexicons (n-gram/stopword heuristic). The testdata
 # text is synthetic English-ish for every lang value, so this demonstrates the
@@ -26,33 +32,65 @@ LANG_MARKERS = {
     "zh": set(),  # no latin markers; falls through to byte heuristic
 }
 
+_CJK_RE = "[一-鿿]"  # same range as the "一" <= ch <= "鿿" heuristic
+
+
+def _doc_token_stats(col, pre=None):
+    """Vectorized per-doc token statistics from one Arrow tokenize pass:
+    returns ``(flat_tokens, doc_of, n_docs, n_tok, n_uniq)`` where distinct
+    counts come from one (doc, token-code) lexsort — no Python sets.
+    ``pre`` lets a caller share an existing ``_split_tokens(col)`` result."""
+    flat, doc_of, n = pre if pre is not None else _split_tokens(col)
+    n_tok = np.bincount(doc_of, minlength=n).astype(np.int64)
+    codes = flat.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    order = np.lexsort((codes, doc_of))
+    d_s, c_s = doc_of[order], codes[order]
+    first = np.ones(len(d_s), bool)
+    first[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+    n_uniq = np.bincount(d_s[first], minlength=n).astype(np.int64)
+    return flat, doc_of, n, n_tok, n_uniq
+
+
+def _lang_scores(col, pre=None):
+    """Vectorized marker-score language prediction for a string column:
+    one ``pc.is_in`` + bincount per language, argmax over the sorted-lang
+    score matrix (ties -> alphabetically first, like the scalar reference),
+    CJK short-circuit via one regex over the first 200 codepoints.
+    Returns ``(pred: object ndarray, conf, n_tok, doc_of, flat)``.
+    ``pre`` lets a caller share an existing ``_split_tokens(col)`` result."""
+    flat, doc_of, n = pre if pre is not None else _split_tokens(col)
+    n_tok = np.bincount(doc_of, minlength=n).astype(np.int64)
+    denom = np.maximum(1, n_tok).astype(np.float64)
+    langs = sorted(k for k in LANG_MARKERS if LANG_MARKERS[k])
+    score = np.zeros((n, len(langs)))
+    for j, lang in enumerate(langs):
+        member = pc.is_in(
+            flat, value_set=pa.array(sorted(LANG_MARKERS[lang]))
+        ).to_numpy(zero_copy_only=False).astype(np.float64)
+        score[:, j] = np.bincount(doc_of, weights=member, minlength=n) / denom
+    best = np.argmax(score, axis=1)  # first max == smallest lang name
+    conf = score[np.arange(n), best] if n else np.array([], np.float64)
+    pred = np.array(langs, dtype=object)[best] if n else np.array([], object)
+    cjk = pc.match_substring_regex(
+        pc.utf8_slice_codeunits(col, 0, 200), _CJK_RE
+    ).to_numpy(zero_copy_only=False)
+    pred = np.where(cjk, "zh", pred)
+    conf = np.where(cjk, 1.0, conf)
+    return pred, conf, n_tok, doc_of, flat
+
 
 class LangId:
-    """Stateful actor-pool stage (markers + regexes built once per actor)."""
+    """Stateful actor-pool stage (marker tables built once per actor)."""
 
     def __init__(self):
         self.langs = sorted(k for k in LANG_MARKERS if LANG_MARKERS[k])
-        self.markers = {k: LANG_MARKERS[k] for k in self.langs}
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        preds, confs = [], []
-        for text in t.column("text").to_pylist():
-            toks = simple_tokenize(text)
-            n = max(1, len(toks))
-            has_cjk = any("一" <= ch <= "鿿" for ch in text[:200])
-            if has_cjk:
-                preds.append("zh")
-                confs.append(1.0)
-                continue
-            scores = {lang: sum(tok in mk for tok in toks) / n
-                      for lang, mk in self.markers.items()}
-            best = max(sorted(scores), key=lambda k: scores[k])
-            preds.append(best)
-            confs.append(scores[best])
+        pred, conf, _, _, _ = _lang_scores(t.column("text"))
         return pa.table({
             "doc_id": t.column("doc_id"),
-            "pred_lang": pa.array(preds, pa.string()),
-            "confidence": pa.array(sql_round(confs, 4), pa.float64()),
+            "pred_lang": pa.array(pred.tolist(), pa.string()),
+            "confidence": pa.array(sql_round(conf, 4), pa.float64()),
         })
 
 
@@ -68,15 +106,13 @@ def quality_score(sf_dir: str) -> "rd.Dataset":
     docs = read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
-        n_tok, n_uniq, ttr, mean_len = [], [], [], []
-        for text in t.column("text").to_pylist():
-            toks = simple_tokenize(text)
-            n = len(toks)
-            u = len(set(toks))
-            n_tok.append(n)
-            n_uniq.append(u)
-            ttr.append(u / n if n else 0.0)
-            mean_len.append(sum(len(x) for x in toks) / n if n else 0.0)
+        flat, doc_of, n, n_tok, n_uniq = _doc_token_stats(t.column("text"))
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        sum_len = np.bincount(doc_of, weights=lens.astype(np.float64),
+                              minlength=n)
+        nz = np.maximum(1, n_tok).astype(np.float64)
+        ttr = np.where(n_tok > 0, n_uniq / nz, 0.0)
+        mean_len = np.where(n_tok > 0, sum_len / nz, 0.0)
         return pa.table({
             "doc_id": t.column("doc_id"),
             "n_tokens": pa.array(n_tok, pa.int64()),
@@ -93,37 +129,55 @@ def fingerprint(sf_dir: str, kgram: int = 4, window: int = 5) -> "rd.Dataset":
     the rolling-hash fingerprinting operator.  The gram hash is the first 16
     hex chars of md5 (any 64-bit PRF works for winnowing; md5 keeps the
     DuckDB oracle bit-exact — fixed-width hex compares lexicographically ==
-    numerically), window mins are a vectorized shifted-slice minimum."""
+    numerically).  Grams are built batch-wide with one element-wise Arrow
+    join of shifted token slices, each DISTINCT gram is md5'd once per batch
+    (dictionary-encode), and window mins are a vectorized shifted-slice
+    minimum per doc."""
     docs = read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
         import hashlib
 
-        ids = t.column("doc_id").to_pylist()
-        n_fp, min_fp = [], []
-        for text in t.column("text").to_pylist():
-            toks = simple_tokenize(text)
-            grams = [" ".join(toks[i:i + kgram])
-                     for i in range(max(0, len(toks) - kgram + 1))]
-            if not grams:
-                n_fp.append(0)
-                min_fp.append("")
+        flat, doc_of, n = _split_tokens(t.column("text"))
+        L = len(flat)
+        if L >= kgram:
+            span = L - kgram + 1
+            parts = [flat.slice(i, span) for i in range(kgram)]
+            grams = pc.binary_join_element_wise(*parts, " ")
+            gdoc = doc_of[:span]
+            same = gdoc == doc_of[kgram - 1:]
+            grams = grams.filter(pa.array(same))
+            gdoc = gdoc[same]
+        else:
+            grams, gdoc = pa.array([], pa.string()), np.array([], np.int64)
+        denc = grams.dictionary_encode()
+        hd = np.fromiter(
+            (int(hashlib.md5(g.encode()).hexdigest()[:16], 16)
+             for g in denc.dictionary.to_pylist()),
+            dtype=np.uint64, count=len(denc.dictionary))
+        h_flat = hd[denc.indices.to_numpy(zero_copy_only=False)] \
+            if len(denc) else np.array([], np.uint64)
+        counts = np.bincount(gdoc, minlength=n)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        n_fp = np.zeros(n, np.int64)
+        min_fp = [""] * n
+        for d in range(n):
+            hs = h_flat[starts[d]:ends[d]]
+            if not len(hs):
                 continue
-            # uint64 value of the 16-hex-char md5 prefix: numeric order ==
-            # lexicographic order of the fixed-width hex the oracle compares
-            hs = np.array([int(hashlib.md5(g.encode()).hexdigest()[:16], 16)
-                           for g in grams], dtype=np.uint64)
-            n = len(hs)
-            span = max(1, n - window + 1)  # one (truncated) window if n<window
-            mins = hs[:span].copy()
-            for off in range(1, min(window, n)):
-                end = min(off + span, n)
-                np.minimum(mins[:end - off], hs[off:end], out=mins[:end - off])
+            m = len(hs)
+            span_d = max(1, m - window + 1)  # one truncated window if m<window
+            mins = hs[:span_d].copy()
+            for off in range(1, min(window, m)):
+                end = min(off + span_d, m)
+                np.minimum(mins[:end - off], hs[off:end],
+                           out=mins[:end - off])
             fps = np.unique(mins)
-            n_fp.append(len(fps))
-            min_fp.append(f"{int(fps[0]):016x}")
+            n_fp[d] = len(fps)
+            min_fp[d] = f"{int(fps[0]):016x}"
         return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
+            "doc_id": t.column("doc_id").cast(pa.int64()),
             "n_fingerprints": pa.array(n_fp, pa.int64()),
             "min_fingerprint": pa.array(min_fp, pa.string()),
         })
