@@ -323,39 +323,118 @@ def refresh_global(root: str, *,
     return gstats
 
 
+# deltas at or below this row count route driver-side (one pyarrow filter
+# per shard); above it the routing is a distributed hive exchange — the
+# delta never lands on the driver
+DELTA_DRIVER_ROWS = 100_000
+
+
+def _shard_manifest_check(root: str, num_shards: int = None) -> int:
+    """Validate (and on first write, persist) the root's shard count.  A
+    resume or delta run under a different ``num_shards`` would silently mix
+    corpus partitions routed under two hash moduli — refuse loudly."""
+    from prosearch_ray.index.build import _atomic_write_json
+
+    man_path = os.path.join(root, "_sharding.json")
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            old = json.load(f)
+        if num_shards is not None and old.get("num_shards") != num_shards:
+            raise ValueError(
+                f"sharded index at {root} was built with "
+                f"num_shards={old.get('num_shards')}; this run requested "
+                f"{num_shards} — keys would be misrouted. Use the original "
+                f"shard count or a fresh root.")
+        return int(old["num_shards"])
+    # legacy roots predate the manifest: the existing shard dirs ARE the
+    # established count
+    existing = len(shard_dirs(root))
+    if num_shards is None:
+        num_shards = existing
+    elif existing and existing != num_shards:
+        raise ValueError(
+            f"sharded index at {root} has {existing} shard dirs; this run "
+            f"requested num_shards={num_shards} — keys would be misrouted.")
+    _atomic_write_json({"num_shards": int(num_shards)}, man_path)
+    return int(num_shards)
+
+
 def add_documents_sharded(root: str, source, *,
-                          langs: FrozenSet[str] = DEFAULT_LANGS) -> dict:
+                          langs: FrozenSet[str] = DEFAULT_LANGS,
+                          driver_threshold: int = DELTA_DRIVER_ROWS) -> dict:
     """Incremental upsert into a sharded index: route delta rows to their
     key shard, fold each affected shard's delta (index/delta.py), then
-    refresh the corpus-wide stats/dictionary.  Deltas are assumed small
-    (the single-index delta path makes the same assumption), so routing
-    happens driver-side."""
+    refresh the corpus-wide stats/dictionary.
+
+    Small deltas (≤ ``driver_threshold`` rows, the common case) route
+    driver-side with one pyarrow filter per shard.  Larger deltas route
+    through a DISTRIBUTED hive exchange (``write_partitioned`` on the shard
+    key — the delta never materializes on the driver) and each affected
+    shard folds its partition directory; the folds themselves are ordinary
+    distributed ``add_documents`` pipelines."""
+    import shutil
+
     from prosearch_ray.index.delta import add_documents
 
-    if isinstance(source, str):
-        tbl = pads.dataset(source).to_table()
-    elif isinstance(source, pa.Table):
-        tbl = source
-    else:  # Dataset
-        tbl = pa.concat_tables(
-            [b for b in source.iter_batches(batch_format="pyarrow")
-             if b.num_rows], promote_options="default")
     dirs = shard_dirs(root)
-    num_shards = len(dirs)
-    keys = [docid.doc_key(r, p)
-            for r, p in zip(tbl.column("repo").to_pylist(),
-                            tbl.column("path").to_pylist())]
-    shards = np.fromiter((docid.bucket_of(k, num_shards) for k in keys),
-                         dtype=np.int64, count=len(keys))
+    num_shards = _shard_manifest_check(root)
+    if isinstance(source, str):
+        source = rd.read_parquet(source)
+    if isinstance(source, pa.Table):
+        n_rows, ds = source.num_rows, None
+    else:
+        ds = source
+        n_rows = ds.count()
+
     added = tombstoned = 0
-    for s in range(num_shards):
-        sub = tbl.filter(pa.array(shards == s))
-        if sub.num_rows == 0:
-            continue
-        rep = add_documents(dirs[s], rd.from_arrow(sub), langs=langs,
-                            n_input_estimate=sub.num_rows)
-        added += rep.get("added", 0)
-        tombstoned += rep.get("tombstoned", 0)
+    if n_rows <= driver_threshold:
+        tbl = source if ds is None else pa.concat_tables(
+            [b for b in ds.iter_batches(batch_format="pyarrow")
+             if b.num_rows], promote_options="default")
+        keys = [docid.doc_key(r, p)
+                for r, p in zip(tbl.column("repo").to_pylist(),
+                                tbl.column("path").to_pylist())]
+        shards = np.fromiter((docid.bucket_of(k, num_shards) for k in keys),
+                             dtype=np.int64, count=len(keys))
+        for s in range(num_shards):
+            sub = tbl.filter(pa.array(shards == s))
+            if sub.num_rows == 0:
+                continue
+            rep = add_documents(dirs[s], rd.from_arrow(sub), langs=langs,
+                                n_input_estimate=sub.num_rows)
+            added += rep.get("added", 0)
+            tombstoned += rep.get("tombstoned", 0)
+    else:
+        if ds is None:
+            ds = rd.from_arrow(source)
+        spill = os.path.join(root, "delta_spill")
+        # the routing spill is transient per delta call (a crashed fold
+        # rewinds to re-routing this delta, same retry unit as the
+        # unsharded delta path)
+        shutil.rmtree(spill, ignore_errors=True)
+
+        def tag(t: pa.Table) -> pa.Table:
+            keys = [docid.doc_key(r, p)
+                    for r, p in zip(t.column("repo").to_pylist(),
+                                    t.column("path").to_pylist())]
+            sh = np.fromiter(
+                (docid.bucket_of(k, num_shards) for k in keys),
+                dtype=np.int64, count=len(keys))
+            return t.append_column("shard", pa.array(sh, pa.int64()))
+
+        write_partitioned(ds.map_batches(tag, batch_format="pyarrow"),
+                          spill, "shard")
+        for s in range(num_shards):
+            sdir = os.path.join(spill, f"shard={s}")
+            if not os.path.isdir(sdir):
+                continue
+            sub = rd.read_parquet(sdir)
+            rep = add_documents(dirs[s], sub, langs=langs,
+                                n_input_estimate=sub.count())
+            added += rep.get("added", 0)
+            tombstoned += rep.get("tombstoned", 0)
+        shutil.rmtree(spill, ignore_errors=True)
+
     g = refresh_global(root)
     return {"added": added, "tombstoned": tombstoned, "n_docs": g["n_docs"]}
 
@@ -383,6 +462,7 @@ def build_sharded_index(
     pass, resumable), build an ordinary index per shard, then derive the
     corpus-wide stats + merged dictionary.  Returns a report."""
     os.makedirs(root, exist_ok=True)
+    _shard_manifest_check(root, num_shards)  # refuse a mismatched resume
     corpus_root = os.path.join(root, "corpus")
     if isinstance(source, str):
         ds = rd.read_parquet(source, columns=CORPUS_COLUMNS)

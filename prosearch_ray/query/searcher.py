@@ -51,7 +51,8 @@ class _TermPostings:
 
     __slots__ = ("doc_ids", "tfs", "flags", "df_title", "df_body",
                  "seg_starts", "seg_ends", "seg_max_tf", "seg_min_nb",
-                 "seg_min_nt", "seg_bucket", "lut", "scores", "term")
+                 "seg_min_nt", "seg_bucket", "lut", "scores", "term",
+                 "published")
 
     def __init__(self, seg_bucket: np.ndarray, seg_df: np.ndarray,
                  seg_max_tf: np.ndarray,
@@ -76,6 +77,7 @@ class _TermPostings:
         self.lut = None     # (body_lut, title_lut, tf_cap, may_overflow)
         self.scores = None  # cached boost-free per-posting contributions
         self.term = ""      # set by the searcher at fetch time
+        self.published = False  # this bundle was offered to the registry
 
     _SHARED_FIELDS = ("doc_ids", "tfs", "flags", "df_title", "df_body",
                       "seg_starts", "seg_ends", "seg_max_tf", "seg_min_nb",
@@ -93,6 +95,7 @@ class _TermPostings:
             setattr(tp, f, bundle[f])
         tp.lut = None
         tp.term = ""
+        tp.published = True  # came FROM the registry — never republish
         return tp
 
 
@@ -278,12 +281,13 @@ class IndexSearcher:
         df = d.column("df").to_numpy()
         order = np.argsort(-df, kind="stable")[:n_top_terms]
         terms = [d.column("term")[int(i)].as_py() for i in order]
-        # prewarm decodes locally and NEVER publishes: the whole pool warms
-        # concurrently while early-ready actors already serve queries, so
-        # object-store churn here would tax live query latency for bundles
-        # every peer is busy building anyway.  Cross-actor sharing happens
-        # at query time (rare cold big terms), where one publisher saves
-        # every later actor the decode.
+        # prewarm decodes locally and publishes NOTHING while warming: the
+        # whole pool warms concurrently while early-ready actors already
+        # serve queries, so object-store churn here would tax live query
+        # latency for bundles every peer is busy building anyway.  The
+        # bundles are NOT lost to sharing: publish gating is per-bundle
+        # (tp.published), so the first query-time USE of a prewarmed term
+        # offers it to the registry (fire-and-forget).
         self._share_publish = False
         try:
             for tp in self.fetch_postings(terms).values():
@@ -522,16 +526,20 @@ class IndexSearcher:
             tp.scores = self._score_lut(
                 tp, tp.tfs, tp.flags, self.norm_title_id[ids],
                 self.norm_body_id[ids], None, 1.0)
-            # big terms: publish the full decoded+scored bundle for the
-            # other actors of the pool (best-effort, read-only on arrival)
-            if (self._share_publish and tp.term
-                    and len(ids) >= self._SHARE_MIN_DF and self._merge_fp
-                    and self._global_dict_path is None
-                    and self._share_postings_enabled()):
-                from prosearch_ray.state import poscache
-                if poscache.enabled():
-                    poscache.publish(
-                        f"tp:{self._merge_fp}:{tp.term}", tp.to_shared())
+        # big terms: publish the full decoded+scored bundle for the other
+        # actors of the pool (fire-and-forget — no registry ack in the
+        # query path).  Gated on tp.published, NOT on scores-is-None, so a
+        # term decoded during prewarm (publishing suppressed pool-wide) is
+        # still shared by its first query-time user.
+        if (not tp.published and self._share_publish and tp.term
+                and len(tp.doc_ids) >= self._SHARE_MIN_DF and self._merge_fp
+                and self._global_dict_path is None
+                and self._share_postings_enabled()):
+            tp.published = True  # one offer per bundle, whatever the outcome
+            from prosearch_ray.state import poscache
+            if poscache.enabled():
+                poscache.publish(
+                    f"tp:{self._merge_fp}:{tp.term}", tp.to_shared())
         return tp.scores
 
     def _term_scores(self, tp: _TermPostings, idx: np.ndarray, boost: float

@@ -104,20 +104,30 @@ def known_keys(prefix: str) -> List[str]:
         return []
 
 
-def publish(key: str, arr) -> None:
-    """Publish a decoded array; best-effort.  Looks the key up first — when
-    a pool of actors warms the same hot terms concurrently, the losers skip
-    the (multi-MB) ``ray.put`` instead of shipping an object the registry's
-    setdefault would immediately drop."""
+def publish(key: str, arr, wait: bool = False) -> None:
+    """Publish a decoded array; best-effort.
+
+    Default is FIRE-AND-FORGET: one ``ray.put`` plus an un-awaited registry
+    send — a slow or overloaded registry can never stall the caller (the
+    query path publishes on first touch of a big term).  A racing duplicate
+    publish ships a redundant object the registry's ``setdefault`` drops
+    and plasma reclaims — callers dedup the common case with their local
+    ``known_keys`` view.
+
+    ``wait=True`` restores the race-free contract (pre-lookup to skip the
+    multi-MB put when the key exists, then an acked publish — once it
+    returns, a lookup from any actor sees the key); tests use it."""
     import ray
 
     try:
         reg = _registry()
-        if ray.get(reg.lookup.remote([key]), timeout=5)[0]:
-            return
-        ref = ray.put(arr)
-        # synchronous ack: once publish() returns, a lookup from any actor
-        # sees the key (keeps the reuse path and tests race-free)
-        ray.get(reg.publish.remote(key, [ref]), timeout=5)
+        if wait:
+            if ray.get(reg.lookup.remote([key]), timeout=5)[0]:
+                return
+            ref = ray.put(arr)
+            ray.get(reg.publish.remote(key, [ref]), timeout=5)
+        else:
+            ref = ray.put(arr)
+            reg.publish.remote(key, [ref])
     except Exception:
         pass

@@ -137,6 +137,65 @@ def test_sharded_delta_matches_unsharded(both_indexes, tmp_path):
         m.shutdown()
 
 
+def test_sharded_delta_distributed_routing_matches_driver(both_indexes,
+                                                          tmp_path):
+    """With driver_threshold=0 the delta routes through the distributed
+    hive exchange — results must match the driver-side routing exactly."""
+    import shutil
+
+    import pyarrow as pa
+
+    from prosearch_ray.index.sharded import add_documents_sharded
+    from prosearch_ray.query.sharded import ShardedSearcher
+
+    _, root_src, _, _ = both_indexes
+    root_a = str(tmp_path / "driver")
+    root_b = str(tmp_path / "dist")
+    shutil.copytree(root_src, root_a)
+    shutil.copytree(root_src, root_b)
+
+    delta = pa.table({
+        "repo": ["org0000/repo000-000", "org9999/newrepo", "orgX/y"],
+        "path": ["pkg/Hash.java", "fresh/brandnew.py", "a/b.rs"],
+        "commit": ["f" * 40, "e" * 40, "d" * 40],
+        "lang": ["java", "py", "rs"],
+        "content": ["totally rewritten hash merge content",
+                    "brandnewuniq merge hash token",
+                    "distinctive rust merge routine"],
+    })
+    ra = add_documents_sharded(root_a, delta)
+    rb = add_documents_sharded(root_b, delta, driver_threshold=0)
+    assert ra == rb
+
+    queries = ("merge hash", "brandnewuniq", "distinctive rust")
+
+    def run_all(root):  # sequential searchers: 2 live pools would need 6 CPUs
+        m = ShardedSearcher(root)
+        try:
+            return [(q, *m.search(q), m.last_count) for q in queries]
+        finally:
+            m.shutdown()
+
+    res_a, res_b = run_all(root_a), run_all(root_b)
+    for (qa, ka, sa, ca), (qb, kb, sb, cb) in zip(res_a, res_b):
+        assert (qa, ka, ca) == (qb, kb, cb)
+        assert np.allclose(sa, sb, rtol=0, atol=0)
+
+
+def test_num_shards_mismatch_refused(both_indexes, tmp_path):
+    """Re-running a root with a different num_shards must raise instead of
+    silently mixing two hash moduli."""
+    import shutil
+
+    from prosearch_ray.index.sharded import build_sharded_index
+
+    _, root_src, _, _ = both_indexes
+    root = str(tmp_path / "shards")
+    shutil.copytree(root_src, root)
+    with pytest.raises(ValueError, match="num_shards"):
+        build_sharded_index(None, root, num_shards=5)
+
+
 def test_boundary_ties_resolve_by_doc_key(ray_session, tmp_path):
     """A tie group larger than k straddling every shard's local k-boundary:
     per-shard truncation must rank ties by doc_key (like the merge), so the
