@@ -439,6 +439,32 @@ def add_documents_sharded(root: str, source, *,
     return {"added": added, "tombstoned": tombstoned, "n_docs": g["n_docs"]}
 
 
+def compact_sharded(root: str, out_root: str, *,
+                    docs_per_bucket=None,
+                    langs: FrozenSet[str] = DEFAULT_LANGS) -> dict:
+    """Compact every shard into a fresh root: each shard runs the ordinary
+    ``delta.compact`` (drops tombstones, re-packs its doc_ids contiguously
+    — forcemerge + GC per shard, independently resumable), then the
+    corpus-wide stats/dictionary are re-derived over the compacted shards.
+    Shard membership of a key never changes (same hash modulus, persisted
+    in the new root's manifest), so scatter-gather routing and later deltas
+    keep working unchanged."""
+    from prosearch_ray.index.delta import compact
+
+    dirs = shard_dirs(root)
+    if not dirs:
+        raise FileNotFoundError(f"no shard=* index dirs under {root}")
+    n = _shard_manifest_check(root)
+    os.makedirs(out_root, exist_ok=True)
+    _shard_manifest_check(out_root, n)
+    reports = [compact(d, os.path.join(out_root, os.path.basename(d)),
+                       docs_per_bucket=docs_per_bucket, langs=langs)
+               for d in dirs]
+    g = refresh_global(out_root)
+    return {"n_docs": g["n_docs"], "n_terms": g.get("n_terms", 0),
+            "num_shards": n, "shards": reports}
+
+
 def delete_docs_sharded(root: str, doc_keys) -> int:
     """Delete-by-key across shards (tombstones; corpus stats keep counting
     deleted docs until compaction, same as the unsharded index)."""

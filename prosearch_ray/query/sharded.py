@@ -95,11 +95,16 @@ class ShardedSearcher:
     the corpus-wide live match count, like ``IndexSearcher``."""
 
     def __init__(self, root: str,
-                 boost_terms: frozenset = scoring.DEFAULT_BOOST_TERMS):
+                 boost_terms: frozenset = scoring.DEFAULT_BOOST_TERMS,
+                 num_cpus_per_actor: float = 1):
+        """``num_cpus_per_actor=0`` lets S shard actors co-schedule on
+        fewer than S cores (useful when an external pin — taskset, a small
+        scaling level — bounds real CPU use); the default reserves one core
+        per shard worker."""
         dirs = shard_dirs(root)
         if not dirs:
             raise FileNotFoundError(f"no shard=* index dirs under {root}")
-        actor = ray.remote(num_cpus=1)(_ShardWorker)
+        actor = ray.remote(num_cpus=num_cpus_per_actor)(_ShardWorker)
         self.actors = [actor.remote(d, root, boost_terms) for d in dirs]
         self.last_count = 0
 

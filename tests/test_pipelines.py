@@ -24,6 +24,12 @@ def test_minhash_finds_exact_jaccard_pairs():
     assert set(lsh) == set(exact)
     for k in lsh:
         assert abs(lsh[k] - exact[k]) < 1e-9
+    # the above-threshold regime (no candidate-ID broadcast: every doc
+    # ships its hash row) must verify identically
+    full = {(r["ida"], r["idb"]): r["jac"]
+            for r in minhash_dup_pairs(SF, cand_broadcast_limit=0)
+            .to_pylist()}
+    assert full == lsh
 
 
 def test_simhash_pairs_are_symmetric_and_verified():

@@ -182,6 +182,63 @@ def test_sharded_delta_distributed_routing_matches_driver(both_indexes,
         assert np.allclose(sa, sb, rtol=0, atol=0)
 
 
+def test_compact_sharded_drops_tombstones_and_matches_unsharded(
+        both_indexes, tmp_path):
+    """Sharded compaction must drop deleted docs, clear tombstones in every
+    shard, and score bit-identical to compacting the equivalent unsharded
+    index (corpus-wide stats re-derived over the compacted shards)."""
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from prosearch_ray.index.delta import (add_documents, compact,
+                                           delete_docs, load_tombstones)
+    from prosearch_ray.index.sharded import (add_documents_sharded,
+                                             compact_sharded,
+                                             delete_docs_sharded, shard_dirs)
+    from prosearch_ray.query.searcher import IndexSearcher
+    from prosearch_ray.query.sharded import ShardedSearcher
+
+    single_src, root_src, _, _ = both_indexes
+    single = str(tmp_path / "single")
+    root = str(tmp_path / "shards")
+    shutil.copytree(single_src, single)
+    shutil.copytree(root_src, root)
+
+    delta = pa.table({
+        "repo": ["orgZ/zrepo"], "path": ["z/fresh.py"], "commit": ["a" * 40],
+        "lang": ["py"], "content": ["zzfresh merge hash"],
+    })
+    add_documents(single, rd.from_arrow(delta))
+    add_documents_sharded(root, delta)
+    victim = IndexSearcher(single_src).doc_keys[0].as_py()
+    delete_docs(single, [victim])
+    delete_docs_sharded(root, [victim])
+
+    single_out = str(tmp_path / "single_c")
+    root_out = str(tmp_path / "shards_c")
+    rep_u = compact(single, single_out)
+    rep_s = compact_sharded(root, root_out)
+    assert rep_s["n_docs"] == rep_u["n_docs"]
+    assert rep_s["n_terms"] == rep_u["n_terms"]
+    for d in shard_dirs(root_out):
+        assert len(load_tombstones(d)) == 0
+
+    s = IndexSearcher(single_out)
+    m = ShardedSearcher(root_out)
+    try:
+        for q in ("merge hash", "zzfresh"):
+            ids, scs = s.search(q)
+            skeys = [s.doc_keys[int(i)].as_py() for i in ids]
+            mkeys, mscores = m.search(q)
+            _compare(skeys, list(map(float, scs)), mkeys, mscores,
+                     s.last_count, m.last_count)
+        assert victim not in m.search("merge hash", 10_000)[0]
+    finally:
+        m.shutdown()
+
+
 def test_num_shards_mismatch_refused(both_indexes, tmp_path):
     """Re-running a root with a different num_shards must raise instead of
     silently mixing two hash moduli."""
