@@ -263,6 +263,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": textstats.fingerprint,
         # multimodal plumbing (stub decode kernel)
         "media_features": multimodal.media_features,
+        # multimodal REAL byte-level decode + transforms (pure stdlib+numpy
+        # BMP/PNG/WAV/FRAMESEQ codecs; stats exactly predicted by the
+        # synthesis rule, so the oracle catches any mis-parsed pixel)
+        "media_decode": multimodal.media_decode,
+        "media_transform": multimodal.media_transform,
     }
 
 
@@ -608,6 +613,78 @@ def oracle_sql() -> dict[str, str]:
                    i -> (((md5_number_upper(text) >> (8 * i)) & 255)::DOUBLE
                          / 255.0)) AS features
         FROM documents ORDER BY media_id
+    """
+    # real byte-level decode: the synthesis rule (multimodal._media_params)
+    # is closed-form in doc_id, so every decoded integer stat is predicted
+    # exactly — pixel gradients make pix_sum order-sensitive
+    _media_cte = """
+        WITH m AS (
+          SELECT doc_id,
+                 doc_id % 4 AS kix,
+                 8*(2 + doc_id % 5) AS w,
+                 8*(2 + (doc_id // 5) % 5) AS h,
+                 doc_id % 256 AS r,
+                 (doc_id*7) % 256 AS g,
+                 (doc_id*13) % 256 AS b,
+                 2 + doc_id % 6 AS nf,
+                 500 + (doc_id*11) % 4000 AS ns,
+                 1 + doc_id % 30000 AS amp
+          FROM documents
+        )
+    """
+    d["media_decode"] = _media_cte + """
+        SELECT doc_id AS media_id,
+               CASE kix WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp'
+                        WHEN 2 THEN 'png' ELSE 'frameseq' END AS codec,
+               (CASE WHEN kix = 0 THEN 0 ELSE w END)::BIGINT AS width,
+               (CASE WHEN kix = 0 THEN 0 ELSE h END)::BIGINT AS height,
+               (CASE WHEN kix = 0 THEN 0 WHEN kix = 3 THEN nf
+                     ELSE 1 END)::BIGINT AS n_frames,
+               (CASE WHEN kix = 0 THEN 8000 ELSE 0 END)::BIGINT AS sample_rate,
+               (CASE WHEN kix = 0 THEN ns ELSE 0 END)::BIGINT AS n_samples,
+               (CASE WHEN kix = 0 THEN (ns*1000) // 8000
+                     ELSE 0 END)::BIGINT AS duration_ms,
+               (CASE WHEN kix = 0 THEN 0 ELSE
+                 h * list_sum(list_transform(
+                       generate_series(0, (CASE WHEN kix = 3 THEN nf
+                                           ELSE 1 END) - 1), fi ->
+                   list_sum(list_transform(generate_series(0, w-1), x ->
+                       ((r+fi+x) % 256) + ((g+fi+x) % 256)
+                       + ((b+fi+x) % 256)))))
+               END)::BIGINT AS pix_sum,
+               (CASE WHEN kix = 0 THEN amp ELSE 0 END)::BIGINT AS amp_max
+        FROM m ORDER BY media_id
+    """
+    # transforms: 2x block-mean resize (gradient-aware: both block rows are
+    # identical, so each output pixel is (2*(v0+v1)) // 4), every-2nd frame
+    # sampling, and 2x audio decimation (even indices are all +amp)
+    d["media_transform"] = _media_cte + """
+        SELECT doc_id AS media_id,
+               (CASE WHEN kix = 0 THEN 0 WHEN kix = 3 THEN w
+                     ELSE w // 2 END)::BIGINT AS out_width,
+               (CASE WHEN kix = 0 THEN 0 WHEN kix = 3 THEN h
+                     ELSE h // 2 END)::BIGINT AS out_height,
+               (CASE WHEN kix = 0 THEN 0 WHEN kix = 3 THEN (nf+1) // 2
+                     ELSE 1 END)::BIGINT AS out_frames,
+               (CASE WHEN kix = 0 THEN (ns+1) // 2
+                     ELSE 0 END)::BIGINT AS out_samples,
+               (CASE
+                  WHEN kix = 0 THEN 0
+                  WHEN kix = 3 THEN
+                    h * list_sum(list_transform(
+                          generate_series(0, nf-1, 2), fi ->
+                      list_sum(list_transform(generate_series(0, w-1), x ->
+                          ((r+fi+x) % 256) + ((g+fi+x) % 256)
+                          + ((b+fi+x) % 256)))))
+                  ELSE
+                    (h // 2) * list_sum(list_transform(
+                          generate_series(0, w // 2 - 1), x ->
+                        (2*(((r+2*x) % 256) + ((r+2*x+1) % 256))) // 4
+                      + (2*(((g+2*x) % 256) + ((g+2*x+1) % 256))) // 4
+                      + (2*(((b+2*x) % 256) + ((b+2*x+1) % 256))) // 4))
+               END)::BIGINT AS out_pix_sum,
+               (CASE WHEN kix = 0 THEN amp ELSE 0 END)::BIGINT AS out_amp_max
+        FROM m ORDER BY media_id
     """
     # near-dup clusters: connected components (recursive CTE) over the SAME
     # exact-Jaccard pair set the minhash path verifies against

@@ -134,9 +134,47 @@ def test_multimodal_stub_plumbing():
     assert len(feats) == 500
     assert set(feats.columns) == {"media_id", "kind", "width", "height", "features"}
     assert feats.features.map(len).eq(8).all()
-    # un-stubbed decode must refuse loudly (codecs not installed here)
-    with pytest.raises(NotImplementedError):
-        decode_media(synthesize_media(SF))
+    # the REAL decoder must refuse non-media payloads loudly (the stub
+    # synthesizer emits raw utf-8 text, which sniffs as nothing)
+    with pytest.raises(Exception, match="unrecognized media magic"):
+        decode_media(synthesize_media(SF)).take(1)
+
+
+def test_media_codecs_roundtrip_and_real_decode():
+    import numpy as np
+
+    from prosearch_ray.pipelines import media_codec as mc
+    from prosearch_ray.pipelines.multimodal import (media_decode,
+                                                    media_transform)
+
+    # byte-level roundtrips on random content (PNG exercises ALL 5 filters)
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (7, 13), (32, 24)]:
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(mc.decode_bmp(mc.encode_bmp(arr)), arr)
+        assert np.array_equal(mc.decode_png(mc.encode_png(arr)), arr)
+    s = rng.integers(-32768, 32767, 999).astype(np.int16)
+    got, rate, nch = mc.decode_wav(mc.encode_wav(s, 8000))
+    assert (rate, nch) == (8000, 1) and np.array_equal(got, s)
+    with pytest.raises(ValueError):
+        mc.sniff_kind(b"\x00garbage")
+
+    dec = media_decode(SF).to_pandas()
+    assert len(dec) == 500
+    assert set(dec.codec) == {"wav", "bmp", "png", "frameseq"}
+    # decoded stats obey the synthesis rule (full check is the SQL oracle)
+    img = dec[dec.codec.isin(["bmp", "png"])]
+    assert (img.n_frames == 1).all() and (img.pix_sum > 0).all()
+    wav = dec[dec.codec == "wav"]
+    assert (wav.duration_ms == wav.n_samples * 1000 // 8000).all()
+
+    tr = media_transform(SF).to_pandas()
+    assert len(tr) == 500
+    merged = dec.merge(tr, on="media_id")
+    half = merged[merged.codec.isin(["bmp", "png"])]
+    assert (half.out_width == half.width // 2).all()
+    vid = merged[merged.codec == "frameseq"]
+    assert (vid.out_frames == (vid.n_frames + 1) // 2).all()
 
 
 def test_exact_dedup_has_no_false_groups():
