@@ -129,6 +129,7 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
                 "build_files_per_sec": round(report["n_docs"] / build_sec, 1),
                 "build_gb_per_hr": round(
                     corpus_bytes / 1e9 / (build_sec / 3600), 2),
+                "build_phases": report.get("phases", {}),
             },
         }
         ray.shutdown()

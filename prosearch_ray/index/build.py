@@ -192,40 +192,50 @@ def _stage_a_writer(staged_dir: str, return_keys: bool):
 # --------------------------------------------------------------------------
 
 def _plan_spill_items(source: str, target_items: int) -> list:
-    """Deterministic map work items: contiguous row-group spans per file,
-    sized so ~``target_items`` items cover the input."""
+    """Deterministic map work items sized so ~``target_items`` items cover
+    the input.  An item is a list of contiguous row-group SPANS that may
+    cover several whole small files (a hive-partitioned upstream write
+    produces hundreds of sub-MB files; one task per file would drown the
+    stage in per-task and per-spill-write fixed costs)."""
     files = ([os.path.join(source, f) for f in sorted(os.listdir(source))
               if f.endswith(".parquet")]
              if os.path.isdir(source) else [source])
     metas = [(p, pq.read_metadata(p)) for p in files]
     total_rows = sum(m.num_rows for _, m in metas)
     rows_per_item = max(1, total_rows // max(1, target_items))
-    items, item_id = [], 0
+    items = []
+    spans, span_rows = [], 0
+
+    def flush():
+        nonlocal spans, span_rows
+        if spans:
+            items.append({"item": len(items), "spans": spans,
+                          "n_rows": span_rows})
+            spans, span_rows = [], 0
+
     for path, md in metas:
-        span, span_rows, fsize = [], 0, os.path.getsize(path)
+        fsize = os.path.getsize(path)
+        rg_span = []
         for rg in range(md.num_row_groups):
-            span.append(rg)
+            rg_span.append(rg)
             span_rows += md.row_group(rg).num_rows
             if span_rows >= rows_per_item:
-                items.append({"item": item_id, "path": path, "rg0": span[0],
-                              "rg1": span[-1], "n_rows": span_rows,
-                              "fsize": fsize})
-                item_id += 1
-                span, span_rows = [], 0
-        if span:
-            items.append({"item": item_id, "path": path, "rg0": span[0],
-                          "rg1": span[-1], "n_rows": span_rows,
-                          "fsize": fsize})
-            item_id += 1
+                spans.append([path, rg_span[0], rg_span[-1], fsize])
+                rg_span = []
+                flush()
+        if rg_span:
+            spans.append([path, rg_span[0], rg_span[-1], fsize])
+    flush()
     return items
 
 
 def _spill_fingerprint(it: dict) -> str:
-    return f"{it['path']}:{it['rg0']}-{it['rg1']}:{it['n_rows']}:{it['fsize']}"
+    return ";".join(f"{p}:{r0}-{r1}:{fs}" for p, r0, r1, fs in it["spans"]
+                    ) + f":{it['n_rows']}"
 
 
 def _spill_map_fn(spill_dir: str, langs: FrozenSet[str], num_buckets: int,
-                  n_groups: int):
+                  n_groups: int, exclude_ref=None):
     normalize = _normalize_batch(langs, num_buckets)
 
     def fn(it: dict) -> dict:
@@ -238,10 +248,18 @@ def _spill_map_fn(spill_dir: str, langs: FrozenSet[str], num_buckets: int,
                     return {"item": item, "skipped": True}
             except (ValueError, OSError):
                 pass
-        pf = pq.ParquetFile(it["path"])
-        tbl = pf.read_row_groups(list(range(int(it["rg0"]), int(it["rg1"]) + 1)),
-                                 columns=CORPUS_COLUMNS)
+        parts = []
+        for path, rg0, rg1, _fs in it["spans"]:
+            pf = pq.ParquetFile(path)
+            parts.append(pf.read_row_groups(
+                list(range(int(rg0), int(rg1) + 1)), columns=CORPUS_COLUMNS))
+        tbl = pa.concat_tables(parts, promote_options="default")
         norm = normalize(tbl)
+        if exclude_ref is not None:
+            # broadcast loser-key set (ray.put once, read per task): drop
+            # cross-shard content-dup losers before bucketing
+            norm = norm.filter(pc.invert(pc.is_in(
+                norm.column("doc_key"), value_set=ray.get(exclude_ref))))
         groups = (norm.column("bucket").to_numpy() % n_groups).astype(np.int64)
         order = np.argsort(groups, kind="stable")
         sorted_tbl = norm.take(pa.array(order, pa.int64()))
@@ -300,15 +318,24 @@ def _spill_reduce_fn(staged_dir: str, spill_dir: str):
 
 
 def _stage_a_spill_exchange(source: str, staged_dir: str,
-                            langs: FrozenSet[str], num_buckets: int) -> Dict[int, int]:
-    """Run stage A as the resumable spill exchange; returns bucket counts."""
+                            langs: FrozenSet[str], num_buckets: int,
+                            exclude_doc_keys=None) -> Dict[int, int]:
+    """Run stage A as the resumable spill exchange; returns bucket counts.
+    ``exclude_doc_keys`` (sorted iterable) drops those keys after normalize
+    — the broadcast-filter hook for cross-shard dedup losers."""
     index_dir = os.path.dirname(os.path.normpath(staged_dir))
     spill_dir = os.path.join(index_dir, "spill")
     ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     items = _plan_spill_items(source, target_items=4 * ncpu)
     n_groups = int(max(1, min(num_buckets, 4 * ncpu)))
+    exclude_ref = exclude_digest = None
+    if exclude_doc_keys:
+        ex_sorted = sorted(exclude_doc_keys)
+        exclude_digest = hashlib.md5(
+            "\x00".join(ex_sorted).encode()).hexdigest()
+        exclude_ref = ray.put(pa.array(ex_sorted, pa.string()))
     config = {"num_buckets": num_buckets, "n_groups": n_groups,
-              "langs": sorted(langs),
+              "langs": sorted(langs), "exclude": exclude_digest,
               "plan": [_spill_fingerprint(it) for it in items]}
     cfg_path = os.path.join(spill_dir, "_config.json")
     stale = True
@@ -325,7 +352,8 @@ def _stage_a_spill_exchange(source: str, staged_dir: str,
         _atomic_write_json(config, cfg_path)
 
     ray.data.from_items(items).map(
-        _spill_map_fn(spill_dir, langs, num_buckets, n_groups)).materialize()
+        _spill_map_fn(spill_dir, langs, num_buckets, n_groups,
+                      exclude_ref=exclude_ref)).materialize()
     counts: Dict[int, int] = {}
     reduce_rows = ray.data.from_items(
         [{"g": g} for g in range(n_groups)]).flat_map(
@@ -705,10 +733,14 @@ def build_index(
     langs: FrozenSet[str] = DEFAULT_LANGS,
     resume: bool = True,
     n_input_estimate: Optional[int] = None,
+    exclude_doc_keys=None,
 ) -> dict:
     """Build (or resume) the inverted index at ``index_dir``. Returns a build
     report. ``source`` is a corpus parquet path/dir or a Dataset with columns
-    (repo, path, commit, lang, content)."""
+    (repo, path, commit, lang, content).  ``exclude_doc_keys`` drops those
+    keys during stage A (path sources only — a broadcast map-side filter,
+    used by the sharded build for cross-shard dedup losers; Dataset callers
+    filter their dataset instead)."""
     t_start = time.perf_counter()
     phase_t: Dict[str, float] = {}
 
@@ -747,8 +779,13 @@ def build_index(
         return_keys = n_est <= 2_000_000 and not isinstance(source, str)
         if isinstance(source, str):
             counts = _stage_a_spill_exchange(source, staged_dir, langs,
-                                             num_buckets)
+                                             num_buckets,
+                                             exclude_doc_keys=exclude_doc_keys)
             key_cols = sha_cols = bucket_cols = None
+        elif exclude_doc_keys:
+            raise ValueError(
+                "exclude_doc_keys requires a parquet-path source; filter the "
+                "Dataset before calling build_index instead")
         else:
             norm = ds_raw.map_batches(_normalize_batch(langs, num_buckets),
                                       batch_format="pyarrow", zero_copy_batch=True)

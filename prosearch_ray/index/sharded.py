@@ -48,6 +48,38 @@ from prosearch_ray.index.build import (CORPUS_COLUMNS, DEFAULT_LANGS,
 from prosearch_ray.sinks import write_partitioned
 
 
+def _stabilize_lazy_imports() -> None:
+    """``fsspec.implementations.http`` fails to import in this environment
+    (no aiohttp), and Ray re-attempts that failing import inside EVERY
+    ``read_parquet`` call; two concurrent attempts race — the second thread
+    can observe a half-initialized module and raise ``ImportError`` where
+    Ray only catches ``ModuleNotFoundError``.  Pre-register a minimal
+    stand-in module so the import succeeds once and is cached; isinstance
+    checks against the stand-in class are simply False, the correct answer
+    for local filesystems.  Must run before any thread pool that constructs
+    Ray datasets concurrently."""
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return
+    except ImportError:
+        pass
+    try:
+        import fsspec.implementations as impl
+    except ImportError:
+        return
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # stand-in: nothing is ever an instance
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+    impl.http = mod
+
+
 def shard_dirs(root: str):
     """Shard index dirs in NUMERIC shard order (lexicographic sorting of
     zero-padded names breaks past 1000 shards and would misroute keyed
@@ -483,10 +515,24 @@ def build_sharded_index(
     docs_per_bucket: int = docid.DOCS_PER_BUCKET_DEFAULT,
     langs: FrozenSet[str] = DEFAULT_LANGS,
     resume: bool = True,
+    shard_parallelism: int = 2,
 ) -> dict:
     """Partition the corpus into ``num_shards`` doc shards (one content
     pass, resumable), build an ordinary index per shard, then derive the
-    corpus-wide stats + merged dictionary.  Returns a report."""
+    corpus-wide stats + merged dictionary.  Returns a report.
+
+    ``shard_parallelism`` co-schedules that many shard builds as concurrent
+    Ray Data pipelines (driver threads; each build is independently
+    resumable and writes only its own directory).  A single build is a
+    sequence of streaming stages separated by barriers (spill exchange,
+    merge) — co-scheduling overlaps one build's barrier with another's
+    compute, which matters most when per-stage work is small relative to
+    the barrier (many shards, large clusters)."""
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    _stabilize_lazy_imports()
+    t_start = _time.perf_counter()
     os.makedirs(root, exist_ok=True)
     _shard_manifest_check(root, num_shards)  # refuse a mismatched resume
     corpus_root = os.path.join(root, "corpus")
@@ -497,11 +543,12 @@ def build_sharded_index(
     write_partitioned(
         ds.map_batches(_tag_batch(langs, num_shards), batch_format="pyarrow"),
         corpus_root, "shard")
+    t_part = _time.perf_counter()
 
     losers = _cross_shard_losers(corpus_root)
+    t_dedup = _time.perf_counter()
 
-    reports = []
-    for s in range(num_shards):
+    def build_one(s: int):
         sdir = os.path.join(corpus_root, f"shard={s}")
         idx_dir = os.path.join(root, f"shard={s:03d}")
         if not os.path.isdir(sdir):
@@ -509,27 +556,35 @@ def build_sharded_index(
             # empty index so the scatter-gather pool stays uniform
             empty = pa.table({c: pa.array([], pa.string())
                               for c in CORPUS_COLUMNS})
-            reports.append(build_index(rd.from_arrow(empty), idx_dir,
-                                       docs_per_bucket=docs_per_bucket,
-                                       langs=langs, n_input_estimate=0))
-            continue
-        sds = rd.read_parquet(sdir, columns=CORPUS_COLUMNS + ["doc_key"])
-        n_est = sds.count()
-        if losers:
-            loser_arr = pa.array(sorted(losers))
+            return build_index(rd.from_arrow(empty), idx_dir,
+                               docs_per_bucket=docs_per_bucket,
+                               langs=langs, n_input_estimate=0)
+        # path source => the resumable spill-exchange stage A (items span
+        # the partition write's many small files); losers drop inside the
+        # map tasks via a broadcast key set.  n_input_estimate is the
+        # PRE-exclusion row count (same bucketing as the Dataset path).
+        return build_index(
+            sdir, idx_dir, docs_per_bucket=docs_per_bucket, langs=langs,
+            resume=resume, exclude_doc_keys=losers or None)
 
-            def drop_losers(t: pa.Table) -> pa.Table:
-                return t.filter(pc.invert(pc.is_in(
-                    t.column("doc_key"), value_set=loser_arr)))
-
-            sds = sds.map_batches(drop_losers, batch_format="pyarrow")
-        reports.append(build_index(
-            sds, idx_dir, docs_per_bucket=docs_per_bucket, langs=langs,
-            resume=resume, n_input_estimate=n_est))
+    workers = max(1, min(int(shard_parallelism), num_shards))
+    if workers == 1:
+        reports = [build_one(s) for s in range(num_shards)]
+    else:
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            reports = list(ex.map(build_one, range(num_shards)))
+    t_builds = _time.perf_counter()
 
     # corpus-wide stats + merged dictionary: term-partitioned part files
     # (driver groupby below the row threshold, spill exchange above it)
     g = refresh_global(root)
+    t_end = _time.perf_counter()
     return {"n_docs": g["n_docs"], "n_terms": g.get("n_terms", 0),
             "num_shards": num_shards, "shards": reports,
-            "avgdl_title": g["avgdl_title"], "avgdl_body": g["avgdl_body"]}
+            "avgdl_title": g["avgdl_title"], "avgdl_body": g["avgdl_body"],
+            "phases": {
+                "corpus_partition": round(t_part - t_start, 3),
+                "cross_shard_dedup": round(t_dedup - t_part, 3),
+                "shard_builds": round(t_builds - t_dedup, 3),
+                "refresh_global": round(t_end - t_builds, 3),
+            }}

@@ -1102,6 +1102,11 @@ class IndexSearcher:
             return None
         return ids, counts
 
+    # a repeated token within this many offsets of its previous probe is
+    # chained (window gathers) instead of binary-searched; beyond it the
+    # log-N search wins again
+    _CHAIN_MAX_GAP = 4
+
     def _phrase_probe(self, tokens, uniq, postings, cand
                       ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         """Phrase adjacency WITHOUT materializing occurrence keys: per term
@@ -1111,7 +1116,11 @@ class IndexSearcher:
         (doc, start) pairs, and every other position index is verified by
         binary-searching ``c`` inside that doc's value range.  Cost is
         O(pivot_occurrences · log total) instead of O(total) per stopword
-        term.  Returns surviving (docs, start_positions)."""
+        term.  Repeated-token phrases ("the the the") CHAIN: once offset j
+        of term t matched at global index i, offset j+g can only live in
+        ``c[(i, i+g]]`` (keys are distinct sorted ints), so the probe is g
+        O(1) gathers per survivor instead of another log-N search.
+        Returns surviving (docs, start_positions)."""
         cumsums = self._cached_pos_cumsum(uniq, postings)
         prep = {}
         occ_in_cand = {}
@@ -1145,13 +1154,18 @@ class IndexSearcher:
         if len(pos) > 1:  # position-increment-0 repeats: count DISTINCT
             keep = np.concatenate(
                 ([True], (docs[1:] != docs[:-1]) | (pos[1:] != pos[:-1])))
-            docs, pos = docs[keep], pos[keep]
+            docs, pos, idx = docs[keep], pos[keep], idx[keep]
         start_ok = pos >= pivot
         occ_docs, occ_pos = docs[start_ok], pos[start_ok] - pivot
         if len(occ_docs) == 0:
             return None
 
-        # verify every other position index against its term's cumsum
+        # verify every other position index against its term's cumsum;
+        # per-term last matched global index enables chained probes for
+        # repeated tokens (the pivot's indexes are free: materialization
+        # produced them)
+        last_idx: Dict[str, Tuple[int, np.ndarray]] = {
+            tokens[pivot]: (pivot, idx[start_ok])}
         others = sorted((j for j in range(len(tokens)) if j != pivot),
                         key=lambda j: occ_in_cand[tokens[j]])
         for j in others:
@@ -1165,19 +1179,58 @@ class IndexSearcher:
             base_j = np.where(v_lo_j > 0, c_j[np.maximum(v_lo_j - 1, 0)],
                               np.uint64(0))
             tv = base_j + (occ_pos + j).astype(np.uint64)
-            # one binary search instead of two: tv occupies the contiguous
-            # run [li, ri) of equal cumsum values; it overlaps the doc's
-            # value range [v_lo, v_hi) iff m = max(li, v_lo) still holds tv
-            # (m < ri) and lies before v_hi — c_j[m] == tv tests m < ri
-            # exactly, because c_j[m] > tv for any m >= ri and for absent tv
-            li = np.searchsorted(c_j, tv, side="left")
-            m = np.maximum(li, v_lo_j)
+            prev = last_idx.get(t)
+            if prev is not None and 0 < j - prev[0] <= self._CHAIN_MAX_GAP:
+                m = self._chain_probe(c_j, prev[1], tv, j - prev[0])
+            else:
+                # one binary search instead of two: tv occupies the
+                # contiguous run [li, ri) of equal cumsum values; it
+                # overlaps the doc's value range [v_lo, v_hi) iff
+                # m = max(li, v_lo) still holds tv (m < ri) and lies before
+                # v_hi — c_j[m] == tv tests m < ri exactly, because
+                # c_j[m] > tv for any m >= ri and for absent tv
+                li = np.searchsorted(c_j, tv, side="left")
+                m = np.maximum(li, v_lo_j)
             ok = m < v_hi_j
             ok &= c_j[np.minimum(m, len(c_j) - 1)] == tv
             occ_docs, occ_pos = occ_docs[ok], occ_pos[ok]
             if len(occ_docs) == 0:
                 return None
+            for t2, (pj, arr) in last_idx.items():
+                last_idx[t2] = (pj, arr[ok])
+            last_idx[t] = (j, m[ok])
         return occ_docs, occ_pos
+
+    @staticmethod
+    def _chain_probe(c: np.ndarray, pidx: np.ndarray, tv: np.ndarray,
+                     gap: int) -> np.ndarray:
+        """Per-row index m with ``c[m] == tv``, knowing ``c[pidx] == tv -
+        gap``: the target can only live at an index in ``(pidx, pidx+gap]``
+        plus slack for duplicate position-increment-0 runs, so it is found
+        by O(gap) window gathers per row instead of a log-N binary search.
+        Rows whose window exhausts before reaching ``tv`` fall back to one
+        binary search; rows whose window passes ``tv`` (or the array end)
+        resolve to an index that fails the caller's ``c[m] == tv`` check
+        (m=0 is safe: ``c[0] <= c[pidx] < tv``)."""
+        n = len(pidx)
+        limit = len(c)
+        m = np.zeros(n, np.int64)
+        resolved = np.zeros(n, bool)
+        cur = pidx.astype(np.int64)
+        for _ in range(gap + 4):
+            cur = cur + 1
+            inb = cur < limit
+            act = ~resolved & inb
+            if not act.any():
+                break
+            vals = c[np.minimum(cur, limit - 1)]
+            hit = act & (vals == tv)
+            m[hit] = cur[hit]
+            resolved |= hit | (act & (vals > tv)) | ~inb
+        rest = ~resolved
+        if rest.any():
+            m[rest] = np.searchsorted(c, tv[rest], side="left")
+        return m
 
     def _phrase_probe_keys(self, tokens, uniq, cand
                            ) -> Optional[Tuple[np.ndarray, np.ndarray]]:

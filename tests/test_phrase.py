@@ -173,3 +173,35 @@ def test_probe_path_matches_key_path_randomized(ray_session, tiny_index):
         assert np.array_equal(a[1], b[1]), toks
         agreed_nonempty += 1
     assert checked == 60 and agreed_nonempty >= 5
+
+
+def test_repeated_token_phrases_chain_correctly(ray_session, tiny_index):
+    """Repeated-token phrases take the chained window probe (O(gap) gathers
+    from the previous match index) — results must equal both the key-based
+    fallback and a chain-disabled probe (_CHAIN_MAX_GAP=0)."""
+    import numpy as np
+
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    s_chain = IndexSearcher(tiny_index[0])
+    s_nochain = IndexSearcher(tiny_index[0])
+    s_nochain._CHAIN_MAX_GAP = 0  # instance override: always binary-search
+    s_keys = IndexSearcher(tiny_index[0])
+    s_keys._pos_parts_present = False
+    stop = STOPWORDISH[0]
+    w = WORD_POOL[0]
+    phrases = [[stop, stop], [stop, stop, stop], [stop, w, stop],
+               [stop, stop, w], [w, stop, stop, stop], [stop] * 5]
+    n_hit = 0
+    for toks in phrases:
+        a = s_chain._phrase_doc_tfs(toks)
+        b = s_nochain._phrase_doc_tfs(toks)
+        c = s_keys._phrase_doc_tfs(toks)
+        if a is None:
+            assert b is None and c is None, toks
+            continue
+        for other in (b, c):
+            assert np.array_equal(a[0], other[0]), toks
+            assert np.array_equal(a[1], other[1]), toks
+        n_hit += bool(len(a[0]))
+    assert n_hit >= 2, "fixture corpus must contain repeated-stopword runs"
