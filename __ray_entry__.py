@@ -4,12 +4,14 @@
 actor-pool query) on sf0.001; ``queries()`` exposes one callable per
 implemented operator/pipeline from SURVEY.md §2 plus the training-data
 operator suite (dedup / similarity / text analysis / multimodal);
-``oracle_sql()`` gives the DuckDB-equivalent SQL for EVERY entry — 33/33,
+``oracle_sql()`` gives the DuckDB-equivalent SQL for EVERY entry — 43/43,
 including SimHash (md5-based feature hash, bit_or/bit_count SQL), the
-multimodal stub (md5_number_upper bytes), and the two full-engine code
-searches, whose oracles reimplement the code-aware tokenizer, fieldnorm
-quantization, engine doc-id assignment and tantivy BM25 entirely in
-DuckDB SQL (additionally gated by the pytest conformance suite).
+multimodal stub (md5_number_upper bytes), the REAL multimodal byte-level
+decode (closed-form integer stats of genuinely encoded BMP/PNG/WAV/
+FRAMESEQ payloads), and the full-engine code searches, whose oracles
+reimplement the code-aware tokenizer, fieldnorm quantization, engine
+doc-id assignment and tantivy BM25 entirely in DuckDB SQL (additionally
+gated by the pytest conformance suite).
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here (or in prosearch_ray) calls ``ray.init`` / ``ray.shutdown``.

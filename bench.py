@@ -65,6 +65,10 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
 
     sf = _sf_of(sf_dir)
     n_docs = max(2000, int(DOCS_PER_SF * sf))
+    if os.environ.get("GRAFT_DOCS"):  # explicit corpus-size override (the
+        # scaling evidence uses a larger corpus so per-job constants don't
+        # dominate the ratio; see BASELINE.md)
+        n_docs = int(os.environ["GRAFT_DOCS"])
     corpus_root = write_bench_corpus(os.path.join(BENCH_ROOT, f"sf{sf}"), n_docs)
     corpus_dir = os.path.join(corpus_root, "corpus")
 
@@ -94,27 +98,38 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
         from prosearch_ray.index.sharded import build_sharded_index
         from prosearch_ray.query.sharded import ShardedSearcher
 
+        # shard count follows the corpus (shards are ~100 GB units at real
+        # scale; undersized shards make the job barrier-bound): ~200k docs
+        # per shard at bench scale, min 2
+        num_shards = int(os.environ.get(
+            "GRAFT_NUM_SHARDS", str(max(2, n_docs // 200_000))))
         index_dir = os.path.join(BENCH_ROOT, f"shards-sf{sf}-cpu{ncpu}")
         shutil.rmtree(index_dir, ignore_errors=True)
         t0 = time.perf_counter()
-        report = build_sharded_index(corpus_dir, index_dir, num_shards=4,
+        # zero-cpu actors: the taskset pin bounds real CPU use, so shard
+        # workers may co-schedule even at the 2-core scaling level; spawn
+        # them FIRST so the per-actor python+import cold start overlaps
+        # the build
+        workers = ShardedSearcher.prespawn(num_shards, num_cpus_per_actor=0)
+        report = build_sharded_index(corpus_dir, index_dir,
+                                     num_shards=num_shards,
                                      docs_per_bucket=1024)
         build_sec = time.perf_counter() - t0
         qrows = pq_mod.read_table(
             os.path.join(corpus_root, "queries.parquet")).to_pylist()
         t0 = time.perf_counter()
-        # zero-cpu actors: the taskset pin bounds real CPU use, so 4 shard
-        # workers may co-schedule even at the 2-core scaling level
-        m = ShardedSearcher(index_dir, num_cpus_per_actor=0)
+        m = ShardedSearcher(index_dir, num_cpus_per_actor=0,
+                            prespawned=workers)
         try:
-            for row in qrows:
-                m.search(row["query"], int(row["k"]))
+            m.search_many([r["query"] for r in qrows],
+                          [int(r["k"]) for r in qrows])
         finally:
             m.shutdown()
         query_sec = time.perf_counter() - t0
         total = build_sec + query_sec
         timings = {"index_build": round(build_sec, 3),
                    "query_all": round(query_sec, 3),
+                   "shard_builds": report["phases"]["shard_builds"],
                    "sharded_total": round(total, 3)}
         out = {
             "metric": "prosearch_ray SHARDED build + scatter-gather query (sec)",
@@ -228,7 +243,7 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
     return out
 
 
-def run_scaling(sf_dir: str, cpus=(2, 8), repeats: int = 2) -> dict:
+def run_scaling(sf_dir: str, cpus=(2, 8), repeats: int = 3) -> dict:
     """Same corpus, fresh process per num_cpus level; headline = build_sec.
     Each level runs ``repeats`` times and keeps the fastest build (the
     sandbox VM has noisy-neighbor variance; min is the least-noise
@@ -260,7 +275,7 @@ def run_scaling(sf_dir: str, cpus=(2, 8), repeats: int = 2) -> dict:
     t_lo = results[lo]["queries"][key]
     t_hi = results[hi]["queries"][key]
     eff = (t_lo / t_hi) / (hi / lo)
-    return {
+    out = {
         "metric": (f"{key} scaling efficiency "
                    "(num_cpus stand-in for cluster sizes)"),
         "cpus": list(cpus),
@@ -272,6 +287,16 @@ def run_scaling(sf_dir: str, cpus=(2, 8), repeats: int = 2) -> dict:
         "scaling_efficiency": round(eff, 3),
         "sf": results[hi]["sf"],
     }
+    if key == "sharded_total":
+        # the distributed-work component alone (one-time driver-side job
+        # constants — dedup scan, dict refresh, actor spawn — excluded):
+        # the honest per-component view for a job whose constants are
+        # seconds here but noise at real scale
+        b_lo = results[lo]["queries"]["shard_builds"]
+        b_hi = results[hi]["queries"]["shard_builds"]
+        out["shard_builds_sec"] = {str(lo): b_lo, str(hi): b_hi}
+        out["shard_builds_efficiency"] = round((b_lo / b_hi) / (hi / lo), 3)
+    return out
 
 
 def main() -> None:

@@ -220,18 +220,23 @@ def _plan_spill_items(source: str, target_items: int) -> list:
             rg_span.append(rg)
             span_rows += md.row_group(rg).num_rows
             if span_rows >= rows_per_item:
-                spans.append([path, rg_span[0], rg_span[-1], fsize])
+                # homogeneous dicts (Arrow list<struct>) — a mixed-type
+                # [str, int, int, int] list would force from_items off the
+                # Arrow block format
+                spans.append({"path": path, "rg0": rg_span[0],
+                              "rg1": rg_span[-1], "fsize": fsize})
                 rg_span = []
                 flush()
         if rg_span:
-            spans.append([path, rg_span[0], rg_span[-1], fsize])
+            spans.append({"path": path, "rg0": rg_span[0],
+                          "rg1": rg_span[-1], "fsize": fsize})
     flush()
     return items
 
 
 def _spill_fingerprint(it: dict) -> str:
-    return ";".join(f"{p}:{r0}-{r1}:{fs}" for p, r0, r1, fs in it["spans"]
-                    ) + f":{it['n_rows']}"
+    return ";".join(f"{s['path']}:{s['rg0']}-{s['rg1']}:{s['fsize']}"
+                    for s in it["spans"]) + f":{it['n_rows']}"
 
 
 def _spill_map_fn(spill_dir: str, langs: FrozenSet[str], num_buckets: int,
@@ -249,10 +254,11 @@ def _spill_map_fn(spill_dir: str, langs: FrozenSet[str], num_buckets: int,
             except (ValueError, OSError):
                 pass
         parts = []
-        for path, rg0, rg1, _fs in it["spans"]:
-            pf = pq.ParquetFile(path)
+        for s in it["spans"]:
+            pf = pq.ParquetFile(s["path"])
             parts.append(pf.read_row_groups(
-                list(range(int(rg0), int(rg1) + 1)), columns=CORPUS_COLUMNS))
+                list(range(int(s["rg0"]), int(s["rg1"]) + 1)),
+                columns=CORPUS_COLUMNS))
         tbl = pa.concat_tables(parts, promote_options="default")
         norm = normalize(tbl)
         if exclude_ref is not None:

@@ -348,18 +348,17 @@ def _refresh_merge_and_stats(index_dir: str, stats: dict, added: int,
     return {"n_docs": n_docs, "n_terms": n_terms}
 
 
-def compact(index_dir: str, out_dir: str, *, docs_per_bucket: Optional[int] = None,
-            langs=DEFAULT_LANGS) -> dict:
-    """Full compaction: rebuild a fresh index from the live (non-tombstoned)
-    staged docs — drops deletes, re-packs doc_ids contiguously (forcemerge +
-    garbage-collect analog)."""
-    stats = _load_stats(index_dir)
-    # Tombstones must be applied by doc_id, NOT doc_key: add_documents
-    # tombstones the OLD doc_id of every re-added key while the key stays
-    # live in a delta bucket — filtering by key would drop both the old and
-    # the new version of any upserted doc. doc_id is reconstructible: each
-    # staged bucket file's rows map positionally to
-    # manifest[bucket].base_doc_id + row_index (build_segment contract).
+def live_docs(index_dir: str) -> tuple:
+    """(Dataset of live corpus rows, row-count estimate): the staged
+    docstore minus tombstones — the index IS the corpus of record, so
+    compaction and resharding never need the original input.
+
+    Tombstones must be applied by doc_id, NOT doc_key: add_documents
+    tombstones the OLD doc_id of every re-added key while the key stays
+    live in a delta bucket — filtering by key would drop both the old and
+    the new version of any upserted doc. doc_id is reconstructible: each
+    staged bucket file's rows map positionally to
+    manifest[bucket].base_doc_id + row_index (build_segment contract)."""
     tomb_ids = set(load_tombstones(index_dir).column("doc_id").to_pylist())
     manifest_dir = os.path.join(index_dir, "manifest")
     manifests = [json.load(open(os.path.join(manifest_dir, f)))
@@ -389,7 +388,16 @@ def compact(index_dir: str, out_dir: str, *, docs_per_bucket: Optional[int] = No
 
     live = ray.data.from_items(work).map_batches(
         read_live, batch_format="pyarrow", batch_size=1)
-    n_est = sum(m["n_docs"] for m in manifests)
+    return live, sum(m["n_docs"] for m in manifests)
+
+
+def compact(index_dir: str, out_dir: str, *, docs_per_bucket: Optional[int] = None,
+            langs=DEFAULT_LANGS) -> dict:
+    """Full compaction: rebuild a fresh index from the live (non-tombstoned)
+    staged docs — drops deletes, re-packs doc_ids contiguously (forcemerge +
+    garbage-collect analog)."""
+    stats = _load_stats(index_dir)
+    live, n_est = live_docs(index_dir)
     return build_index(live, out_dir,
                        docs_per_bucket=docs_per_bucket or stats["docs_per_bucket"],
                        langs=langs, n_input_estimate=max(1, n_est))

@@ -1166,13 +1166,15 @@ class IndexSearcher:
         # produced them)
         last_idx: Dict[str, Tuple[int, np.ndarray]] = {
             tokens[pivot]: (pivot, idx[start_ok])}
+        # survivor -> candidate-doc index: computed ONCE and filtered along
+        # with the survivor arrays (it only depends on occ_docs)
+        ci = np.searchsorted(cand, occ_docs)
         others = sorted((j for j in range(len(tokens)) if j != pivot),
                         key=lambda j: occ_in_cand[tokens[j]])
         for j in others:
             t = tokens[j]
             tp_j = postings[t]
             c_j, starts_j, sel_j = prep[t]
-            ci = np.searchsorted(cand, occ_docs)
             sj = sel_j[ci]
             v_lo_j = starts_j[sj]
             v_hi_j = v_lo_j + tp_j.tfs[sj]
@@ -1193,7 +1195,7 @@ class IndexSearcher:
                 m = np.maximum(li, v_lo_j)
             ok = m < v_hi_j
             ok &= c_j[np.minimum(m, len(c_j) - 1)] == tv
-            occ_docs, occ_pos = occ_docs[ok], occ_pos[ok]
+            occ_docs, occ_pos, ci = occ_docs[ok], occ_pos[ok], ci[ok]
             if len(occ_docs) == 0:
                 return None
             for t2, (pj, arr) in last_idx.items():
@@ -1215,21 +1217,27 @@ class IndexSearcher:
         n = len(pidx)
         limit = len(c)
         m = np.zeros(n, np.int64)
-        resolved = np.zeros(n, bool)
-        cur = pidx.astype(np.int64)
-        for _ in range(gap + 4):
-            cur = cur + 1
-            inb = cur < limit
-            act = ~resolved & inb
-            if not act.any():
+        # step 1 over all rows, then COMPACT to the unresolved remainder
+        # (duplicate runs) — almost everything resolves at step 1, and
+        # full-width masked iterations would allocate len-n temporaries
+        # every step
+        cur = np.minimum(pidx.astype(np.int64) + 1, limit - 1)
+        vals = c[cur]
+        hit = (vals == tv) & (pidx + 1 < limit)
+        m[hit] = cur[hit]
+        live = np.flatnonzero((vals < tv) & (pidx + 2 < limit))
+        cur = cur[live] + 1
+        tv_l = tv[live]
+        for _ in range(gap + 3):
+            if not len(live):
                 break
-            vals = c[np.minimum(cur, limit - 1)]
-            hit = act & (vals == tv)
-            m[hit] = cur[hit]
-            resolved |= hit | (act & (vals > tv)) | ~inb
-        rest = ~resolved
-        if rest.any():
-            m[rest] = np.searchsorted(c, tv[rest], side="left")
+            vals = c[cur]
+            hit = vals == tv_l
+            m[live[hit]] = cur[hit]
+            keep = (vals < tv_l) & (cur + 1 < limit)
+            live, cur, tv_l = live[keep], cur[keep] + 1, tv_l[keep]
+        if len(live):  # window exhausted below tv: one binary search
+            m[live] = np.searchsorted(c, tv_l, side="left")
         return m
 
     def _phrase_probe_keys(self, tokens, uniq, cand

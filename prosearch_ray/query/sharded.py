@@ -30,14 +30,26 @@ from prosearch_ray.index.sharded import shard_dirs
 
 
 class _ShardWorker:
-    """Per-shard search server (runs as a Ray actor)."""
+    """Per-shard search server (runs as a Ray actor).
 
-    def __init__(self, shard_dir: str, root: str, boost_terms):
+    Constructing with ``shard_dir=None`` defers index opening to ``open()``
+    — spawning the actor process (python + package imports, the dominant
+    cold-start cost) can then overlap earlier pipeline stages, e.g. the
+    index build itself (``ShardedSearcher.prespawn``)."""
+
+    def __init__(self, shard_dir: Optional[str] = None,
+                 root: Optional[str] = None, boost_terms=None):
+        self.s = None
+        self._phrase_cache: Tuple[Optional[str], object] = (None, None)
+        if shard_dir is not None:
+            self.open(shard_dir, root, boost_terms)
+
+    def open(self, shard_dir: str, root: str, boost_terms) -> bool:
         from prosearch_ray.query.searcher import IndexSearcher
 
         self.s = IndexSearcher(shard_dir, boost_terms=boost_terms,
                                global_stats_dir=root)
-        self._phrase_cache: Tuple[Optional[str], object] = (None, None)
+        return True
 
     def _keys(self, ids) -> List[str]:
         return [self.s.doc_keys[int(i)].as_py() for i in ids]
@@ -96,17 +108,39 @@ class ShardedSearcher:
 
     def __init__(self, root: str,
                  boost_terms: frozenset = scoring.DEFAULT_BOOST_TERMS,
-                 num_cpus_per_actor: float = 1):
+                 num_cpus_per_actor: float = 1,
+                 prespawned: Optional[list] = None):
         """``num_cpus_per_actor=0`` lets S shard actors co-schedule on
         fewer than S cores (useful when an external pin — taskset, a small
         scaling level — bounds real CPU use); the default reserves one core
-        per shard worker."""
+        per shard worker.  ``prespawned`` takes actor handles from
+        ``prespawn()`` (process + imports already warm) and only opens the
+        indexes."""
         dirs = shard_dirs(root)
         if not dirs:
             raise FileNotFoundError(f"no shard=* index dirs under {root}")
-        actor = ray.remote(num_cpus=num_cpus_per_actor)(_ShardWorker)
-        self.actors = [actor.remote(d, root, boost_terms) for d in dirs]
+        if prespawned is not None:
+            if len(prespawned) < len(dirs):
+                raise ValueError(
+                    f"{len(prespawned)} prespawned actors for "
+                    f"{len(dirs)} shards")
+            self.actors = list(prespawned[:len(dirs)])
+            ray.get([a.open.remote(d, root, boost_terms)
+                     for a, d in zip(self.actors, dirs)])
+        else:
+            actor = ray.remote(num_cpus=num_cpus_per_actor)(_ShardWorker)
+            self.actors = [actor.remote(d, root, boost_terms) for d in dirs]
         self.last_count = 0
+
+    @staticmethod
+    def prespawn(num_shards: int, num_cpus_per_actor: float = 1) -> list:
+        """Spawn ``num_shards`` worker processes WITHOUT opening an index —
+        call before/while the index is still building, then pass the
+        handles to ``ShardedSearcher(..., prespawned=...)``: the per-actor
+        python+import cold start overlaps the build instead of serializing
+        after it."""
+        actor = ray.remote(num_cpus=num_cpus_per_actor)(_ShardWorker)
+        return [actor.remote() for _ in range(num_shards)]
 
     @staticmethod
     def _merge(parts, k: int) -> Tuple[List[str], List[float]]:
@@ -122,6 +156,22 @@ class ShardedSearcher:
         res = ray.get([a.search.remote(query, k) for a in self.actors])
         self.last_count = sum(c for _, _, c in res)
         return self._merge([(keys, scs) for keys, scs, _ in res], k)
+
+    def search_many(self, queries, ks) -> List[Tuple[List[str], List[float]]]:
+        """Pipelined scatter-gather: submit EVERY query's shard RPCs up
+        front (shard actors stay busy back-to-back instead of idling while
+        the driver merges one query at a time), then merge in order.
+        ``last_count`` holds the count of the LAST query, as with
+        ``search``."""
+        futs = [[a.search.remote(q, int(k)) for a in self.actors]
+                for q, k in zip(queries, ks)]
+        out = []
+        for fs, k in zip(futs, ks):
+            res = ray.get(fs)
+            self.last_count = sum(c for _, _, c in res)
+            out.append(self._merge([(keys, scs) for keys, scs, _ in res],
+                                   int(k)))
+        return out
 
     def search_with_snippets(self, query: str, k: int = scoring.DEFAULT_K
                              ) -> List[dict]:

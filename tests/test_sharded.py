@@ -52,13 +52,18 @@ def test_search_matches_unsharded(both_indexes):
     m = ShardedSearcher(root)
     try:
         n_nonempty = 0
-        for row in generate_queries().to_pylist():
+        qrows = generate_queries().to_pylist()
+        many = m.search_many([r["query"] for r in qrows],
+                             [r["k"] for r in qrows])
+        for row, (bkeys, bscores) in zip(qrows, many):
             ids, scs = s.search(row["query"], row["k"])
             skeys = [s.doc_keys[int(i)].as_py() for i in ids]
             count_s = s.last_count
             mkeys, mscores = m.search(row["query"], row["k"])
             _compare(skeys, list(map(float, scs)), mkeys, mscores,
                      count_s, m.last_count)
+            # the pipelined batch path must agree with per-query search
+            assert bkeys == mkeys and bscores == mscores, row["query"]
             n_nonempty += bool(len(mkeys))
         assert n_nonempty >= 20
     finally:
@@ -232,6 +237,50 @@ def test_compact_sharded_drops_tombstones_and_matches_unsharded(
             ids, scs = s.search(q)
             skeys = [s.doc_keys[int(i)].as_py() for i in ids]
             mkeys, mscores = m.search(q)
+            _compare(skeys, list(map(float, scs)), mkeys, mscores,
+                     s.last_count, m.last_count)
+        assert victim not in m.search("merge hash", 10_000)[0]
+    finally:
+        m.shutdown()
+
+
+def test_reshard_changes_modulus_and_keeps_scores(both_indexes, tmp_path):
+    """reshard (the shard split/merge story) must re-emit live docs from
+    the staged docstores, build under the new modulus, and score
+    bit-identical to a compacted unsharded index of the same live doc set
+    — including after a delete (reshard re-derives corpus stats over live
+    docs, exactly like compaction)."""
+    import shutil
+
+    from prosearch_ray.index.delta import compact, delete_docs
+    from prosearch_ray.index.sharded import (delete_docs_sharded, reshard,
+                                             shard_dirs)
+    from prosearch_ray.query.searcher import IndexSearcher
+    from prosearch_ray.query.sharded import ShardedSearcher
+
+    single_src, root_src, _, _ = both_indexes
+    single = str(tmp_path / "single")
+    root = str(tmp_path / "shards")
+    shutil.copytree(single_src, single)
+    shutil.copytree(root_src, root)
+    victim = IndexSearcher(single_src).doc_keys[1].as_py()
+    delete_docs(single, [victim])
+    delete_docs_sharded(root, [victim])
+
+    single_c = str(tmp_path / "single_c")
+    rep_u = compact(single, single_c)
+    out = str(tmp_path / "re2")
+    rep = reshard(root, out, 2)
+    assert rep["num_shards"] == 2 and len(shard_dirs(out)) == 2
+    assert rep["n_docs"] == rep_u["n_docs"]
+
+    s = IndexSearcher(single_c)
+    m = ShardedSearcher(out)
+    try:
+        for q in ("merge hash", "parse", "the return"):
+            ids, scs = s.search(q, 20)
+            skeys = [s.doc_keys[int(i)].as_py() for i in ids]
+            mkeys, mscores = m.search(q, 20)
             _compare(skeys, list(map(float, scs)), mkeys, mscores,
                      s.last_count, m.last_count)
         assert victim not in m.search("merge hash", 10_000)[0]
