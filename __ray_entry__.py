@@ -4,7 +4,7 @@
 actor-pool query) on sf0.001; ``queries()`` exposes one callable per
 implemented operator/pipeline from SURVEY.md §2 plus the training-data
 operator suite (dedup / similarity / text analysis / multimodal);
-``oracle_sql()`` gives the DuckDB-equivalent SQL for EVERY entry — 43/43,
+``oracle_sql()`` gives the DuckDB-equivalent SQL for EVERY entry — 44/44,
 including SimHash (md5-based feature hash, bit_or/bit_count SQL), the
 multimodal stub (md5_number_upper bytes), the REAL multimodal byte-level
 decode (closed-form integer stats of genuinely encoded BMP/PNG/WAV/
@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf_dir, method="exact"),
         "dedup_clusters": dedup.dedup_clusters,
         "clean_corpus": curate.clean_corpus,
+        "decontaminate": curate.decontaminate,
         # similarity search.  The driver entries for the approximate variants
         # run their DEGENERATE-EXACT configurations (all-bucket probe /
         # all-cluster probe) so the brute-force SQL oracle applies; the
@@ -774,6 +775,23 @@ def oracle_sql() -> dict[str, str]:
           AND f.pred_lang IN ('de', 'en', 'es', 'fr')
           AND f.ttr >= 0.5
         ORDER BY f.doc_id
+    """
+    # benchmark decontamination: eval set = doc_id % 50 == 0; a training
+    # doc's n_hits = DISTINCT 3-grams it shares with ANY eval doc
+    d["decontaminate"] = f"""
+        WITH tok AS (SELECT doc_id, {TOK_SQL} t FROM documents),
+        pos AS (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i
+                FROM tok WHERE len(t) >= 3),
+        grams AS (SELECT doc_id, array_to_string(t[i+1:i+3], ' ') AS g
+                  FROM pos),
+        ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+        tr AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 50 != 0),
+        hits AS (SELECT tr.doc_id, count(*)::BIGINT n_hits
+                 FROM tr JOIN ev USING (g) GROUP BY tr.doc_id)
+        SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+               (coalesce(h.n_hits, 0) > 0)::BIGINT AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % 50 != 0
     """
     # full-engine BM25 / phrase oracles: DuckDB reimplementation of the
     # code-aware tokenizer, fieldnorm quantization and tantivy scoring

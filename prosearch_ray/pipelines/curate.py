@@ -70,6 +70,88 @@ def clean_corpus(sf_dir: str, min_ttr: float = DEFAULT_MIN_TTR,
         batch_format="pyarrow", concurrency=2, num_cpus=1)
 
 
+DECON_N = 3         # token n-gram width (real pipelines use ~13; the bench
+                    # corpus averages ~54 tokens/doc so 3 keeps the signal)
+DECON_EVAL_MOD = 50  # eval set = every doc with doc_id % mod == 0
+
+
+def _doc_ngrams(col: pa.ChunkedArray, n: int):
+    """Vectorized within-doc token n-grams of a string column: returns
+    ``(grams, doc_of)`` where grams are space-joined token windows and
+    doc_of maps each gram to its batch-local doc index."""
+    import pyarrow.compute as pc
+
+    from prosearch_ray.pipelines.trainprep import _split_tokens
+
+    flat, doc_of, _ = _split_tokens(col)
+    m = len(flat) - n + 1
+    if m <= 0:
+        return pa.array([], pa.string()), np.array([], np.int64)
+    parts = [flat.slice(i, m) for i in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    same = doc_of[n - 1:] == doc_of[:m]  # window stays inside one doc
+    return grams.filter(pa.array(same)), doc_of[:m][same]
+
+
+def decontaminate(sf_dir: str, n: int = DECON_N,
+                  eval_mod: int = DECON_EVAL_MOD) -> "rd.Dataset":
+    """Benchmark decontamination — the pre-training hygiene pass that flags
+    training documents sharing any token ``n``-gram with a held-out eval
+    set (here the deterministic ``doc_id % eval_mod == 0`` subset, so the
+    DuckDB oracle reproduces it; in production the eval set is the actual
+    benchmark suite).
+
+    Scale shape: the eval side is SMALL by definition (a fixed benchmark,
+    not a corpus-sized table), so its distinct n-gram set is collected once
+    and broadcast via the object store — the corpus pass is then a pure
+    ``map_batches`` with a vectorized Arrow ``is_in`` membership probe: no
+    shuffle, no join, one streaming read of the training corpus.  Per doc
+    it emits the count of DISTINCT overlapping n-grams (``n_hits``) and a
+    0/1 ``contaminated`` flag; the caller drops flagged docs or routes them
+    to review."""
+    import pyarrow.compute as pc
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def eval_grams(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.array(t.column("doc_id").to_numpy() % eval_mod == 0))
+        grams, _ = _doc_ngrams(t.column("text"), n)
+        return pa.table({"g": pc.unique(grams)})
+
+    ev: set = set()
+    for tbl in docs.map_batches(
+            eval_grams, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        ev.update(tbl.column("g").to_pylist())
+    ref = bput(pa.array(sorted(ev), pa.string()))
+
+    def probe(t: pa.Table) -> pa.Table:
+        ev_arr = bget(ref)
+        t = t.filter(pa.array(t.column("doc_id").to_numpy() % eval_mod != 0))
+        ids = t.column("doc_id").to_numpy()
+        grams, doc_of = _doc_ngrams(t.column("text"), n)
+        hit = pc.is_in(grams, value_set=ev_arr).to_numpy(
+            zero_copy_only=False)
+        n_hits = np.zeros(len(ids), np.int64)
+        if hit.any():
+            enc = pc.dictionary_encode(grams.filter(pa.array(hit)))
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy().astype(np.int64)
+            # distinct (doc, gram) pairs -> per-doc distinct-hit counts
+            uniq = np.unique(doc_of[hit] * len(enc.dictionary) + codes)
+            n_hits = np.bincount(uniq // len(enc.dictionary),
+                                 minlength=len(ids)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_hits": pa.array(n_hits, pa.int64()),
+            "contaminated": pa.array((n_hits > 0).astype(np.int64),
+                                     pa.int64()),
+        })
+
+    return docs.map_batches(probe, batch_format="pyarrow")
+
+
 # per-lang sampling rates (percent) for the deterministic stratified sample
 SAMPLE_RATES = {"en": 60, "de": 40, "fr": 25, "zh": 10}
 

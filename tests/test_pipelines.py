@@ -270,6 +270,38 @@ def test_dedup_clusters_invariants():
         assert keep[c]
 
 
+def test_decontaminate_matches_bruteforce():
+    """decontaminate's broadcast n-gram probe must agree with a direct
+    per-doc set intersection against the eval subset (doc_id % 50 == 0),
+    counting DISTINCT shared n-grams."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from prosearch_ray.pipelines.curate import decontaminate
+
+    out = decontaminate(SF).to_pandas().set_index("doc_id")
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+
+    def grams(text, n=3):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    ev = set()
+    for d in docs:
+        if d["doc_id"] % 50 == 0:
+            ev |= grams(d["text"])
+    train = [d for d in docs if d["doc_id"] % 50 != 0]
+    assert len(out) == len(train)
+    for d in train:
+        want = len(grams(d["text"]) & ev)
+        row = out.loc[d["doc_id"]]
+        assert int(row["n_hits"]) == want, d["doc_id"]
+        assert int(row["contaminated"]) == int(want > 0)
+    assert out["contaminated"].sum() > 0  # the fixture corpus overlaps
+
+
 def test_clean_corpus_gates():
     """clean_corpus keeps exactly the keeper + language + ttr survivors."""
     from prosearch_ray.pipelines.curate import clean_corpus
