@@ -4,7 +4,7 @@
 actor-pool query) on sf0.001; ``queries()`` exposes one callable per
 implemented operator/pipeline from SURVEY.md §2 plus the training-data
 operator suite (dedup / similarity / text analysis / multimodal);
-``oracle_sql()`` gives the DuckDB-equivalent SQL for EVERY entry — 44/44,
+``oracle_sql()`` gives the DuckDB-equivalent SQL for EVERY entry — 45/45,
 including SimHash (md5-based feature hash, bit_or/bit_count SQL), the
 multimodal stub (md5_number_upper bytes), the REAL multimodal byte-level
 decode (closed-form integer stats of genuinely encoded BMP/PNG/WAV/
@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textstats.lang_id,
         "quality_score": textstats.quality_score,
         "fingerprint": textstats.fingerprint,
+        "repetition_stats": textstats.repetition_stats,
         # multimodal plumbing (stub decode kernel)
         "media_features": multimodal.media_features,
         # multimodal REAL byte-level decode + transforms (pure stdlib+numpy
@@ -775,6 +776,34 @@ def oracle_sql() -> dict[str, str]:
           AND f.pred_lang IN ('de', 'en', 'es', 'fr')
           AND f.ttr >= 0.5
         ORDER BY f.doc_id
+    """
+    # Gopher-style repetition quality gates: most-frequent unigram/bigram
+    # token share + duplicated-bigram occurrence share, per doc
+    d["repetition_stats"] = f"""
+        WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term,
+                            unnest(range(len({TOK_SQL}))) AS pos
+                     FROM documents),
+        n AS (SELECT doc_id, count(*)::BIGINT n FROM tok GROUP BY 1),
+        uc AS (SELECT doc_id, term, count(*)::BIGINT c
+               FROM tok GROUP BY 1, 2),
+        umax AS (SELECT doc_id, max(c) m FROM uc GROUP BY 1),
+        big AS (SELECT doc_id,
+                       term || ' ' || lead(term) OVER (PARTITION BY doc_id
+                                                       ORDER BY pos) AS g
+                FROM tok),
+        bc AS (SELECT doc_id, g, count(*)::BIGINT c FROM big
+               WHERE g IS NOT NULL GROUP BY 1, 2),
+        bstat AS (SELECT doc_id, max(c) m, sum(c)::BIGINT nb,
+                         coalesce(sum(c) FILTER (c >= 2), 0)::BIGINT dup
+                  FROM bc GROUP BY 1)
+        SELECT d.doc_id,
+               coalesce(n.n, 0)::BIGINT AS n_tokens,
+               round(coalesce(umax.m / n.n::DOUBLE, 0), 4) AS top_unigram_frac,
+               round(coalesce(bstat.m / bstat.nb::DOUBLE, 0), 4) AS top_bigram_frac,
+               round(coalesce(bstat.dup / bstat.nb::DOUBLE, 0), 4) AS dup_bigram_frac
+        FROM documents d
+        LEFT JOIN n USING (doc_id) LEFT JOIN umax USING (doc_id)
+        LEFT JOIN bstat USING (doc_id)
     """
     # benchmark decontamination: eval set = doc_id % 50 == 0; a training
     # doc's n_hits = DISTINCT 3-grams it shares with ANY eval doc

@@ -286,7 +286,11 @@ def _spill_map_fn(spill_dir: str, langs: FrozenSet[str], num_buckets: int,
     return fn
 
 
-def _spill_reduce_fn(staged_dir: str, spill_dir: str):
+def _spill_reduce_fn(staged_dir: str, spill_dir: str, exclude_ref=None):
+    """``exclude_ref`` (broadcast sorted doc_key array) drops those keys
+    before the in-bucket upsert — the REDUCE-side hook for cross-shard
+    dedup losers, used by the fused sharded stage A where the loser set is
+    only known after the map phase ran (the map itself computes the shas)."""
     def fn(it: dict) -> list:
         g = int(it["g"])
         marker = os.path.join(spill_dir, "_done", f"group={g:04d}.json")
@@ -306,6 +310,9 @@ def _spill_reduce_fn(staged_dir: str, spill_dir: str):
         tbl = pads.dataset(
             [os.path.join(gdir, f) for f in sorted(os.listdir(gdir))
              if f.endswith(".parquet")]).to_table()
+        if exclude_ref is not None:
+            tbl = tbl.filter(pc.invert(pc.is_in(
+                tbl.column("doc_key"), value_set=ray.get(exclude_ref))))
         tbl = tbl.sort_by([("bucket", "ascending")])
         buckets = tbl.column("bucket").to_numpy()
         bounds = np.flatnonzero(np.diff(buckets)) + 1
@@ -367,6 +374,31 @@ def _stage_a_spill_exchange(source: str, staged_dir: str,
     for r in reduce_rows:
         counts[int(r["bucket"])] = int(r["n_docs"])
     return counts
+
+
+PRESTAGED_META = "_prestaged.json"
+
+
+def _stage_a_from_prestaged(index_dir: str, staged_dir: str) -> Dict[int, int]:
+    """Stage A when the spill MAP phase already ran externally (the fused
+    sharded build writes every shard's ``spill/g=*/item=*.parquet`` in one
+    corpus pass — see sharded._fused_corpus_spill): run only the per-group
+    reduce, honoring the prestaged meta's group count and optional
+    cross-shard loser exclusion (``spill/_exclude.parquet``)."""
+    spill_dir = os.path.join(index_dir, "spill")
+    meta = json.load(open(os.path.join(spill_dir, PRESTAGED_META)))
+    os.makedirs(os.path.join(spill_dir, "_done"), exist_ok=True)
+    exclude_ref = None
+    expath = os.path.join(spill_dir, "_exclude.parquet")
+    if os.path.exists(expath):
+        ex = pq.read_table(expath).column("doc_key").combine_chunks()
+        if len(ex):
+            exclude_ref = ray.put(ex)
+    rows = ray.data.from_items(
+        [{"g": g} for g in range(int(meta["n_groups"]))]).flat_map(
+        _spill_reduce_fn(staged_dir, spill_dir,
+                         exclude_ref=exclude_ref)).take_all()
+    return {int(r["bucket"]): int(r["n_docs"]) for r in rows}
 
 
 def _dup_losers_from_keys(rows) -> Dict[int, set]:
@@ -740,13 +772,18 @@ def build_index(
     resume: bool = True,
     n_input_estimate: Optional[int] = None,
     exclude_doc_keys=None,
+    prestaged_spill: bool = False,
 ) -> dict:
     """Build (or resume) the inverted index at ``index_dir``. Returns a build
     report. ``source`` is a corpus parquet path/dir or a Dataset with columns
     (repo, path, commit, lang, content).  ``exclude_doc_keys`` drops those
     keys during stage A (path sources only — a broadcast map-side filter,
     used by the sharded build for cross-shard dedup losers; Dataset callers
-    filter their dataset instead)."""
+    filter their dataset instead).  ``prestaged_spill`` skips the stage-A
+    map phase entirely: the spill files were already written by an external
+    exchange (the fused sharded build's single corpus pass) and carry a
+    ``spill/_prestaged.json`` with the bucket/group sizing; ``source`` is
+    ignored."""
     t_start = time.perf_counter()
     phase_t: Dict[str, float] = {}
 
@@ -757,18 +794,34 @@ def build_index(
                 "manifest", "dict"):
         os.makedirs(os.path.join(index_dir, sub), exist_ok=True)
 
-    if isinstance(source, str):
-        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        ds_raw = ray.data.read_parquet(
-            source, columns=CORPUS_COLUMNS,
-            override_num_blocks=max(2 * ncpu, 8))
-    else:
-        ds_raw = source
-    n_est = n_input_estimate if n_input_estimate is not None else ds_raw.count()
-    num_buckets = docid.num_buckets_for(n_est, docs_per_bucket)
-
     staged_dir = os.path.join(index_dir, "staged")
     offsets_path = os.path.join(staged_dir, "_offsets.json")
+
+    if prestaged_spill:
+        ds_raw = None
+        meta_path = os.path.join(index_dir, "spill", PRESTAGED_META)
+        if os.path.exists(meta_path):
+            _m = json.load(open(meta_path))
+            n_est = int(_m["n_rows_estimate"])
+            num_buckets = int(_m["num_buckets"])
+        elif resume and os.path.exists(offsets_path):
+            # finished stage A swept its spill — sizing lives in offsets
+            _o = json.load(open(offsets_path))
+            n_est, num_buckets = int(_o["n_docs"]), int(_o["num_buckets"])
+        else:
+            raise FileNotFoundError(
+                f"prestaged_spill build at {index_dir} has neither "
+                f"spill/{PRESTAGED_META} nor durable staged offsets")
+    else:
+        if isinstance(source, str):
+            ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+            ds_raw = ray.data.read_parquet(
+                source, columns=CORPUS_COLUMNS,
+                override_num_blocks=max(2 * ncpu, 8))
+        else:
+            ds_raw = source
+        n_est = n_input_estimate if n_input_estimate is not None else ds_raw.count()
+        num_buckets = docid.num_buckets_for(n_est, docs_per_bucket)
 
     if resume and os.path.exists(offsets_path):
         off = json.load(open(offsets_path))
@@ -782,8 +835,12 @@ def build_index(
         # mid-stage-A skips finished input spans on resume); Dataset sources
         # have no stable work plan and use the in-memory groupby shuffle.
         t0 = time.perf_counter()
-        return_keys = n_est <= 2_000_000 and not isinstance(source, str)
-        if isinstance(source, str):
+        return_keys = (n_est <= 2_000_000 and not prestaged_spill
+                       and not isinstance(source, str))
+        if prestaged_spill:
+            counts = _stage_a_from_prestaged(index_dir, staged_dir)
+            key_cols = sha_cols = bucket_cols = None
+        elif isinstance(source, str):
             counts = _stage_a_spill_exchange(source, staged_dir, langs,
                                              num_buckets,
                                              exclude_doc_keys=exclude_doc_keys)
@@ -825,7 +882,7 @@ def build_index(
             offsets_path)
         staged_fresh = True
         # offsets are durable -> the spill exchange is no longer needed
-        if isinstance(source, str):
+        if isinstance(source, str) or prestaged_spill:
             import shutil
             shutil.rmtree(os.path.join(index_dir, "spill"), ignore_errors=True)
 

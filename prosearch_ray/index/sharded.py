@@ -22,7 +22,11 @@ so shard scores are bit-identical to an unsharded build:
 
 Layout under ``root``::
 
-    corpus/shard=K/   hive-partitioned corpus split (resumable sink)
+    fused_spill/      fused stage-A exchange state (config, item done
+                      markers, durable cross-shard loser set) — path sources
+    corpus/shard=K/   hive-partitioned corpus split (Dataset sources only;
+                      path sources spill straight into each shard's stage-A
+                      exchange, skipping this corpus-sized copy)
     shard=000/ ...    one ordinary index per shard
     global_stats.json
     global_dict/part=K.parquet (+ _meta.json)
@@ -40,6 +44,7 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
+import ray
 import ray.data as rd
 
 from prosearch_ray.index import docid
@@ -135,18 +140,25 @@ def _upsert_survivors_driver(tbl: pa.Table) -> pa.Table:
     return tbl.filter(pa.array(first))
 
 
-def _cross_shard_losers(corpus_root: str,
+def _cross_shard_losers(corpus_src,
                         driver_threshold: int = 2_000_000) -> set:
     """doc_keys whose upsert-surviving version loses global content dedup
     (min-doc_key winner per sha — build.py's fixup rule, applied across
-    shards).  Key columns only.  Under ``driver_threshold`` rows the scan
-    runs on the driver via pyarrow; above it, upsert resolution happens as
-    a bounded-group distributed pass (per-batch winner combiner — one row
-    per key per batch — then a small groupby(doc_key) re-resolution) and
-    only the tiny survivor-key/sha projection lands on the driver for the
-    duplicate-sha winner pick — the same threshold pattern as
-    _content_dedup_fixup."""
-    ds = pads.dataset(corpus_root, partitioning="hive")
+    shards).  Key columns only.  ``corpus_src`` is a hive-partitioned
+    corpus directory or an explicit list of parquet files (the fused build
+    passes the per-shard spill files).  Under ``driver_threshold`` rows the
+    scan runs on the driver via pyarrow; above it, upsert resolution
+    happens as a bounded-group distributed pass (per-batch winner combiner
+    — one row per key per batch — then a small groupby(doc_key)
+    re-resolution) and only the tiny survivor-key/sha projection lands on
+    the driver for the duplicate-sha winner pick — the same threshold
+    pattern as _content_dedup_fixup."""
+    if isinstance(corpus_src, str):
+        ds = pads.dataset(corpus_src, partitioning="hive")
+    else:
+        if not corpus_src:
+            return set()
+        ds = pads.dataset(list(corpus_src))
     n_rows = ds.count_rows()
     if n_rows == 0:
         return set()
@@ -154,7 +166,7 @@ def _cross_shard_losers(corpus_root: str,
         return _losers_from_survivors(_upsert_survivors_driver(
             ds.to_table(columns=["doc_key", "sha_hex", "commit"])))
 
-    dset = rd.read_parquet(corpus_root,
+    dset = rd.read_parquet(corpus_src,
                            columns=["doc_key", "sha_hex", "commit"])
 
     def batch_winners(t: pa.Table) -> pa.Table:
@@ -548,6 +560,163 @@ def delete_docs_sharded(root: str, doc_keys) -> int:
     return sum(delete_docs(dirs[s], ks) for s, ks in by_shard.items())
 
 
+def _fused_spill_map_fn(root: str, done_dir: str, langs: FrozenSet[str],
+                        num_shards: int, num_buckets: int, n_groups: int):
+    """One corpus pass: normalize (lang gate, doc_key, sha256, per-shard
+    bucket) and spill each row straight into its shard's stage-A exchange
+    layout ``shard=NNN/spill/g=GGGG/item=*.parquet`` — the per-shard builds
+    then start at the reduce.  Replaces [partition write of the whole
+    corpus] + [per-shard stage-A map re-read], i.e. removes one full
+    corpus-sized write+read from the flagship path."""
+    from prosearch_ray.index.build import (_atomic_write_json,
+                                           _atomic_write_table,
+                                           _normalize_batch,
+                                           _spill_fingerprint)
+
+    normalize = _normalize_batch(langs, num_buckets)
+
+    def fn(it: dict) -> dict:
+        item = int(it["item"])
+        marker = os.path.join(done_dir, f"item={item:06d}.json")
+        fp = _spill_fingerprint(it)
+        if os.path.exists(marker):
+            try:
+                if json.load(open(marker)).get("fp") == fp:
+                    return {"item": item, "skipped": True}
+            except (ValueError, OSError):
+                pass
+        parts = []
+        for s in it["spans"]:
+            pf = pq.ParquetFile(s["path"])
+            parts.append(pf.read_row_groups(
+                list(range(int(s["rg0"]), int(s["rg1"]) + 1)),
+                columns=CORPUS_COLUMNS))
+        norm = normalize(pa.concat_tables(parts, promote_options="default"))
+        keys = norm.column("doc_key").to_pylist()
+        shards = docid.buckets_of(keys, num_shards)
+        groups = (norm.column("bucket").to_numpy() % n_groups).astype(np.int64)
+        combo = shards * n_groups + groups
+        order = np.argsort(combo, kind="stable")
+        sorted_tbl = norm.take(pa.array(order, pa.int64()))
+        cs = combo[order]
+        bounds = np.flatnonzero(np.diff(cs)) + 1
+        starts = np.concatenate(([0], bounds)) if len(cs) else np.array([], np.int64)
+        ends = np.concatenate((bounds, [len(cs)])) if len(cs) else np.array([], np.int64)
+        for s, e in zip(starts, ends):
+            sh, g = int(cs[s]) // n_groups, int(cs[s]) % n_groups
+            gdir = os.path.join(root, f"shard={sh:03d}", "spill", f"g={g:04d}")
+            os.makedirs(gdir, exist_ok=True)
+            _atomic_write_table(sorted_tbl.slice(s, e - s),
+                                os.path.join(gdir, f"item={item:06d}.parquet"))
+        _atomic_write_json({"fp": fp}, marker)
+        return {"item": item, "skipped": False}
+    return fn
+
+
+def _fused_corpus_spill(source: str, root: str, num_shards: int,
+                        langs: FrozenSet[str], docs_per_bucket: int,
+                        resume: bool = True) -> dict:
+    """Run the fused stage-A map for every shard (see _fused_spill_map_fn),
+    derive the cross-shard content-dedup loser set from the spill files
+    (persisted durably, so a resume after some shards finished — and swept
+    their spill — still excludes globally), and write each shard's
+    ``spill/_prestaged.json`` + ``spill/_exclude.parquet``.  Returns phase
+    timings."""
+    import hashlib
+    import shutil
+    import time as _time
+
+    from prosearch_ray.index.build import (_atomic_write_json,
+                                           _atomic_write_table,
+                                           _plan_spill_items,
+                                           _spill_fingerprint)
+
+    t0 = _time.perf_counter()
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    items = _plan_spill_items(source, target_items=4 * ncpu)
+    total_rows = sum(it["n_rows"] for it in items)
+    per_shard_est = max(1, -(-total_rows // num_shards))
+    num_buckets = docid.num_buckets_for(per_shard_est, docs_per_bucket)
+    n_groups = int(max(1, min(num_buckets, -(-4 * ncpu // num_shards))))
+
+    fdir = os.path.join(root, "fused_spill")
+    done_dir = os.path.join(fdir, "_done")
+    cfg_path = os.path.join(fdir, "_config.json")
+    config = {"num_shards": num_shards, "num_buckets": num_buckets,
+              "n_groups": n_groups, "langs": sorted(langs),
+              "plan": [_spill_fingerprint(it) for it in items]}
+    stale = not resume
+    if resume:
+        stale = True
+        if os.path.exists(cfg_path):
+            try:
+                stale = json.load(open(cfg_path)) != config
+            except (ValueError, OSError):
+                pass
+    if stale:
+        shutil.rmtree(fdir, ignore_errors=True)
+        for s in range(num_shards):
+            shutil.rmtree(os.path.join(root, f"shard={s:03d}", "spill"),
+                          ignore_errors=True)
+    os.makedirs(done_dir, exist_ok=True)
+    if stale:
+        _atomic_write_json(config, cfg_path)
+
+    rd.from_items(items).map(
+        _fused_spill_map_fn(root, done_dir, langs, num_shards, num_buckets,
+                            n_groups)).materialize()
+    t_map = _time.perf_counter()
+
+    # cross-shard loser set, PERSISTED before any shard build runs: a
+    # finished shard build sweeps its spill, so a resumed run could no
+    # longer re-derive the global set from the surviving spill files alone
+    losers_path = os.path.join(fdir, "losers.parquet")
+    if os.path.exists(losers_path):
+        losers = sorted(pq.read_table(losers_path).column("doc_key").to_pylist())
+    else:
+        spill_files = []
+        for s in range(num_shards):
+            sp = os.path.join(root, f"shard={s:03d}", "spill")
+            if not os.path.isdir(sp):
+                continue
+            for g in sorted(os.listdir(sp)):
+                gd = os.path.join(sp, g)
+                if g.startswith("g=") and os.path.isdir(gd):
+                    spill_files += [os.path.join(gd, f)
+                                    for f in sorted(os.listdir(gd))
+                                    if f.endswith(".parquet")]
+        losers = sorted(_cross_shard_losers(spill_files))
+        _atomic_write_table(
+            pa.table({"doc_key": pa.array(losers, pa.string())}), losers_path)
+    digest = hashlib.md5("\x00".join(losers).encode()).hexdigest()
+
+    meta = {"num_buckets": num_buckets, "n_groups": n_groups,
+            "n_rows_estimate": per_shard_est, "exclude_digest": digest}
+    for s in range(num_shards):
+        sdir = os.path.join(root, f"shard={s:03d}", "spill")
+        os.makedirs(sdir, exist_ok=True)
+        mpath = os.path.join(sdir, "_prestaged.json")
+        fresh = True
+        if os.path.exists(mpath):
+            try:
+                fresh = json.load(open(mpath)) != meta
+            except (ValueError, OSError):
+                pass
+        if fresh:  # sizing or loser set changed -> reduce markers invalid
+            shutil.rmtree(os.path.join(sdir, "_done"), ignore_errors=True)
+            expath = os.path.join(sdir, "_exclude.parquet")
+            if losers:
+                _atomic_write_table(
+                    pa.table({"doc_key": pa.array(losers, pa.string())}),
+                    expath)
+            elif os.path.exists(expath):
+                os.remove(expath)
+            _atomic_write_json(meta, mpath)
+    t_end = _time.perf_counter()
+    return {"spill_sec": round(t_map - t0, 3),
+            "dedup_sec": round(t_end - t_map, 3)}
+
+
 def build_sharded_index(
     source, root: str, num_shards: int = 4, *,
     docs_per_bucket: int = docid.DOCS_PER_BUCKET_DEFAULT,
@@ -555,9 +724,11 @@ def build_sharded_index(
     resume: bool = True,
     shard_parallelism: int = 2,
 ) -> dict:
-    """Partition the corpus into ``num_shards`` doc shards (one content
-    pass, resumable), build an ordinary index per shard, then derive the
-    corpus-wide stats + merged dictionary.  Returns a report.
+    """Build ``num_shards`` doc-shard indexes + corpus-wide stats and
+    merged dictionary.  Returns a report.  Path sources run ONE fused
+    corpus pass that spills rows straight into every shard's stage-A
+    exchange (no intermediate corpus copy); Dataset sources fall back to a
+    resumable partitioned corpus sink + per-shard builds.
 
     ``shard_parallelism`` co-schedules that many shard builds as concurrent
     Ray Data pipelines (driver threads; each build is independently
@@ -575,37 +746,48 @@ def build_sharded_index(
     t_start = _time.perf_counter()
     os.makedirs(root, exist_ok=True)
     _shard_manifest_check(root, num_shards)  # refuse a mismatched resume
-    corpus_root = os.path.join(root, "corpus")
+
     if isinstance(source, str):
-        ds = rd.read_parquet(source, columns=CORPUS_COLUMNS)
+        # FUSED stage A: one corpus pass spills straight into every shard's
+        # stage-A exchange (no intermediate partitioned corpus copy — at
+        # 100 TB the old shape wrote and re-read the whole corpus once more)
+        fuse = _fused_corpus_spill(source, root, num_shards, langs,
+                                   docs_per_bucket, resume=resume)
+        t_part = t_start + fuse["spill_sec"]
+        t_dedup = t_part + fuse["dedup_sec"]
+
+        def build_one(s: int):
+            return build_index(
+                None, os.path.join(root, f"shard={s:03d}"),
+                docs_per_bucket=docs_per_bucket, langs=langs,
+                resume=resume, prestaged_spill=True)
     else:
-        ds = source
-    write_partitioned(
-        ds.map_batches(_tag_batch(langs, num_shards), batch_format="pyarrow"),
-        corpus_root, "shard")
-    t_part = _time.perf_counter()
+        # Dataset sources have no stable work plan for the fused exchange:
+        # keep the resumable partitioned-corpus sink + per-shard builds
+        corpus_root = os.path.join(root, "corpus")
+        write_partitioned(
+            source.map_batches(_tag_batch(langs, num_shards),
+                               batch_format="pyarrow"),
+            corpus_root, "shard")
+        t_part = _time.perf_counter()
 
-    losers = _cross_shard_losers(corpus_root)
-    t_dedup = _time.perf_counter()
+        losers = _cross_shard_losers(corpus_root)
+        t_dedup = _time.perf_counter()
 
-    def build_one(s: int):
-        sdir = os.path.join(corpus_root, f"shard={s}")
-        idx_dir = os.path.join(root, f"shard={s:03d}")
-        if not os.path.isdir(sdir):
-            # a shard that received zero docs still gets a (searchable)
-            # empty index so the scatter-gather pool stays uniform
-            empty = pa.table({c: pa.array([], pa.string())
-                              for c in CORPUS_COLUMNS})
-            return build_index(rd.from_arrow(empty), idx_dir,
-                               docs_per_bucket=docs_per_bucket,
-                               langs=langs, n_input_estimate=0)
-        # path source => the resumable spill-exchange stage A (items span
-        # the partition write's many small files); losers drop inside the
-        # map tasks via a broadcast key set.  n_input_estimate is the
-        # PRE-exclusion row count (same bucketing as the Dataset path).
-        return build_index(
-            sdir, idx_dir, docs_per_bucket=docs_per_bucket, langs=langs,
-            resume=resume, exclude_doc_keys=losers or None)
+        def build_one(s: int):
+            sdir = os.path.join(corpus_root, f"shard={s}")
+            idx_dir = os.path.join(root, f"shard={s:03d}")
+            if not os.path.isdir(sdir):
+                # a shard that received zero docs still gets a (searchable)
+                # empty index so the scatter-gather pool stays uniform
+                empty = pa.table({c: pa.array([], pa.string())
+                                  for c in CORPUS_COLUMNS})
+                return build_index(rd.from_arrow(empty), idx_dir,
+                                   docs_per_bucket=docs_per_bucket,
+                                   langs=langs, n_input_estimate=0)
+            return build_index(
+                sdir, idx_dir, docs_per_bucket=docs_per_bucket, langs=langs,
+                resume=resume, exclude_doc_keys=losers or None)
 
     workers = max(1, min(int(shard_parallelism), num_shards))
     if workers == 1:

@@ -124,6 +124,78 @@ def quality_score(sf_dir: str) -> "rd.Dataset":
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+def _seg_reduce(keys: np.ndarray, counts: np.ndarray, K: int, n: int):
+    """Per-doc (max, dup-sum) over sorted combined (doc*K + code) unique
+    keys: segmented reduceat on the doc boundaries — no Python loops."""
+    max_c = np.zeros(n, np.int64)
+    dup_c = np.zeros(n, np.int64)
+    if len(keys):
+        docs_u = (keys // K).astype(np.int64)
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(docs_u)) + 1))
+        present = docs_u[starts]
+        max_c[present] = np.maximum.reduceat(counts, starts)
+        dup_c[present] = np.add.reduceat(
+            np.where(counts >= 2, counts, 0), starts)
+    return max_c, dup_c
+
+
+def repetition_stats(sf_dir: str) -> "rd.Dataset":
+    """Gopher-style repetition filters per doc: the fraction of tokens
+    taken by the single most frequent unigram (``top_unigram_frac``), the
+    same for bigrams (``top_bigram_frac``), and the fraction of bigram
+    occurrences whose bigram occurs more than once (``dup_bigram_frac``)
+    — the standard 'boilerplate / repeated-span' quality gates a training
+    pipeline applies before sampling.  Pure per-batch map (no shuffle);
+    per-(doc, gram) counts come from one np.unique over combined integer
+    keys, per-doc maxima from segmented reduceat."""
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        flat, doc_of, n = _split_tokens(t.column("text"))
+        n_tok = np.bincount(doc_of, minlength=n).astype(np.int64)
+
+        codes = flat.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        K = max(1, int(codes.max()) + 1) if len(codes) else 1
+        uk, uc = np.unique(doc_of * K + codes, return_counts=True)
+        max_uni, _ = _seg_reduce(uk, uc, K, n)
+
+        L = len(flat)
+        if L >= 2:
+            span = L - 1
+            grams = pc.binary_join_element_wise(
+                flat.slice(0, span), flat.slice(1, span), " ")
+            same = doc_of[:span] == doc_of[1:]
+            grams = grams.filter(pa.array(same))
+            gdoc = doc_of[:span][same]
+        else:
+            grams, gdoc = pa.array([], pa.string()), np.array([], np.int64)
+        n_big = np.bincount(gdoc, minlength=n).astype(np.int64)
+        bcodes = grams.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        K2 = max(1, int(bcodes.max()) + 1) if len(bcodes) else 1
+        bk, bc = np.unique(gdoc * K2 + bcodes, return_counts=True)
+        max_big, dup_big = _seg_reduce(bk, bc, K2, n)
+
+        uden = np.maximum(1, n_tok).astype(np.float64)
+        bden = np.maximum(1, n_big).astype(np.float64)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "top_unigram_frac": pa.array(
+                sql_round(np.where(n_tok > 0, max_uni / uden, 0.0), 4),
+                pa.float64()),
+            "top_bigram_frac": pa.array(
+                sql_round(np.where(n_big > 0, max_big / bden, 0.0), 4),
+                pa.float64()),
+            "dup_bigram_frac": pa.array(
+                sql_round(np.where(n_big > 0, dup_big / bden, 0.0), 4),
+                pa.float64()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
 def fingerprint(sf_dir: str, kgram: int = 4, window: int = 5) -> "rd.Dataset":
     """Winnowing document fingerprints (k-gram hashes, per-window minimum) —
     the rolling-hash fingerprinting operator.  The gram hash is the first 16

@@ -270,6 +270,36 @@ def test_dedup_clusters_invariants():
         assert keep[c]
 
 
+def test_repetition_stats_matches_bruteforce():
+    """The vectorized per-doc repetition signals must equal a direct
+    Counter-based computation (Gopher repetition-gate semantics)."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from prosearch_ray.pipelines.common import sql_round
+    from prosearch_ray.pipelines.textstats import repetition_stats
+
+    out = repetition_stats(SF).to_pandas().set_index("doc_id")
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    assert len(out) == len(docs)
+    for d in docs:
+        toks = [t for t in re.split(r"[^a-z0-9]+", d["text"].lower()) if t]
+        bigs = [" ".join(p) for p in zip(toks, toks[1:])]
+        row = out.loc[d["doc_id"]]
+        assert int(row["n_tokens"]) == len(toks)
+        want_uni = (max(Counter(toks).values()) / len(toks)) if toks else 0.0
+        bc = Counter(bigs)
+        want_big = (max(bc.values()) / len(bigs)) if bigs else 0.0
+        want_dup = (sum(c for c in bc.values() if c >= 2) / len(bigs)
+                    if bigs else 0.0)
+        assert row["top_unigram_frac"] == sql_round([want_uni], 4)[0]
+        assert row["top_bigram_frac"] == sql_round([want_big], 4)[0]
+        assert row["dup_bigram_frac"] == sql_round([want_dup], 4)[0]
+
+
 def test_decontaminate_matches_bruteforce():
     """decontaminate's broadcast n-gram probe must agree with a direct
     per-doc set intersection against the eval subset (doc_id % 50 == 0),

@@ -359,16 +359,28 @@ def test_sharded_rebuild_resumes(both_indexes, tmp_path_factory):
     assert g["n_docs"] == rep2["n_docs"]
 
 
-def test_cross_shard_losers_distributed_matches_driver(both_indexes):
+def test_cross_shard_losers_distributed_matches_driver(both_indexes,
+                                                       tmp_path):
     """The distributed loser-detection path (bounded-group winner
     resolution + per-sha loser groups) must produce exactly the driver
-    path's loser set."""
+    path's loser set.  The fused path-source build no longer materializes
+    a tagged corpus copy, so tag one here via the Dataset-source sink."""
     import os
 
-    from prosearch_ray.index.sharded import _cross_shard_losers
+    import ray.data as rd
 
-    _, root, _, _ = both_indexes
-    corpus_root = os.path.join(root, "corpus")
+    from prosearch_ray.fixtures import write_corpus
+    from prosearch_ray.index.build import CORPUS_COLUMNS, DEFAULT_LANGS
+    from prosearch_ray.index.sharded import _cross_shard_losers, _tag_batch
+    from prosearch_ray.sinks import write_partitioned
+
+    d = write_corpus(str(tmp_path / "c"), n_docs=1500)
+    corpus_root = str(tmp_path / "tagged")
+    write_partitioned(
+        rd.read_parquet(d + "/corpus", columns=CORPUS_COLUMNS).map_batches(
+            _tag_batch(DEFAULT_LANGS, 3), batch_format="pyarrow"),
+        corpus_root, "shard")
+    assert os.path.isdir(corpus_root)
     drv = _cross_shard_losers(corpus_root)
     dist = _cross_shard_losers(corpus_root, driver_threshold=1)
     assert dist == drv
