@@ -4,7 +4,7 @@
 actor-pool query) on sf0.001; ``queries()`` exposes one callable per
 implemented operator/pipeline from SURVEY.md §2 plus the training-data
 operator suite (dedup / similarity / text analysis / multimodal);
-``oracle_sql()`` gives the DuckDB-equivalent SQL for EVERY entry — 45/45,
+``oracle_sql()`` gives the DuckDB-equivalent SQL for EVERY entry — 46/46,
 including SimHash (md5-based feature hash, bit_or/bit_count SQL), the
 multimodal stub (md5_number_upper bytes), the REAL multimodal byte-level
 decode (closed-form integer stats of genuinely encoded BMP/PNG/WAV/
@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": textstats.quality_score,
         "fingerprint": textstats.fingerprint,
         "repetition_stats": textstats.repetition_stats,
+        "percentile_stats": relational.percentile_stats,
         # multimodal plumbing (stub decode kernel)
         "media_features": multimodal.media_features,
         # multimodal REAL byte-level decode + transforms (pure stdlib+numpy
@@ -776,6 +777,14 @@ def oracle_sql() -> dict[str, str]:
           AND f.pred_lang IN ('de', 'en', 'es', 'fr')
           AND f.ttr >= 0.5
         ORDER BY f.doc_id
+    """
+    # exact counting-quantiles per source (DuckDB quantile_disc parity)
+    d["percentile_stats"] = """
+        SELECT source,
+               quantile_disc(n_chars, 0.50)::BIGINT AS p50,
+               quantile_disc(n_chars, 0.90)::BIGINT AS p90,
+               quantile_disc(n_chars, 0.99)::BIGINT AS p99
+        FROM documents GROUP BY source
     """
     # Gopher-style repetition quality gates: most-frequent unigram/bigram
     # token share + duplicated-bigram occurrence share, per doc

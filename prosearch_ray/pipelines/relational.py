@@ -463,3 +463,44 @@ def topk_per_group(sf_dir: str, k: int = 3) -> "rd.Dataset":
 
     return orders.groupby("o_custkey").map_groups(
         head, batch_format="pyarrow")
+
+
+def percentile_stats(sf_dir: str, ps=(50, 90, 99)) -> pa.Table:
+    """Exact distributed percentiles of ``n_chars`` per source — the
+    counting-quantile shape that works at any scale for bounded-domain
+    columns: map-side per-(source, value) count partials, one SMALL
+    ``groupby((source, value)).sum`` (rows bounded by the value domain, not
+    the corpus), then the quantile is picked from each source's count
+    histogram.  No sort of the data, no per-row shuffle.
+
+    The pick rule is DuckDB ``quantile_disc`` parity: 1-based position
+    ``ceil(p * n)`` computed in exact integer arithmetic."""
+    docs = read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, ["source", "n_chars"]).aggregate(
+            [("n_chars", "count")])
+        return g.rename_columns(["source", "n_chars", "cnt"])
+
+    agg = docs.map_batches(partial, batch_format="pyarrow").groupby(
+        ["source", "n_chars"]).aggregate(Sum("cnt", alias_name="cnt"))
+    hist = pa.Table.from_pylist(agg.take_all()).sort_by(
+        [("source", "ascending"), ("n_chars", "ascending")])
+
+    srcs = hist.column("source").to_numpy(zero_copy_only=False)
+    vals = hist.column("n_chars").to_numpy()
+    cnts = hist.column("cnt").to_numpy()
+    starts = np.concatenate(([0], np.flatnonzero(srcs[1:] != srcs[:-1]) + 1))
+    ends = np.concatenate((starts[1:], [len(srcs)]))
+    out = {"source": [], **{f"p{p}": [] for p in ps}}
+    for s, e in zip(starts, ends):
+        cum = np.cumsum(cnts[s:e])
+        n = int(cum[-1])
+        out["source"].append(srcs[s])
+        for p in ps:
+            pos = max(1, (p * n + 99) // 100)  # ceil(p*n/100), 1-based
+            out[f"p{p}"].append(int(vals[s:e][np.searchsorted(cum, pos)]))
+    return pa.table({
+        "source": pa.array(out["source"], pa.string()),
+        **{f"p{p}": pa.array(out[f"p{p}"], pa.int64()) for p in ps},
+    })

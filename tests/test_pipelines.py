@@ -270,6 +270,25 @@ def test_dedup_clusters_invariants():
         assert keep[c]
 
 
+def test_percentile_stats_matches_bruteforce():
+    """Counting-quantile percentiles must equal the direct sorted-pick
+    (DuckDB quantile_disc rule: 1-based position ceil(p*n))."""
+    import pyarrow.parquet as pq
+
+    from prosearch_ray.pipelines.relational import percentile_stats
+
+    out = percentile_stats(SF).to_pandas().set_index("source")
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["source", "n_chars"]).to_pandas()
+    assert len(out) == docs["source"].nunique()
+    for src, g in docs.groupby("source"):
+        vals = sorted(g["n_chars"])
+        n = len(vals)
+        for p in (50, 90, 99):
+            want = vals[max(1, (p * n + 99) // 100) - 1]
+            assert int(out.loc[src][f"p{p}"]) == want, (src, p)
+
+
 def test_repetition_stats_matches_bruteforce():
     """The vectorized per-doc repetition signals must equal a direct
     Counter-based computation (Gopher repetition-gate semantics)."""
