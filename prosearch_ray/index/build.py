@@ -828,6 +828,11 @@ def build_index(
         assert off["num_buckets"] == num_buckets, "resume with different bucketing"
         counts = {int(k): v for k, v in off["counts"].items()}
         staged_fresh = False
+        if prestaged_spill:  # a fused re-spill may have re-created spill
+            # data this build no longer needs (offsets are durable)
+            import shutil
+            shutil.rmtree(os.path.join(index_dir, "spill"),
+                          ignore_errors=True)
     else:
         # ----- stage A: normalize + the ONE content exchange + in-bucket
         # upsert.  Parquet-path sources use the resumable SPILL-FILE exchange

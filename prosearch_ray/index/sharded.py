@@ -608,6 +608,13 @@ def _fused_spill_map_fn(root: str, done_dir: str, langs: FrozenSet[str],
             os.makedirs(gdir, exist_ok=True)
             _atomic_write_table(sorted_tbl.slice(s, e - s),
                                 os.path.join(gdir, f"item={item:06d}.parquet"))
+        # keys sidecar (one file per item): the cross-shard loser scan reads
+        # these few files instead of re-opening every (shard, group) spill
+        # file — per-file open cost dominated that scan
+        kdir = os.path.join(os.path.dirname(done_dir), "keys")
+        os.makedirs(kdir, exist_ok=True)
+        _atomic_write_table(norm.select(["doc_key", "sha_hex", "commit"]),
+                            os.path.join(kdir, f"item={item:06d}.parquet"))
         _atomic_write_json({"fp": fp}, marker)
         return {"item": item, "skipped": False}
     return fn
@@ -653,6 +660,21 @@ def _fused_corpus_spill(source: str, root: str, num_shards: int,
                 stale = json.load(open(cfg_path)) != config
             except (ValueError, OSError):
                 pass
+    if not stale:
+        # a shard that lost BOTH its built state (staged offsets) and its
+        # spill data (e.g. an operator deleted the shard dir) cannot be
+        # rebuilt from skipped map items — force the map to re-run.  An
+        # empty shard keeps durable offsets, so it never triggers this.
+        for s in range(num_shards):
+            sdir_idx = os.path.join(root, f"shard={s:03d}")
+            has_off = os.path.exists(
+                os.path.join(sdir_idx, "staged", "_offsets.json"))
+            sp = os.path.join(sdir_idx, "spill")
+            has_spill = os.path.isdir(sp) and any(
+                g.startswith("g=") for g in os.listdir(sp))
+            if not has_off and not has_spill:
+                stale = True
+                break
     if stale:
         shutil.rmtree(fdir, ignore_errors=True)
         for s in range(num_shards):
@@ -674,18 +696,11 @@ def _fused_corpus_spill(source: str, root: str, num_shards: int,
     if os.path.exists(losers_path):
         losers = sorted(pq.read_table(losers_path).column("doc_key").to_pylist())
     else:
-        spill_files = []
-        for s in range(num_shards):
-            sp = os.path.join(root, f"shard={s:03d}", "spill")
-            if not os.path.isdir(sp):
-                continue
-            for g in sorted(os.listdir(sp)):
-                gd = os.path.join(sp, g)
-                if g.startswith("g=") and os.path.isdir(gd):
-                    spill_files += [os.path.join(gd, f)
-                                    for f in sorted(os.listdir(gd))
-                                    if f.endswith(".parquet")]
-        losers = sorted(_cross_shard_losers(spill_files))
+        kdir = os.path.join(fdir, "keys")
+        key_files = ([os.path.join(kdir, f) for f in sorted(os.listdir(kdir))
+                      if f.endswith(".parquet")]
+                     if os.path.isdir(kdir) else [])
+        losers = sorted(_cross_shard_losers(key_files))
         _atomic_write_table(
             pa.table({"doc_key": pa.array(losers, pa.string())}), losers_path)
     digest = hashlib.md5("\x00".join(losers).encode()).hexdigest()

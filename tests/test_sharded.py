@@ -288,6 +288,40 @@ def test_reshard_changes_modulus_and_keeps_scores(both_indexes, tmp_path):
         m.shutdown()
 
 
+def test_lost_shard_rebuilds_from_source(both_indexes, tmp_path):
+    """If a shard directory is lost AFTER the fused map completed (its
+    spill was swept when its build finished), a rerun must detect the
+    missing state, re-run the fused corpus pass, and rebuild the shard —
+    with scores still bit-identical to the surviving root."""
+    import os
+    import shutil
+
+    from prosearch_ray.fixtures import write_corpus
+    from prosearch_ray.index.sharded import build_sharded_index
+    from prosearch_ray.query.sharded import ShardedSearcher
+
+    d = write_corpus(str(tmp_path / "c"), n_docs=800)
+    root = str(tmp_path / "shards")
+    rep1 = build_sharded_index(d + "/corpus", root, num_shards=2,
+                               docs_per_bucket=128)
+    m = ShardedSearcher(root)
+    try:
+        before = m.search("merge hash", 20)
+    finally:
+        m.shutdown()
+
+    shutil.rmtree(os.path.join(root, "shard=001"))
+    rep2 = build_sharded_index(d + "/corpus", root, num_shards=2,
+                               docs_per_bucket=128)
+    assert rep2["n_docs"] == rep1["n_docs"]
+    m = ShardedSearcher(root)
+    try:
+        after = m.search("merge hash", 20)
+    finally:
+        m.shutdown()
+    assert after == before
+
+
 def test_num_shards_mismatch_refused(both_indexes, tmp_path):
     """Re-running a root with a different num_shards must raise instead of
     silently mixing two hash moduli."""
