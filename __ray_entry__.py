@@ -4,7 +4,7 @@
 actor-pool query) on sf0.001; ``queries()`` exposes one callable per
 implemented operator/pipeline from SURVEY.md §2 plus the training-data
 operator suite (dedup / similarity / text analysis / multimodal);
-``oracle_sql()`` gives the DuckDB-equivalent SQL for EVERY entry — 46/46,
+``oracle_sql()`` gives the DuckDB-equivalent SQL for EVERY entry — 47/47,
 including SimHash (md5-based feature hash, bit_or/bit_count SQL), the
 multimodal stub (md5_number_upper bytes), the REAL multimodal byte-level
 decode (closed-form integer stats of genuinely encoded BMP/PNG/WAV/
@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data preparation
         "pack_sequences": trainprep.pack_sequences,
         "ngram_counts": trainprep.ngram_counts,
+        "doc_vectors": trainprep.doc_vectors,
         "chunk_documents": trainprep.chunk_documents,
         # text analysis
         "lang_id": textstats.lang_id,
@@ -777,6 +778,18 @@ def oracle_sql() -> dict[str, str]:
           AND f.pred_lang IN ('de', 'en', 'es', 'fr')
           AND f.ttr >= 0.5
         ORDER BY f.doc_id
+    """
+    # hashed TF-IDF document vectors in long form (feature hashing: token
+    # -> md5 % 64 bucket; weight = tf * ln(1 + N/(1+df_bucket)))
+    d["doc_vectors"] = f"""
+        WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+        tb AS (SELECT doc_id, (md5_number_lower(term) % 64)::BIGINT b FROM tok),
+        tf AS (SELECT doc_id, b, count(*)::BIGINT tf FROM tb GROUP BY 1, 2),
+        df AS (SELECT b, count(DISTINCT doc_id)::BIGINT df FROM tb GROUP BY 1),
+        n AS (SELECT count(*)::DOUBLE n FROM documents)
+        SELECT tf.doc_id, tf.b AS bucket, tf.tf,
+               round(tf.tf * ln(1 + n.n / (1 + df.df)), 4) AS w
+        FROM tf JOIN df USING (b) CROSS JOIN n
     """
     # exact counting-quantiles per source (DuckDB quantile_disc parity)
     d["percentile_stats"] = """

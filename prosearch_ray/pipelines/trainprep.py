@@ -153,6 +153,80 @@ def ngram_counts(sf_dir: str, k: int = NGRAM_TOP_K) -> pa.Table:
     })
 
 
+VEC_DIM = 64
+
+
+def doc_vectors(sf_dir: str, dim: int = VEC_DIM) -> "rd.Dataset":
+    """Hashed TF-IDF document vectorization — the feature-hashing step a
+    training/retrieval pipeline runs to turn text into fixed-dimension
+    vectors without a vocabulary: token -> md5 % dim bucket, weight =
+    tf * ln(1 + N / (1 + df_bucket)), emitted in LONG form (one row per
+    non-zero (doc, bucket)) so the DuckDB oracle value-checks every weight.
+
+    Scale shape: tf per (doc, bucket) completes WITHIN each batch (a doc
+    lives in one batch) — no corpus shuffle; the bucket df table is
+    dim-sized (a tiny groupby), broadcast once.  md5 convention matches
+    DuckDB ``md5_number_lower`` (digest[8:] little-endian), so the hash is
+    oracle-exact."""
+    import hashlib
+    import math
+
+    from prosearch_ray.state.broadcast import bget, bput
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _doc_buckets(t: pa.Table):
+        """(doc_of, bucket) per token occurrence; md5 computed once per
+        DISTINCT token per batch via dictionary-encode."""
+        flat, doc_of, n = _split_tokens(t.column("text"))
+        enc = flat.dictionary_encode()
+        hd = np.fromiter(
+            (int.from_bytes(hashlib.md5(tok.encode()).digest()[8:],
+                            "little") % dim
+             for tok in enc.dictionary.to_pylist()),
+            dtype=np.int64, count=len(enc.dictionary))
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        buckets = hd[codes] if len(codes) else np.array([], np.int64)
+        return doc_of, buckets, n
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        doc_of, buckets, _ = _doc_buckets(t)
+        # distinct (doc, bucket) pairs -> per-bucket df contribution
+        uniq = np.unique(doc_of * dim + buckets)
+        cnt = np.bincount((uniq % dim).astype(np.int64), minlength=dim)
+        return pa.table({"b": pa.array(np.arange(dim, dtype=np.int64)),
+                         "df_part": pa.array(cnt, pa.int64())})
+
+    df_rows = docs.map_batches(df_partial, batch_format="pyarrow").groupby(
+        "b").aggregate(Sum("df_part", alias_name="df")).take_all()
+    df = np.zeros(dim, np.int64)
+    for r in df_rows:
+        df[int(r["b"])] = int(r["df"])
+    n_docs = docs.count()
+    # exactly the SQL expression ln(1 + N/(1+df)) — same op order so the
+    # float64 result is bit-identical to DuckDB's before rounding
+    idf = np.log(1.0 + float(n_docs) / (1.0 + df.astype(np.float64)))
+    ref = bput(idf)
+
+    def weigh(t: pa.Table) -> pa.Table:
+        from prosearch_ray.pipelines.common import sql_round
+
+        idf_l = bget(ref)
+        doc_of, buckets, n = _doc_buckets(t)
+        ids = t.column("doc_id").to_numpy()
+        keys, tf = np.unique(doc_of * dim + buckets, return_counts=True)
+        d_i = (keys // dim).astype(np.int64)
+        b_i = (keys % dim).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids[d_i], pa.int64()),
+            "bucket": pa.array(b_i, pa.int64()),
+            "tf": pa.array(tf.astype(np.int64), pa.int64()),
+            "w": pa.array(sql_round(tf * idf_l[b_i], 4), pa.float64()),
+        })
+
+    return docs.map_batches(weigh, batch_format="pyarrow")
+
+
 CHUNK_TOKENS = 128
 
 

@@ -270,6 +270,35 @@ def test_dedup_clusters_invariants():
         assert keep[c]
 
 
+def test_doc_vectors_invariants():
+    """Hashed TF-IDF long-form vectors: per-doc tf sums equal the doc's
+    token count, buckets lie in [0, dim), and weights equal tf * the
+    bucket idf computed from the emitted rows themselves."""
+    import re
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from prosearch_ray.pipelines.common import sql_round
+    from prosearch_ray.pipelines.trainprep import doc_vectors
+
+    out = doc_vectors(SF).to_pandas()
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    n_docs = len(docs)
+    tok_of = {d["doc_id"]: len([t for t in re.split(r"[^a-z0-9]+",
+                                                    d["text"].lower()) if t])
+              for d in docs}
+    assert (out["bucket"] >= 0).all() and (out["bucket"] < 64).all()
+    got_tf = out.groupby("doc_id")["tf"].sum().to_dict()
+    for did, n in tok_of.items():
+        assert got_tf.get(did, 0) == n, did
+    df = out.groupby("bucket")["doc_id"].nunique()
+    for _, r in out.iterrows():
+        idf = np.log(1.0 + n_docs / (1.0 + float(df[r["bucket"]])))
+        assert r["w"] == sql_round([r["tf"] * idf], 4)[0]
+
+
 def test_percentile_stats_matches_bruteforce():
     """Counting-quantile percentiles must equal the direct sorted-pick
     (DuckDB quantile_disc rule: 1-based position ceil(p*n))."""
