@@ -322,6 +322,76 @@ def test_lost_shard_rebuilds_from_source(both_indexes, tmp_path):
     assert after == before
 
 
+_FUSED_BUILD_SNIPPET = """
+import sys; sys.path.insert(0, {repo!r})
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from prosearch_ray.index.sharded import build_sharded_index
+r = build_sharded_index({corpus!r}, {root!r}, num_shards=2,
+                        docs_per_bucket=128)
+print("DONE", r["n_docs"])
+ray.shutdown()
+"""
+
+
+def test_sigkill_fused_build_resumes(tmp_path):
+    """SIGKILL the sharded build mid fused-map, rerun: finished map items
+    must not re-run (their done markers untouched), and the resumed root
+    must score bit-identical to an uninterrupted build."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from prosearch_ray.fixtures import write_corpus
+    from prosearch_ray.index.sharded import build_sharded_index
+    from prosearch_ray.query.sharded import ShardedSearcher
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d = write_corpus(str(tmp_path / "c"), n_docs=1500)
+    root = str(tmp_path / "killed")
+    snippet = _FUSED_BUILD_SNIPPET.format(repo=repo, corpus=d + "/corpus",
+                                          root=root)
+    p = subprocess.Popen([sys.executable, "-c", snippet], cwd=repo,
+                         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                         text=True)
+    done_dir = os.path.join(root, "fused_spill", "_done")
+    deadline = time.time() + 180
+    while time.time() < deadline and p.poll() is None:
+        n = len(os.listdir(done_dir)) if os.path.isdir(done_dir) else 0
+        if n >= 1:
+            p.send_signal(signal.SIGKILL)
+            break
+        time.sleep(0.05)
+    p.wait()
+    survived = {f: os.path.getmtime(os.path.join(done_dir, f))
+                for f in os.listdir(done_dir)} if os.path.isdir(done_dir) else {}
+
+    out = subprocess.run([sys.executable, "-c", snippet], cwd=repo,
+                         capture_output=True, text=True, check=True)
+    assert any(l.startswith("DONE") for l in out.stdout.splitlines())
+    for f, mt in survived.items():
+        if f.endswith(".json"):
+            assert os.path.getmtime(os.path.join(done_dir, f)) == mt, \
+                f"finished fused map item {f} was re-run"
+
+    clean = str(tmp_path / "clean")
+    build_sharded_index(d + "/corpus", clean, num_shards=2,
+                        docs_per_bucket=128)
+    m1, m2 = ShardedSearcher(root), ShardedSearcher(clean)
+    try:
+        for q in ("merge hash", "parse", "the return"):
+            assert m1.search(q, 20) == m2.search(q, 20), q
+            assert m1.last_count == m2.last_count
+    finally:
+        m1.shutdown()
+        m2.shutdown()
+
+
 def test_num_shards_mismatch_refused(both_indexes, tmp_path):
     """Re-running a root with a different num_shards must raise instead of
     silently mixing two hash moduli."""
