@@ -173,6 +173,38 @@ def code_search_topk(sf_dir: str) -> Any:
     })
 
 
+def code_search_or_topk(sf_dir: str) -> Any:
+    """Raw-CLI disjunctive search (bare-OR, search.rs:41-42): every doc
+    matching ANY query term is ranked by summed per-term BM25 (no boost-set
+    rewrite — that is the serve path's, serve.rs:362-369).  Exercises
+    searcher.search_raw end-to-end against the full DuckDB BM25 oracle with
+    the conjunctive filter relaxed; absent terms ('zzznothing') contribute
+    nothing, exactly as tantivy's should-clause semantics."""
+    import pyarrow as pa
+
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    from prosearch_ray.pipelines.common import sql_round
+
+    index_dir = _build_docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    out_q, out_r, out_key, out_s = [], [], [], []
+    for qid, q in enumerate(["table scan", "hash value merge",
+                             "sort zzznothing"]):
+        ids, scores = s.search_raw(q, 10)
+        for rank, (d, sc) in enumerate(zip(ids, scores)):
+            out_q.append(qid)
+            out_r.append(rank)
+            out_key.append(str(s.doc_keys[int(d)]))
+            out_s.append(float(sql_round([float(sc)])[0]))
+    return pa.table({
+        "qid": pa.array(out_q, pa.int32()),
+        "rank": pa.array(out_r, pa.int32()),
+        "doc_key": pa.array(out_key, pa.string()),
+        "score": pa.array(out_s, pa.float64()),
+    })
+
+
 def code_phrase_topk(sf_dir: str) -> Any:
     """Exact phrase search over documents-as-corpus (body positions,
     record:position analog), exact-matched against a DuckDB phrase-BM25
@@ -233,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": docsearch.exact_dedup,
         # full engine over documents-as-corpus (DuckDB BM25 oracles)
         "code_search_topk": code_search_topk,
+        "code_search_or_topk": code_search_or_topk,
         "code_phrase_topk": code_phrase_topk,
         "code_search_topk_sharded": code_search_topk_sharded,
         # dedup suite
@@ -847,6 +880,10 @@ def oracle_sql() -> dict[str, str]:
     # full-engine BM25 / phrase oracles: DuckDB reimplementation of the
     # code-aware tokenizer, fieldnorm quantization and tantivy scoring
     d["code_search_topk"] = _code_search_sql()
+    d["code_search_or_topk"] = _code_search_sql(
+        conjunctive=False,
+        qterms=("(0, 'table'), (0, 'scan'), (1, 'hash'), (1, 'value'), "
+                "(1, 'merge'), (2, 'sort'), (2, 'zzznothing')"))
     d["code_search_topk_sharded"] = _code_search_sql(tiebreak="key")
     d["code_phrase_topk"] = _code_phrase_sql()
     return d
@@ -914,12 +951,19 @@ def _fnt_values() -> str:
     return ", ".join(str(int(v)) for v in FIELD_NORMS_TABLE)
 
 
-def _code_search_sql(tiebreak: str = "doc") -> str:
+def _code_search_sql(tiebreak: str = "doc", conjunctive: bool = True,
+                     qterms: str = None) -> str:
     """tiebreak="doc": equal scores rank by engine doc_id (unsharded
-    searcher).  tiebreak="key": by doc_key (the sharded merge's order)."""
+    searcher).  tiebreak="key": by doc_key (the sharded merge's order).
+    conjunctive=False ranks every doc matching ANY query term (the raw-CLI
+    bare-OR semantics of searcher.search_raw, search.rs:41-42) instead of
+    requiring all terms."""
     tb = "i2.doc_key" if tiebreak == "key" else "s.doc"
-    qterms = ("(0, 'table'), (1, 'hash'), (1, 'value'), (2, 'merge'), "
-              "(2, 'batch'), (3, 'scan')")
+    if qterms is None:
+        qterms = ("(0, 'table'), (1, 'hash'), (1, 'value'), (2, 'merge'), "
+                  "(2, 'batch'), (3, 'scan')")
+    match_pred = ("s.n_matched = nq.n_terms" if conjunctive
+                  else "s.n_matched >= 1")
     return f"""
 WITH {_CODE_IDS_CTES},
 fnt AS (SELECT unnest([{_fnt_values()}]) AS v),
@@ -991,7 +1035,7 @@ ranked AS (
          row_number() OVER (PARTITION BY s.qid
                             ORDER BY s.score DESC, {tb}) - 1 AS rank
   FROM scored s JOIN ids i2 ON i2.doc = s.doc JOIN nq ON nq.qid = s.qid
-  WHERE s.n_matched = nq.n_terms
+  WHERE {match_pred}
 )
 SELECT r.qid::INTEGER AS qid, r.rank::INTEGER AS rank, i.doc_key,
        round(r.score, 4) AS score
