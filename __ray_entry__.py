@@ -280,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dedup.dedup_clusters,
         "clean_corpus": curate.clean_corpus,
         "decontaminate": curate.decontaminate,
+        "boilerplate_flags": curate.boilerplate_flags,
         # similarity search.  The driver entries for the approximate variants
         # run their DEGENERATE-EXACT configurations (all-bucket probe /
         # all-cluster probe) so the brute-force SQL oracle applies; the
@@ -876,6 +877,31 @@ def oracle_sql() -> dict[str, str]:
                (coalesce(h.n_hits, 0) > 0)::BIGINT AS contaminated
         FROM documents d LEFT JOIN hits h USING (doc_id)
         WHERE d.doc_id % 50 != 0
+    """
+    # corpus-level boilerplate gate: gram doc-frequency >= 5 -> boilerplate
+    # set; per-doc OCCURRENCE share of boilerplate grams, flag at 0.1
+    d["boilerplate_flags"] = f"""
+        WITH tok AS (SELECT doc_id, {TOK_SQL} t FROM documents),
+        pos AS (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i
+                FROM tok WHERE len(t) >= 3),
+        grams AS (SELECT doc_id, array_to_string(t[i+1:i+3], ' ') AS g
+                  FROM pos),
+        bp AS (SELECT g FROM grams GROUP BY g
+               HAVING count(DISTINCT doc_id) >= 5),
+        tot AS (SELECT doc_id, count(*)::BIGINT n FROM grams GROUP BY 1),
+        hit AS (SELECT grams.doc_id, count(*)::BIGINT nb
+                FROM grams JOIN bp USING (g) GROUP BY 1)
+        SELECT d.doc_id,
+               coalesce(t.n, 0)::BIGINT AS n_grams,
+               coalesce(h.nb, 0)::BIGINT AS n_boiler,
+               round(coalesce(h.nb, 0)
+                     / greatest(1, coalesce(t.n, 0))::DOUBLE, 4)
+                 AS boiler_share,
+               (round(coalesce(h.nb, 0)
+                      / greatest(1, coalesce(t.n, 0))::DOUBLE, 4)
+                >= 0.1)::BIGINT AS flagged
+        FROM documents d LEFT JOIN tot t USING (doc_id)
+        LEFT JOIN hit h USING (doc_id)
     """
     # full-engine BM25 / phrase oracles: DuckDB reimplementation of the
     # code-aware tokenizer, fieldnorm quantization and tantivy scoring

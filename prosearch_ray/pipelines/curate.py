@@ -152,6 +152,94 @@ def decontaminate(sf_dir: str, n: int = DECON_N,
     return docs.map_batches(probe, batch_format="pyarrow")
 
 
+BOILER_N = 3        # boilerplate n-gram width
+BOILER_MIN_DF = 5   # gram is boilerplate if it appears in >= this many docs
+                    # (real pipelines use corpus-relative thresholds; the
+                    # bench documents table maxes out at df=7 per gram at
+                    # sf0.01, so 5 keeps the driver check non-trivial)
+BOILER_MAX_SHARE = 0.1  # doc flagged when its boilerplate share reaches this
+                        # (bench corpus max share is ~0.28)
+
+
+def boilerplate_flags(sf_dir: str, n: int = BOILER_N,
+                      min_df: int = BOILER_MIN_DF,
+                      max_share: float = BOILER_MAX_SHARE) -> "rd.Dataset":
+    """Corpus-level boilerplate gate (C4/CCNet-style): find token n-grams
+    shared by >= ``min_df`` distinct documents (navigation chrome, license
+    headers, generated scaffolding), then flag documents whose occurrence
+    share of such grams reaches ``max_share``.  The across-doc complement
+    of ``textstats.repetition_stats`` (within-doc repetition).
+
+    Scale shape: pass 1 computes per-gram DOCUMENT frequency with map-side
+    partials (distinct (doc, gram) inside each batch via one
+    dictionary-encode + bincount — no per-row Python) feeding one bounded
+    ``groupby(gram).sum`` of (gram, partial_count) rows; the df-filtered
+    boilerplate set is a Zipf heavy-hitter tail — tiny relative to the
+    corpus — and broadcasts once through the object store.  Pass 2 is a
+    pure streaming ``map_batches`` probe (vectorized ``is_in`` + bincount),
+    no shuffle.  Both the gram semantics and the rounding are DuckDB-exact,
+    so the driver value-checks the whole composition."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        grams, doc_of = _doc_ngrams(t.column("text"), n)
+        if len(grams) == 0:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        enc = pc.dictionary_encode(grams)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        nd = len(enc.dictionary)
+        uniq = np.unique(doc_of * nd + codes)  # distinct (doc, gram) pairs
+        return pa.table({
+            "g": enc.dictionary,
+            "c": pa.array(np.bincount(uniq % nd, minlength=nd), pa.int64()),
+        })
+
+    df = docs.map_batches(partial_df, batch_format="pyarrow").groupby(
+        "g").aggregate(Sum("c", alias_name="df"))
+
+    def thresh(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater_equal(t.column("df"),
+                             pa.scalar(min_df))).select(["g"])
+
+    bp: set = set()
+    for tbl in df.map_batches(thresh, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        bp.update(tbl.column("g").to_pylist())
+    ref = bput(pa.array(sorted(bp), pa.string()))
+
+    def score(t: pa.Table) -> pa.Table:
+        bp_arr = bget(ref)
+        ids = t.column("doc_id").to_numpy()
+        grams, doc_of = _doc_ngrams(t.column("text"), n)
+        n_grams = np.bincount(doc_of, minlength=len(ids)).astype(np.int64)
+        n_boiler = np.zeros(len(ids), np.int64)
+        if len(grams):
+            hit = pc.is_in(grams, value_set=bp_arr).to_numpy(
+                zero_copy_only=False)
+            if hit.any():
+                n_boiler = np.bincount(
+                    doc_of[hit], minlength=len(ids)).astype(np.int64)
+        share = sql_round(
+            n_boiler / np.maximum(1, n_grams).astype(np.float64), 4)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_grams": pa.array(n_grams, pa.int64()),
+            "n_boiler": pa.array(n_boiler, pa.int64()),
+            "boiler_share": pa.array(share, pa.float64()),
+            "flagged": pa.array((share >= max_share).astype(np.int64),
+                                pa.int64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 # per-lang sampling rates (percent) for the deterministic stratified sample
 SAMPLE_RATES = {"en": 60, "de": 40, "fr": 25, "zh": 10}
 

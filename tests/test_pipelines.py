@@ -492,3 +492,44 @@ def test_cluster_assign_is_nearest_seed():
         best = max(sorted(sims), key=lambda s: (sims[s], -s))
         assert r.cluster == best
         assert abs(r.sim - round(sims[best], 4)) < 1e-6
+
+
+def test_boilerplate_flags_matches_bruteforce():
+    """boilerplate_flags' two-pass (df groupby -> broadcast probe) must agree
+    with a direct Counter-based document-frequency computation: occurrence
+    share of grams whose corpus df >= 5."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from prosearch_ray.pipelines.common import sql_round
+    from prosearch_ray.pipelines.curate import boilerplate_flags
+
+    out = boilerplate_flags(SF).to_pandas().set_index("doc_id")
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+
+    def grams(text, n=3):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+    df = Counter()
+    for d in docs:
+        df.update(set(grams(d["text"])))
+    bp = {g for g, c in df.items() if c >= 5}
+    assert len(bp) > 0  # non-trivial boilerplate set in the fixture corpus
+
+    assert len(out) == len(docs)
+    any_hit = False
+    for d in docs:
+        gs = grams(d["text"])
+        nb = sum(g in bp for g in gs)
+        row = out.loc[d["doc_id"]]
+        assert int(row["n_grams"]) == len(gs)
+        assert int(row["n_boiler"]) == nb
+        share = float(sql_round([nb / max(1, len(gs))], 4)[0])
+        assert row["boiler_share"] == share
+        assert int(row["flagged"]) == int(share >= 0.1)
+        any_hit |= nb > 0
+    assert any_hit
