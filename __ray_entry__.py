@@ -205,6 +205,61 @@ def code_search_or_topk(sf_dir: str) -> Any:
     })
 
 
+MLT_SRC_IDS = (7, 123, 321)  # dedup keepers at every sf (checked)
+
+
+def more_like_this(sf_dir: str) -> Any:
+    """Similar-document query by example (the Lucene MoreLikeThis analog a
+    SERP's "more like this" link runs): take a source doc's top-3 body
+    tokens by (tf DESC, token ASC) under the code-aware tokenizer, run a
+    DISJUNCTIVE BM25 search (searcher.search_raw bare-OR), exclude the
+    source doc, return the top-10.  Term selection, scoring and the
+    self-exclusion are all reproduced in the DuckDB oracle
+    (_code_search_sql(mlt_src_ids=...)) — exact value match."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from prosearch_ray.query.searcher import IndexSearcher
+    from prosearch_ray.text.tokenizer import tokenize
+
+    from prosearch_ray.pipelines.common import sql_round
+
+    index_dir = _build_docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    src = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+        filters=[("doc_id", "in", list(MLT_SRC_IDS))])
+    by_id = {int(i): (t, so) for i, t, so in zip(
+        src.column("doc_id").to_pylist(), src.column("text").to_pylist(),
+        src.column("source").to_pylist())}
+    out_q, out_r, out_key, out_s = [], [], [], []
+    for qid, sid in enumerate(MLT_SRC_IDS):
+        text, source = by_id[sid]
+        self_key = f"{source}/docs/doc{sid:07d}.txt"
+        tf = Counter(tokenize(text))
+        terms = [t for t, _ in sorted(tf.items(),
+                                      key=lambda kv: (-kv[1], kv[0]))[:3]]
+        ids, scores = s.search_raw(" ".join(terms), 11)
+        rank = 0
+        for d, sc in zip(ids, scores):
+            if str(s.doc_keys[int(d)]) == self_key or rank >= 10:
+                continue
+            out_q.append(qid)
+            out_r.append(rank)
+            out_key.append(str(s.doc_keys[int(d)]))
+            out_s.append(float(sql_round([float(sc)])[0]))
+            rank += 1
+    return pa.table({
+        "qid": pa.array(out_q, pa.int32()),
+        "rank": pa.array(out_r, pa.int32()),
+        "doc_key": pa.array(out_key, pa.string()),
+        "score": pa.array(out_s, pa.float64()),
+    })
+
+
 def code_phrase_topk(sf_dir: str) -> Any:
     """Exact phrase search over documents-as-corpus (body positions,
     record:position analog), exact-matched against a DuckDB phrase-BM25
@@ -266,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full engine over documents-as-corpus (DuckDB BM25 oracles)
         "code_search_topk": code_search_topk,
         "code_search_or_topk": code_search_or_topk,
+        "more_like_this": more_like_this,
         "code_phrase_topk": code_phrase_topk,
         "code_search_topk_sharded": code_search_topk_sharded,
         # dedup suite
@@ -910,6 +966,8 @@ def oracle_sql() -> dict[str, str]:
         conjunctive=False,
         qterms=("(0, 'table'), (0, 'scan'), (1, 'hash'), (1, 'value'), "
                 "(1, 'merge'), (2, 'sort'), (2, 'zzznothing')"))
+    d["more_like_this"] = _code_search_sql(conjunctive=False,
+                                           mlt_src_ids=MLT_SRC_IDS)
     d["code_search_topk_sharded"] = _code_search_sql(tiebreak="key")
     d["code_phrase_topk"] = _code_phrase_sql()
     return d
@@ -978,7 +1036,7 @@ def _fnt_values() -> str:
 
 
 def _code_search_sql(tiebreak: str = "doc", conjunctive: bool = True,
-                     qterms: str = None) -> str:
+                     qterms: str = None, mlt_src_ids=None) -> str:
     """tiebreak="doc": equal scores rank by engine doc_id (unsharded
     searcher).  tiebreak="key": by doc_key (the sharded merge's order).
     conjunctive=False ranks every doc matching ANY query term (the raw-CLI
@@ -990,17 +1048,35 @@ def _code_search_sql(tiebreak: str = "doc", conjunctive: bool = True,
                   "(2, 'batch'), (3, 'scan')")
     match_pred = ("s.n_matched = nq.n_terms" if conjunctive
                   else "s.n_matched >= 1")
+    if mlt_src_ids is None:
+        q_block = f"""q(qid, term) AS (VALUES {qterms}),
+nq AS (SELECT qid, count(*)::BIGINT AS n_terms FROM q GROUP BY 1),"""
+    else:
+        # more-like-this: query terms are the source doc's top-3 body tokens
+        # by (tf DESC, token ASC); the source doc is excluded from results
+        src_vals = ", ".join(f"({i}, {sid})"
+                             for i, sid in enumerate(mlt_src_ids))
+        q_block = f"""srcq(qid, sid) AS (VALUES {src_vals}),
+srcdoc AS (SELECT s.qid, i.doc FROM srcq s JOIN ids i ON i.src_id = s.sid),
+q AS (SELECT qid, tok AS term FROM (
+        SELECT sd.qid, b.tok,
+               row_number() OVER (PARTITION BY sd.qid
+                                  ORDER BY count(*) DESC, b.tok) AS rn
+        FROM srcdoc sd JOIN btok b ON b.doc = sd.doc
+        GROUP BY sd.qid, b.tok) WHERE rn <= 3),
+nq AS (SELECT qid, count(*)::BIGINT AS n_terms FROM q GROUP BY 1),"""
+        match_pred += (" AND NOT EXISTS (SELECT 1 FROM srcdoc sd "
+                       "WHERE sd.qid = s.qid AND sd.doc = s.doc)")
     return f"""
 WITH {_CODE_IDS_CTES},
 fnt AS (SELECT unnest([{_fnt_values()}]) AS v),
-q(qid, term) AS (VALUES {qterms}),
-nq AS (SELECT qid, count(*)::BIGINT AS n_terms FROM q GROUP BY 1),
 braw AS (SELECT doc, unnest(string_split_regex(text, '\\s+')) AS raw FROM ids),
 traw AS (SELECT doc, unnest(string_split_regex(doc_key, '\\s+')) AS raw FROM ids),
 bexp AS {_expand_cte('braw')},
 texp AS {_expand_cte('traw')},
 btok AS (SELECT doc, unnest(toks) AS tok FROM bexp),
 ttok AS (SELECT doc, unnest(toks) AS tok FROM texp),
+{q_block}
 blen AS (SELECT i.doc, count(b.tok)::BIGINT AS len
          FROM ids i LEFT JOIN btok b ON i.doc = b.doc GROUP BY 1),
 tlen AS (SELECT i.doc, count(t.tok)::BIGINT AS len
