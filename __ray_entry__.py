@@ -173,6 +173,40 @@ def code_search_topk(sf_dir: str) -> Any:
     })
 
 
+OR_QUERIES = ("table scan", "hash value merge", "sort zzznothing")
+OR_QTERMS = ("(0, 'table'), (0, 'scan'), (1, 'hash'), (1, 'value'), "
+             "(1, 'merge'), (2, 'sort'), (2, 'zzznothing')")
+
+
+def code_search_or_topk_sharded(sf_dir: str) -> Any:
+    """Disjunctive raw search over the 3-shard build (scatter-gather with
+    the doc_key tie-break) — same DuckDB oracle as code_search_or_topk."""
+    import pyarrow as pa
+
+    from prosearch_ray.pipelines.common import sql_round
+    from prosearch_ray.query.sharded import ShardedSearcher
+
+    root = _build_docs_sharded(sf_dir)
+    m = ShardedSearcher(root)
+    try:
+        out_q, out_r, out_key, out_s = [], [], [], []
+        for qid, q in enumerate(OR_QUERIES):
+            keys, scores = m.search_raw(q, 10)
+            for rank, (dk, sc) in enumerate(zip(keys, scores)):
+                out_q.append(qid)
+                out_r.append(rank)
+                out_key.append(dk)
+                out_s.append(float(sql_round([float(sc)])[0]))
+    finally:
+        m.shutdown()
+    return pa.table({
+        "qid": pa.array(out_q, pa.int32()),
+        "rank": pa.array(out_r, pa.int32()),
+        "doc_key": pa.array(out_key, pa.string()),
+        "score": pa.array(out_s, pa.float64()),
+    })
+
+
 def code_search_or_topk(sf_dir: str) -> Any:
     """Raw-CLI disjunctive search (bare-OR, search.rs:41-42): every doc
     matching ANY query term is ranked by summed per-term BM25 (no boost-set
@@ -189,8 +223,7 @@ def code_search_or_topk(sf_dir: str) -> Any:
     index_dir = _build_docs_index(sf_dir)
     s = IndexSearcher(index_dir)
     out_q, out_r, out_key, out_s = [], [], [], []
-    for qid, q in enumerate(["table scan", "hash value merge",
-                             "sort zzznothing"]):
+    for qid, q in enumerate(OR_QUERIES):
         ids, scores = s.search_raw(q, 10)
         for rank, (d, sc) in enumerate(zip(ids, scores)):
             out_q.append(qid)
@@ -324,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": more_like_this,
         "code_phrase_topk": code_phrase_topk,
         "code_search_topk_sharded": code_search_topk_sharded,
+        "code_search_or_topk_sharded": code_search_or_topk_sharded,
         # dedup suite
         "jaccard_pairs": dedup.jaccard_pairs,
         "minhash_dup_pairs": dedup.minhash_dup_pairs,
@@ -963,9 +997,9 @@ def oracle_sql() -> dict[str, str]:
     # code-aware tokenizer, fieldnorm quantization and tantivy scoring
     d["code_search_topk"] = _code_search_sql()
     d["code_search_or_topk"] = _code_search_sql(
-        conjunctive=False,
-        qterms=("(0, 'table'), (0, 'scan'), (1, 'hash'), (1, 'value'), "
-                "(1, 'merge'), (2, 'sort'), (2, 'zzznothing')"))
+        conjunctive=False, qterms=OR_QTERMS)
+    d["code_search_or_topk_sharded"] = _code_search_sql(
+        conjunctive=False, qterms=OR_QTERMS, tiebreak="key")
     d["more_like_this"] = _code_search_sql(conjunctive=False,
                                            mlt_src_ids=MLT_SRC_IDS)
     d["code_search_topk_sharded"] = _code_search_sql(tiebreak="key")

@@ -77,6 +77,20 @@ class _ShardWorker:
         return {key: make_snippet(contents.get(int(i), ""), terms)
                 for key, i in zip(doc_keys, idx) if i is not None}
 
+    def raw_phrase_dfs(self, query: str) -> dict:
+        """Phase 1 of sharded raw search (only called when the parsed query
+        has phrase clauses): evaluate locally, return {clause_text:
+        local_df_p}.  The evaluation warms this actor's postings/positions
+        caches, so the phase-2 re-run is a cheap re-score."""
+        dfs: dict = {}
+        self.s.search_raw(query, 1, collect_phrase_dfs=dfs)
+        return dfs
+
+    def search_raw(self, query: str, k: int, overrides=None):
+        ids, scs = self.s.search_raw(query, int(k),
+                                     phrase_df_overrides=overrides)
+        return self._keys(ids), [float(x) for x in scs], int(self.s.last_count)
+
     def phrase_candidates(self, query: str) -> int:
         """Phase 1: evaluate the phrase locally, cache candidates, return
         the local df_p."""
@@ -199,6 +213,30 @@ class ShardedSearcher:
             snips.update(ray.get(fut))
         return [{"doc_key": key, "title": key, "score": float(sc),
                  "snip": snips.get(key, "")} for key, sc, _ in rows]
+
+    def search_raw(self, query: str, k: int = scoring.DEFAULT_K
+                   ) -> Tuple[List[str], List[float]]:
+        """Raw-syntax (+must / -must_not / "phrase" / bare-OR) scatter-gather
+        search, bit-identical to the unsharded ``IndexSearcher.search_raw``:
+        term clauses already score under the corpus-wide stats every shard
+        opens with; phrase clauses get the two-phase global-df_p treatment
+        (each shard reports its local phrase df, the driver sums, shards
+        score under the sum) — the same DFS protocol as ``search_phrase``.
+        Phrase-free queries skip phase 1 entirely (parse is driver-side)."""
+        from prosearch_ray.query.searcher import IndexSearcher
+
+        clauses = IndexSearcher.parse_raw_query(query)
+        overrides = None
+        if any(kind == "phrase" for _, kind, _ in clauses):
+            overrides = {}
+            for d in ray.get([a.raw_phrase_dfs.remote(query)
+                              for a in self.actors]):
+                for text, c in d.items():
+                    overrides[text] = overrides.get(text, 0) + int(c)
+        res = ray.get([a.search_raw.remote(query, k, overrides)
+                       for a in self.actors])
+        self.last_count = sum(c for _, _, c in res)
+        return self._merge([(keys, scs) for keys, scs, _ in res], k)
 
     def search_phrase(self, query: str, k: int = scoring.DEFAULT_K
                       ) -> Tuple[List[str], List[float]]:

@@ -615,3 +615,37 @@ def test_sharded_serp_matches_unsharded(both_indexes):
         assert nonempty >= 3
     finally:
         m.shutdown()
+
+
+def test_search_raw_matches_unsharded(both_indexes):
+    """Sharded raw-syntax search (bare-OR / +must / -not / phrase) must be
+    bit-identical to the unsharded searcher — including phrase clauses,
+    whose idf depends on the corpus-wide phrase df (two-phase protocol)."""
+    from prosearch_ray.query.searcher import IndexSearcher
+    from prosearch_ray.query.sharded import ShardedSearcher
+
+    single_dir, root, _, _ = both_indexes
+    s = IndexSearcher(single_dir)
+    m = ShardedSearcher(root)
+    queries = [
+        "alpha merge",                 # bare OR
+        "+merge hash",                 # must + should
+        "+merge -hash parse",          # must + not + should
+        '"merge hash"',                # pure phrase
+        '"merge hash" buffer',         # phrase + should (global df_p path)
+        '+buffer -"merge hash"',       # must + phrase must_not
+        "zzznothing merge",            # absent term in OR
+    ]
+    try:
+        n_nonempty = 0
+        for q in queries:
+            ids, scs = s.search_raw(q, 10)
+            skeys = [s.doc_keys[int(i)].as_py() for i in ids]
+            count_s = s.last_count
+            mkeys, mscores = m.search_raw(q, 10)
+            _compare(skeys, list(map(float, scs)), mkeys, mscores,
+                     count_s, m.last_count)
+            n_nonempty += bool(len(mkeys))
+        assert n_nonempty >= 5
+    finally:
+        m.shutdown()
