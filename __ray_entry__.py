@@ -383,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data preparation
         "pack_sequences": trainprep.pack_sequences,
         "ngram_counts": trainprep.ngram_counts,
+        "pmi_bigrams": trainprep.pmi_bigrams,
         "doc_vectors": trainprep.doc_vectors,
         "chunk_documents": trainprep.chunk_documents,
         # text analysis
@@ -905,6 +906,31 @@ def oracle_sql() -> dict[str, str]:
     """
     # hashed TF-IDF document vectors in long form (feature hashing: token
     # -> md5 % 64 bucket; weight = tf * ln(1 + N/(1+df_bucket)))
+    # bigram PMI collocations: ln((c_ab/T2) / ((c_a/T1)*(c_b/T1))) over
+    # within-doc adjacent pairs, reported for bigrams with c_ab >= 5
+    d["pmi_bigrams"] = f"""
+        WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term,
+                            unnest(range(len({TOK_SQL}))) AS pos
+                     FROM documents),
+        uni AS (SELECT term, count(*)::BIGINT c FROM tok GROUP BY 1),
+        t1 AS (SELECT sum(c)::DOUBLE t FROM uni),
+        big AS (SELECT term || ' ' || lead(term) OVER (PARTITION BY doc_id
+                                                       ORDER BY pos) AS g
+                FROM tok),
+        bc AS (SELECT g, count(*)::BIGINT c FROM big
+               WHERE g IS NOT NULL GROUP BY g),
+        t2 AS (SELECT sum(c)::DOUBLE t FROM bc),
+        keep AS (SELECT g, c FROM bc WHERE c >= 5)
+        SELECT k.g AS bigram, k.c AS n_ab, ua.c AS n_a, ub.c AS n_b,
+               round(ln((k.c::DOUBLE / t2.t)
+                        / ((ua.c::DOUBLE / t1.t) * (ub.c::DOUBLE / t1.t))),
+                     4) AS pmi
+        FROM keep k
+        JOIN uni ua ON ua.term = string_split(k.g, ' ')[1]
+        JOIN uni ub ON ub.term = string_split(k.g, ' ')[2]
+        CROSS JOIN t1 CROSS JOIN t2
+        ORDER BY bigram
+    """
     d["doc_vectors"] = f"""
         WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
         tb AS (SELECT doc_id, (md5_number_lower(term) % 64)::BIGINT b FROM tok),

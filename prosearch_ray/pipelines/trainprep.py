@@ -257,3 +257,93 @@ def chunk_documents(sf_dir: str, chunk: int = CHUNK_TOKENS) -> "rd.Dataset":
         })
 
     return docs.map_batches(explode, batch_format="pyarrow")
+
+
+PMI_MIN_COUNT = 5  # report bigrams with at least this many occurrences
+
+
+def pmi_bigrams(sf_dir: str, min_count: int = PMI_MIN_COUNT) -> pa.Table:
+    """Pointwise mutual information of corpus bigrams — the collocation
+    score a tokenizer/vocab pipeline uses to decide which adjacent pairs to
+    merge (phrase mining):
+
+        pmi(a,b) = ln( (c_ab / T2) / ((c_a / T1) * (c_b / T1)) )
+
+    with T1 = total token occurrences, T2 = total bigram occurrences.
+
+    Scale shape: unigram and bigram counts are both map-side value-count
+    partials feeding one bounded ``groupby(term).sum`` each (the ngram_counts
+    shape); totals are Dataset.sum over the tiny aggregates.  Only bigrams
+    with c_ab >= ``min_count`` survive (the heavy-hitter tail), so the
+    driver-side join fetches unigram counts ONLY for tokens appearing in
+    surviving bigrams — never the full vocabulary.  The float expression is
+    evaluated in exactly DuckDB's op order, so the driver value-checks pmi
+    to 4 decimals."""
+    from prosearch_ray.pipelines.common import sql_round
+
+    docs = read(sf_dir, "documents", columns=["text"])
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        flat, _, _ = _split_tokens(t.column("text"))
+        vc = pc.value_counts(flat)
+        return pa.table({"term": vc.field("values"),
+                         "n_part": pc.cast(vc.field("counts"), pa.int64())})
+
+    def big_partial(t: pa.Table) -> pa.Table:
+        flat, doc_of, _ = _split_tokens(t.column("text"))
+        n = len(flat)
+        if n < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n_part": pa.array([], pa.int64())})
+        same_doc = doc_of[1:] == doc_of[:-1]
+        pairs = pc.binary_join_element_wise(
+            flat.slice(0, n - 1), flat.slice(1, n - 1), " ")
+        vc = pc.value_counts(pairs.filter(pa.array(same_doc)))
+        return pa.table({"bigram": vc.field("values"),
+                         "n_part": pc.cast(vc.field("counts"), pa.int64())})
+
+    uni = docs.map_batches(uni_partial, batch_format="pyarrow").groupby(
+        "term").aggregate(Sum("n_part", alias_name="n")).materialize()
+    big = docs.map_batches(big_partial, batch_format="pyarrow").groupby(
+        "bigram").aggregate(Sum("n_part", alias_name="n")).materialize()
+    t1 = float(uni.sum("n"))
+    t2 = float(big.sum("n"))
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("n"),
+                                         pa.scalar(min_count)))
+
+    kept_parts = [tbl for tbl in big.map_batches(
+        keep, batch_format="pyarrow").iter_batches(batch_format="pyarrow")]
+    kept = pa.concat_tables(kept_parts) if kept_parts else pa.table(
+        {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    grams = kept.column("bigram").to_pylist()
+    needed = set()
+    for g in grams:
+        a, b = g.split(" ", 1)
+        needed.add(a)
+        needed.add(b)
+    need_arr = pa.array(sorted(needed), pa.string())
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("term"), value_set=need_arr))
+
+    cnt = {}
+    for tbl in uni.map_batches(pick, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        cnt.update(zip(tbl.column("term").to_pylist(),
+                       tbl.column("n").to_pylist()))
+
+    order = sorted(range(len(grams)), key=lambda i: grams[i])
+    c_ab = kept.column("n").to_numpy()[order].astype(np.float64)
+    g_sorted = [grams[i] for i in order]
+    c_a = np.array([cnt[g.split(" ", 1)[0]] for g in g_sorted], np.float64)
+    c_b = np.array([cnt[g.split(" ", 1)[1]] for g in g_sorted], np.float64)
+    pmi = sql_round(np.log((c_ab / t2) / ((c_a / t1) * (c_b / t1))), 4)
+    return pa.table({
+        "bigram": pa.array(g_sorted, pa.string()),
+        "n_ab": pa.array(c_ab.astype(np.int64), pa.int64()),
+        "n_a": pa.array(c_a.astype(np.int64), pa.int64()),
+        "n_b": pa.array(c_b.astype(np.int64), pa.int64()),
+        "pmi": pa.array(pmi, pa.float64()),
+    })
