@@ -207,6 +207,40 @@ def code_search_or_topk_sharded(sf_dir: str) -> Any:
     })
 
 
+PHRASE_QUERIES = ("hash value", "merge batch", "key agg row")
+
+
+def code_phrase_topk_sharded(sf_dir: str) -> Any:
+    """Exact phrase search over the 3-shard build — the two-phase
+    distributed-frequency protocol (local candidates -> summed global df_p
+    -> rescoring); same DuckDB phrase oracle with the sharded merge's
+    doc_key tie-break."""
+    import pyarrow as pa
+
+    from prosearch_ray.pipelines.common import sql_round
+    from prosearch_ray.query.sharded import ShardedSearcher
+
+    root = _build_docs_sharded(sf_dir)
+    m = ShardedSearcher(root)
+    try:
+        out_q, out_r, out_key, out_s = [], [], [], []
+        for qid, q in enumerate(PHRASE_QUERIES):
+            keys, scores = m.search_phrase(q, 10)
+            for rank, (dk, sc) in enumerate(zip(keys, scores)):
+                out_q.append(qid)
+                out_r.append(rank)
+                out_key.append(dk)
+                out_s.append(float(sql_round([float(sc)])[0]))
+    finally:
+        m.shutdown()
+    return pa.table({
+        "qid": pa.array(out_q, pa.int32()),
+        "rank": pa.array(out_r, pa.int32()),
+        "doc_key": pa.array(out_key, pa.string()),
+        "score": pa.array(out_s, pa.float64()),
+    })
+
+
 def code_search_or_topk(sf_dir: str) -> Any:
     """Raw-CLI disjunctive search (bare-OR, search.rs:41-42): every doc
     matching ANY query term is ranked by summed per-term BM25 (no boost-set
@@ -358,6 +392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_phrase_topk": code_phrase_topk,
         "code_search_topk_sharded": code_search_topk_sharded,
         "code_search_or_topk_sharded": code_search_or_topk_sharded,
+        "code_phrase_topk_sharded": code_phrase_topk_sharded,
         # dedup suite
         "jaccard_pairs": dedup.jaccard_pairs,
         "minhash_dup_pairs": dedup.minhash_dup_pairs,
@@ -1030,6 +1065,7 @@ def oracle_sql() -> dict[str, str]:
                                            mlt_src_ids=MLT_SRC_IDS)
     d["code_search_topk_sharded"] = _code_search_sql(tiebreak="key")
     d["code_phrase_topk"] = _code_phrase_sql()
+    d["code_phrase_topk_sharded"] = _code_phrase_sql(tiebreak="key")
     return d
 
 
@@ -1207,9 +1243,11 @@ ORDER BY qid, rank
 """
 
 
-def _code_phrase_sql() -> str:
+def _code_phrase_sql(tiebreak: str = "doc") -> str:
     qp = ("(0, 0, 'hash'), (0, 1, 'value'), (1, 0, 'merge'), (1, 1, 'batch'), "
           "(2, 0, 'key'), (2, 1, 'agg'), (2, 2, 'row')")
+    tb = ("(SELECT doc_key FROM ids i2 WHERE i2.doc = scored.doc)"
+          if tiebreak == "key" else "doc")
     return f"""
 WITH {_CODE_IDS_CTES},
 fnt AS (SELECT unnest([{_fnt_values()}]) AS v),
@@ -1257,7 +1295,7 @@ scored AS (
 ranked AS (
   SELECT qid, doc, score,
          row_number() OVER (PARTITION BY qid
-                            ORDER BY score DESC, doc) - 1 AS rank
+                            ORDER BY score DESC, {tb}) - 1 AS rank
   FROM scored
 )
 SELECT r.qid::INTEGER AS qid, r.rank::INTEGER AS rank, i.doc_key,
