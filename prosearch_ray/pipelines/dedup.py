@@ -57,6 +57,42 @@ def _stable_h64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
 
 
+def _doc_shingles(col) -> tuple:
+    """Vectorized within-doc token bigram shingles of a string column:
+    (shingles as a flat Arrow string array, doc_of index array).  Identical
+    strings to the per-doc ``" ".join`` loop over ``simple_tokenize``
+    (tests/test_sql_tokenizer_parity.py pins the tokenizer equivalence)."""
+    import pyarrow.compute as pc
+
+    from prosearch_ray.pipelines.trainprep import _split_tokens
+
+    flat, doc_of, _ = _split_tokens(col)
+    n = len(flat)
+    if n < 2:
+        return pa.array([], pa.string()), np.array([], np.int64)
+    pairs = pc.binary_join_element_wise(
+        flat.slice(0, n - 1), flat.slice(1, n - 1), " ")
+    same = doc_of[1:] == doc_of[:-1]
+    out = pairs.filter(pa.array(same))
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return out, doc_of[:-1][same]
+
+
+def _hash_shingles(grams) -> np.ndarray:
+    """blake2b-64 of each shingle, each DISTINCT string hashed once
+    (dictionary-encode)."""
+    denc = grams.dictionary_encode()
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    nd = len(denc.dictionary)
+    if nd == 0:
+        return np.array([], np.uint64)
+    hd = np.fromiter((_stable_h64(s) for s in denc.dictionary.to_pylist()),
+                     dtype=np.uint64, count=nd)
+    return hd[denc.indices.to_numpy()]
+
+
 # --------------------------------------------------------------------- exact
 def jaccard_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa.Table:
     """EXACT n-gram-Jaccard duplicate pairs via a sparse similarity join:
@@ -137,31 +173,26 @@ def minhash_signatures(ds: "rd.Dataset", num_perm: int = 64,
         aa, bb = bget(ref)
         empty = pa.table({"doc_id": pa.array([], pa.int64()),
                           "sig": pa.array([], pa.list_(pa.uint64(), num_perm))})
-        # flat shingle stream with per-doc segment offsets (min is idempotent,
-        # so the per-doc SET dedup of shingles_of is unnecessary here)
-        flat, offs, keep_ids = [], [0], []
-        for doc_id, text in zip(t.column("doc_id").to_pylist(),
-                                t.column("text").to_pylist()):
-            toks = simple_tokenize(text)
-            if len(toks) < 2:
-                continue
-            flat.extend(a + " " + b for a, b in zip(toks, toks[1:]))
-            offs.append(len(flat))
-            keep_ids.append(doc_id)
-        if not keep_ids:
+        # vectorized shingle stream (Arrow tokenize + bigram join — no
+        # per-doc Python loop); docs with <2 tokens have no shingles and
+        # are dropped, exactly as the per-doc loop did.  min is idempotent,
+        # so no per-doc SET dedup of shingles is needed.
+        ids = t.column("doc_id").to_numpy()
+        grams, doc_of = _doc_shingles(t.column("text"))
+        if len(grams) == 0:
             return empty
+        counts = np.bincount(doc_of, minlength=len(ids))
+        keep = counts > 0
         # hash each DISTINCT shingle ONCE per batch (dictionary-encode), then
         # one vectorized affine-permutation pass + segmented min — identical
         # signatures to the per-shingle formula, ~df(shingle)x fewer blake2b
-        denc = pa.array(flat, pa.string()).dictionary_encode()
-        h_distinct = np.array([_stable_h64(s) for s in
-                               denc.dictionary.to_pylist()],
-                              dtype=np.uint64) % np.uint64(p)
-        h_flat = h_distinct[denc.indices.to_numpy()]
+        h_flat = _hash_shingles(grams) % np.uint64(p)
         perm = (h_flat[:, None] * aa[None, :] + bb[None, :]) % np.uint64(p)
-        sigs = np.minimum.reduceat(perm, np.array(offs[:-1]), axis=0)
+        starts = np.concatenate(
+            ([0], np.cumsum(counts[keep])))[:-1].astype(np.int64)
+        sigs = np.minimum.reduceat(perm, starts, axis=0)
         return pa.table({
-            "doc_id": pa.array(keep_ids, pa.int64()),
+            "doc_id": pa.array(ids[keep], pa.int64()),
             "sig": pa.FixedSizeListArray.from_arrays(
                 pa.array(sigs.ravel(), pa.uint64()), num_perm),
         })
@@ -292,20 +323,8 @@ def minhash_dup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
                                           assume_unique=True))
             ids = ids[keep]
             texts = texts.take(pa.array(keep, pa.int64()))
-        flat, offs = [], [0]
-        for text in texts.to_pylist():
-            toks = simple_tokenize(text)
-            flat.extend(a + " " + b for a, b in zip(toks, toks[1:]))
-            offs.append(len(flat))
-        if flat:
-            denc = pa.array(flat, pa.string()).dictionary_encode()
-            hd = np.fromiter((_stable_h64(s)
-                              for s in denc.dictionary.to_pylist()),
-                             dtype=np.uint64, count=len(denc.dictionary))
-            h_flat = hd[denc.indices.to_numpy()]
-        else:
-            h_flat = np.array([], np.uint64)
-        doc_of = np.repeat(np.arange(len(ids)), np.diff(offs))
+        grams, doc_of = _doc_shingles(texts)
+        h_flat = _hash_shingles(grams)
         order = np.lexsort((h_flat, doc_of))
         d_s, h_s = doc_of[order], h_flat[order]
         if len(h_s):
