@@ -437,14 +437,21 @@ _BIT_IDX = np.arange(64, dtype=np.uint64)
 def simhash_batch(texts) -> np.ndarray:
     """Vectorized 64-bit SimHash of a batch: each token occurrence votes
     ±1 per bit (occurrence-repetition == tf weighting); each DISTINCT token
-    is hashed once via dictionary-encoding.  Token-less docs get fp 0."""
-    toks = [simple_tokenize(t) for t in texts]
-    lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
-    flat = [tok for doc in toks for tok in doc]
-    fps = np.zeros(len(texts), dtype=np.uint64)
-    if not flat:
+    is hashed once via dictionary-encoding.  Token-less docs get fp 0.
+    Tokenization is the Arrow kernel pass (no per-doc Python loop)."""
+    from prosearch_ray.pipelines.trainprep import _split_tokens
+
+    col = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(list(texts), pa.string())
+    n_docs = len(col)
+    flat, doc_of, _ = _split_tokens(col)
+    lens = np.bincount(doc_of, minlength=n_docs).astype(np.int64)
+    fps = np.zeros(n_docs, dtype=np.uint64)
+    if len(flat) == 0:
         return fps
-    denc = pa.array(flat, pa.string()).dictionary_encode()
+    denc = flat.dictionary_encode()
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
     h = np.array([_simhash_h64(s) for s in denc.dictionary.to_pylist()],
                  dtype=np.uint64)
     sign = (((h[:, None] >> _BIT_IDX[None, :]) & np.uint64(1))
@@ -469,7 +476,7 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     docs = read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fp_batch(t: pa.Table) -> pa.Table:
-        fps = simhash_batch(t.column("text").to_pylist())
+        fps = simhash_batch(t.column("text"))
         keep = fps != 0  # token-less docs carry no signal (oracle omits them)
         return pa.table({
             "doc_id": pa.array(
