@@ -327,6 +327,58 @@ def more_like_this(sf_dir: str) -> Any:
     })
 
 
+def more_like_this_sharded(sf_dir: str) -> Any:
+    """more_like_this over the 3-shard build: term selection is identical
+    (driver-side, from the documents table), the disjunctive search runs
+    scatter-gather (ShardedSearcher.search_raw) with the doc_key tie-break
+    — same DuckDB oracle as more_like_this with tiebreak='key'."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from prosearch_ray.query.sharded import ShardedSearcher
+    from prosearch_ray.text.tokenizer import tokenize
+
+    from prosearch_ray.pipelines.common import sql_round
+
+    root = _build_docs_sharded(sf_dir)
+    src = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+        filters=[("doc_id", "in", list(MLT_SRC_IDS))])
+    by_id = {int(i): (t, so) for i, t, so in zip(
+        src.column("doc_id").to_pylist(), src.column("text").to_pylist(),
+        src.column("source").to_pylist())}
+    m = ShardedSearcher(root)
+    try:
+        out_q, out_r, out_key, out_s = [], [], [], []
+        for qid, sid in enumerate(MLT_SRC_IDS):
+            text, source = by_id[sid]
+            self_key = f"{source}/docs/doc{sid:07d}.txt"
+            tf = Counter(tokenize(text))
+            terms = [t for t, _ in sorted(tf.items(),
+                                          key=lambda kv: (-kv[1], kv[0]))[:3]]
+            keys, scores = m.search_raw(" ".join(terms), 11)
+            rank = 0
+            for dk, sc in zip(keys, scores):
+                if dk == self_key or rank >= 10:
+                    continue
+                out_q.append(qid)
+                out_r.append(rank)
+                out_key.append(dk)
+                out_s.append(float(sql_round([float(sc)])[0]))
+                rank += 1
+    finally:
+        m.shutdown()
+    return pa.table({
+        "qid": pa.array(out_q, pa.int32()),
+        "rank": pa.array(out_r, pa.int32()),
+        "doc_key": pa.array(out_key, pa.string()),
+        "score": pa.array(out_s, pa.float64()),
+    })
+
+
 def code_phrase_topk(sf_dir: str) -> Any:
     """Exact phrase search over documents-as-corpus (body positions,
     record:position analog), exact-matched against a DuckDB phrase-BM25
@@ -389,6 +441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_search_topk": code_search_topk,
         "code_search_or_topk": code_search_or_topk,
         "more_like_this": more_like_this,
+        "more_like_this_sharded": more_like_this_sharded,
         "code_phrase_topk": code_phrase_topk,
         "code_search_topk_sharded": code_search_topk_sharded,
         "code_search_or_topk_sharded": code_search_or_topk_sharded,
@@ -1063,6 +1116,8 @@ def oracle_sql() -> dict[str, str]:
         conjunctive=False, qterms=OR_QTERMS, tiebreak="key")
     d["more_like_this"] = _code_search_sql(conjunctive=False,
                                            mlt_src_ids=MLT_SRC_IDS)
+    d["more_like_this_sharded"] = _code_search_sql(
+        conjunctive=False, mlt_src_ids=MLT_SRC_IDS, tiebreak="key")
     d["code_search_topk_sharded"] = _code_search_sql(tiebreak="key")
     d["code_phrase_topk"] = _code_phrase_sql()
     d["code_phrase_topk_sharded"] = _code_phrase_sql(tiebreak="key")
