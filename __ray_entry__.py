@@ -92,35 +92,46 @@ def _build_docs_sharded(sf_dir: str, num_shards: int = 3) -> str:
     return root
 
 
-def code_search_topk_sharded(sf_dir: str) -> Any:
-    """Scatter-gather search over a 3-shard build of documents-as-corpus
-    with corpus-wide BM25 stats (DFS query model) — same DuckDB oracle as
-    code_search_topk with the sharded merge's doc_key tie-break."""
+def _topk_table(results) -> Any:
+    """Build the shared (qid, rank, doc_key, score) driver-result table
+    from an iterable of (qid, doc_keys, scores) — ONE emit path for every
+    full-engine search entry, so sharded/unsharded variants cannot diverge
+    in shape or rounding."""
     import pyarrow as pa
 
     from prosearch_ray.pipelines.common import sql_round
-    from prosearch_ray.query.sharded import ShardedSearcher
 
-    root = _build_docs_sharded(sf_dir)
-    m = ShardedSearcher(root)
-    try:
-        out_q, out_r, out_key, out_s = [], [], [], []
-        for qid, q in enumerate(["table", "hash value", "merge batch",
-                                 "scan"]):
-            keys, scores = m.search(q, 10)
-            for rank, (dk, sc) in enumerate(zip(keys, scores)):
-                out_q.append(qid)
-                out_r.append(rank)
-                out_key.append(dk)
-                out_s.append(float(sql_round([float(sc)])[0]))
-    finally:
-        m.shutdown()
+    out_q, out_r, out_key, out_s = [], [], [], []
+    for qid, keys, scores in results:
+        for rank, (dk, sc) in enumerate(zip(keys, scores)):
+            out_q.append(qid)
+            out_r.append(rank)
+            out_key.append(str(dk))
+            out_s.append(float(sql_round([float(sc)])[0]))
     return pa.table({
         "qid": pa.array(out_q, pa.int32()),
         "rank": pa.array(out_r, pa.int32()),
         "doc_key": pa.array(out_key, pa.string()),
         "score": pa.array(out_s, pa.float64()),
     })
+
+
+def code_search_topk_sharded(sf_dir: str) -> Any:
+    """Scatter-gather search over a 3-shard build of documents-as-corpus
+    with corpus-wide BM25 stats (DFS query model) — same DuckDB oracle as
+    code_search_topk with the sharded merge's doc_key tie-break."""
+    from prosearch_ray.query.sharded import ShardedSearcher
+
+    root = _build_docs_sharded(sf_dir)
+    m = ShardedSearcher(root)
+    try:
+        results = []
+        for qid, q in enumerate(AND_QUERIES):
+            keys, scores = m.search(q, 10)
+            results.append((qid, keys, scores))
+        return _topk_table(results)
+    finally:
+        m.shutdown()
 
 
 def entry() -> Any:
@@ -144,33 +155,22 @@ def entry() -> Any:
     return search_dataset(queries, index_dir, concurrency=2, batch_size=4)
 
 
+AND_QUERIES = ("table", "hash value", "merge batch", "scan")
+
+
 def code_search_topk(sf_dir: str) -> Any:
     """Full engine (code-aware tokenizer, fieldnorm quantization, block-max
     pruning) over documents-as-corpus, exact-matched against a full
     DuckDB BM25 reimplementation (see _code_search_sql) and additionally
     gated by tests/test_conformance.py."""
-    import pyarrow as pa
-
     from prosearch_ray.query.searcher import IndexSearcher
-
-    from prosearch_ray.pipelines.common import sql_round
 
     index_dir = _build_docs_index(sf_dir)
     s = IndexSearcher(index_dir)
-    out_q, out_r, out_key, out_s = [], [], [], []
-    for qid, q in enumerate(["table", "hash value", "merge batch", "scan"]):
-        ids, scores = s.search(q, 10)
-        for rank, (d, sc) in enumerate(zip(ids, scores)):
-            out_q.append(qid)
-            out_r.append(rank)
-            out_key.append(str(s.doc_keys[int(d)]))
-            out_s.append(float(sql_round([float(sc)])[0]))
-    return pa.table({
-        "qid": pa.array(out_q, pa.int32()),
-        "rank": pa.array(out_r, pa.int32()),
-        "doc_key": pa.array(out_key, pa.string()),
-        "score": pa.array(out_s, pa.float64()),
-    })
+    return _topk_table(
+        (qid, [str(s.doc_keys[int(d)]) for d in ids], scores)
+        for qid, q in enumerate(AND_QUERIES)
+        for ids, scores in [s.search(q, 10)])
 
 
 OR_QUERIES = ("table scan", "hash value merge", "sort zzznothing")
@@ -181,30 +181,18 @@ OR_QTERMS = ("(0, 'table'), (0, 'scan'), (1, 'hash'), (1, 'value'), "
 def code_search_or_topk_sharded(sf_dir: str) -> Any:
     """Disjunctive raw search over the 3-shard build (scatter-gather with
     the doc_key tie-break) — same DuckDB oracle as code_search_or_topk."""
-    import pyarrow as pa
-
-    from prosearch_ray.pipelines.common import sql_round
     from prosearch_ray.query.sharded import ShardedSearcher
 
     root = _build_docs_sharded(sf_dir)
     m = ShardedSearcher(root)
     try:
-        out_q, out_r, out_key, out_s = [], [], [], []
+        results = []
         for qid, q in enumerate(OR_QUERIES):
             keys, scores = m.search_raw(q, 10)
-            for rank, (dk, sc) in enumerate(zip(keys, scores)):
-                out_q.append(qid)
-                out_r.append(rank)
-                out_key.append(dk)
-                out_s.append(float(sql_round([float(sc)])[0]))
+            results.append((qid, keys, scores))
+        return _topk_table(results)
     finally:
         m.shutdown()
-    return pa.table({
-        "qid": pa.array(out_q, pa.int32()),
-        "rank": pa.array(out_r, pa.int32()),
-        "doc_key": pa.array(out_key, pa.string()),
-        "score": pa.array(out_s, pa.float64()),
-    })
 
 
 PHRASE_QUERIES = ("hash value", "merge batch", "key agg row")
@@ -215,30 +203,18 @@ def code_phrase_topk_sharded(sf_dir: str) -> Any:
     distributed-frequency protocol (local candidates -> summed global df_p
     -> rescoring); same DuckDB phrase oracle with the sharded merge's
     doc_key tie-break."""
-    import pyarrow as pa
-
-    from prosearch_ray.pipelines.common import sql_round
     from prosearch_ray.query.sharded import ShardedSearcher
 
     root = _build_docs_sharded(sf_dir)
     m = ShardedSearcher(root)
     try:
-        out_q, out_r, out_key, out_s = [], [], [], []
+        results = []
         for qid, q in enumerate(PHRASE_QUERIES):
             keys, scores = m.search_phrase(q, 10)
-            for rank, (dk, sc) in enumerate(zip(keys, scores)):
-                out_q.append(qid)
-                out_r.append(rank)
-                out_key.append(dk)
-                out_s.append(float(sql_round([float(sc)])[0]))
+            results.append((qid, keys, scores))
+        return _topk_table(results)
     finally:
         m.shutdown()
-    return pa.table({
-        "qid": pa.array(out_q, pa.int32()),
-        "rank": pa.array(out_r, pa.int32()),
-        "doc_key": pa.array(out_key, pa.string()),
-        "score": pa.array(out_s, pa.float64()),
-    })
 
 
 def code_search_or_topk(sf_dir: str) -> Any:
@@ -248,31 +224,51 @@ def code_search_or_topk(sf_dir: str) -> Any:
     searcher.search_raw end-to-end against the full DuckDB BM25 oracle with
     the conjunctive filter relaxed; absent terms ('zzznothing') contribute
     nothing, exactly as tantivy's should-clause semantics."""
-    import pyarrow as pa
-
     from prosearch_ray.query.searcher import IndexSearcher
-
-    from prosearch_ray.pipelines.common import sql_round
 
     index_dir = _build_docs_index(sf_dir)
     s = IndexSearcher(index_dir)
-    out_q, out_r, out_key, out_s = [], [], [], []
-    for qid, q in enumerate(OR_QUERIES):
-        ids, scores = s.search_raw(q, 10)
-        for rank, (d, sc) in enumerate(zip(ids, scores)):
-            out_q.append(qid)
-            out_r.append(rank)
-            out_key.append(str(s.doc_keys[int(d)]))
-            out_s.append(float(sql_round([float(sc)])[0]))
-    return pa.table({
-        "qid": pa.array(out_q, pa.int32()),
-        "rank": pa.array(out_r, pa.int32()),
-        "doc_key": pa.array(out_key, pa.string()),
-        "score": pa.array(out_s, pa.float64()),
-    })
+    return _topk_table(
+        (qid, [str(s.doc_keys[int(d)]) for d in ids], scores)
+        for qid, q in enumerate(OR_QUERIES)
+        for ids, scores in [s.search_raw(q, 10)])
 
 
 MLT_SRC_IDS = (7, 123, 321)  # dedup keepers at every sf (checked)
+
+
+def _mlt_results(sf_dir: str, run) -> list:
+    """Shared MoreLikeThis driver logic: per source doc, select the top-3
+    body tokens by (tf DESC, token ASC) under the code-aware tokenizer,
+    run the given disjunctive search ``run(query, k) -> (doc_keys,
+    scores)``, drop the source doc, keep 10.  One definition, so the
+    sharded/unsharded entries can never diverge from their shared
+    oracle."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from prosearch_ray.text.tokenizer import tokenize
+
+    src = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+        filters=[("doc_id", "in", list(MLT_SRC_IDS))])
+    by_id = {int(i): (t, so) for i, t, so in zip(
+        src.column("doc_id").to_pylist(), src.column("text").to_pylist(),
+        src.column("source").to_pylist())}
+    results = []
+    for qid, sid in enumerate(MLT_SRC_IDS):
+        text, source = by_id[sid]
+        self_key = f"{source}/docs/doc{sid:07d}.txt"
+        tf = Counter(tokenize(text))
+        terms = [t for t, _ in sorted(tf.items(),
+                                      key=lambda kv: (-kv[1], kv[0]))[:3]]
+        keys, scores = run(" ".join(terms), 11)
+        pairs = [(dk, sc) for dk, sc in zip(keys, scores)
+                 if str(dk) != self_key][:10]
+        results.append((qid, [p[0] for p in pairs], [p[1] for p in pairs]))
+    return results
 
 
 def more_like_this(sf_dir: str) -> Any:
@@ -283,100 +279,32 @@ def more_like_this(sf_dir: str) -> Any:
     source doc, return the top-10.  Term selection, scoring and the
     self-exclusion are all reproduced in the DuckDB oracle
     (_code_search_sql(mlt_src_ids=...)) — exact value match."""
-    from collections import Counter
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     from prosearch_ray.query.searcher import IndexSearcher
-    from prosearch_ray.text.tokenizer import tokenize
-
-    from prosearch_ray.pipelines.common import sql_round
 
     index_dir = _build_docs_index(sf_dir)
     s = IndexSearcher(index_dir)
-    src = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text", "source"],
-        filters=[("doc_id", "in", list(MLT_SRC_IDS))])
-    by_id = {int(i): (t, so) for i, t, so in zip(
-        src.column("doc_id").to_pylist(), src.column("text").to_pylist(),
-        src.column("source").to_pylist())}
-    out_q, out_r, out_key, out_s = [], [], [], []
-    for qid, sid in enumerate(MLT_SRC_IDS):
-        text, source = by_id[sid]
-        self_key = f"{source}/docs/doc{sid:07d}.txt"
-        tf = Counter(tokenize(text))
-        terms = [t for t, _ in sorted(tf.items(),
-                                      key=lambda kv: (-kv[1], kv[0]))[:3]]
-        ids, scores = s.search_raw(" ".join(terms), 11)
-        rank = 0
-        for d, sc in zip(ids, scores):
-            if str(s.doc_keys[int(d)]) == self_key or rank >= 10:
-                continue
-            out_q.append(qid)
-            out_r.append(rank)
-            out_key.append(str(s.doc_keys[int(d)]))
-            out_s.append(float(sql_round([float(sc)])[0]))
-            rank += 1
-    return pa.table({
-        "qid": pa.array(out_q, pa.int32()),
-        "rank": pa.array(out_r, pa.int32()),
-        "doc_key": pa.array(out_key, pa.string()),
-        "score": pa.array(out_s, pa.float64()),
-    })
+
+    def run(q, k):
+        ids, scores = s.search_raw(q, k)
+        return [str(s.doc_keys[int(d)]) for d in ids], scores
+
+    return _topk_table(_mlt_results(sf_dir, run))
 
 
 def more_like_this_sharded(sf_dir: str) -> Any:
     """more_like_this over the 3-shard build: term selection is identical
-    (driver-side, from the documents table), the disjunctive search runs
-    scatter-gather (ShardedSearcher.search_raw) with the doc_key tie-break
-    — same DuckDB oracle as more_like_this with tiebreak='key'."""
-    from collections import Counter
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
+    (_mlt_results, driver-side from the documents table), the disjunctive
+    search runs scatter-gather (ShardedSearcher.search_raw) with the
+    doc_key tie-break — same DuckDB oracle as more_like_this with
+    tiebreak='key'."""
     from prosearch_ray.query.sharded import ShardedSearcher
-    from prosearch_ray.text.tokenizer import tokenize
-
-    from prosearch_ray.pipelines.common import sql_round
 
     root = _build_docs_sharded(sf_dir)
-    src = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text", "source"],
-        filters=[("doc_id", "in", list(MLT_SRC_IDS))])
-    by_id = {int(i): (t, so) for i, t, so in zip(
-        src.column("doc_id").to_pylist(), src.column("text").to_pylist(),
-        src.column("source").to_pylist())}
     m = ShardedSearcher(root)
     try:
-        out_q, out_r, out_key, out_s = [], [], [], []
-        for qid, sid in enumerate(MLT_SRC_IDS):
-            text, source = by_id[sid]
-            self_key = f"{source}/docs/doc{sid:07d}.txt"
-            tf = Counter(tokenize(text))
-            terms = [t for t, _ in sorted(tf.items(),
-                                          key=lambda kv: (-kv[1], kv[0]))[:3]]
-            keys, scores = m.search_raw(" ".join(terms), 11)
-            rank = 0
-            for dk, sc in zip(keys, scores):
-                if dk == self_key or rank >= 10:
-                    continue
-                out_q.append(qid)
-                out_r.append(rank)
-                out_key.append(dk)
-                out_s.append(float(sql_round([float(sc)])[0]))
-                rank += 1
+        return _topk_table(_mlt_results(sf_dir, m.search_raw))
     finally:
         m.shutdown()
-    return pa.table({
-        "qid": pa.array(out_q, pa.int32()),
-        "rank": pa.array(out_r, pa.int32()),
-        "doc_key": pa.array(out_key, pa.string()),
-        "score": pa.array(out_s, pa.float64()),
-    })
 
 
 def code_phrase_topk(sf_dir: str) -> Any:
@@ -384,28 +312,14 @@ def code_phrase_topk(sf_dir: str) -> Any:
     record:position analog), exact-matched against a DuckDB phrase-BM25
     reimplementation (see _code_phrase_sql) and additionally gated by
     tests/test_phrase.py."""
-    import pyarrow as pa
-
     from prosearch_ray.query.searcher import IndexSearcher
-
-    from prosearch_ray.pipelines.common import sql_round
 
     index_dir = _build_docs_index(sf_dir)
     s = IndexSearcher(index_dir)
-    out_q, out_r, out_key, out_s = [], [], [], []
-    for qid, q in enumerate(["hash value", "merge batch", "key agg row"]):
-        ids, scores = s.search_phrase(q, 10)
-        for rank, (d, sc) in enumerate(zip(ids, scores)):
-            out_q.append(qid)
-            out_r.append(rank)
-            out_key.append(str(s.doc_keys[int(d)]))
-            out_s.append(float(sql_round([float(sc)])[0]))
-    return pa.table({
-        "qid": pa.array(out_q, pa.int32()),
-        "rank": pa.array(out_r, pa.int32()),
-        "doc_key": pa.array(out_key, pa.string()),
-        "score": pa.array(out_s, pa.float64()),
-    })
+    return _topk_table(
+        (qid, [str(s.doc_keys[int(d)]) for d in ids], scores)
+        for qid, q in enumerate(PHRASE_QUERIES)
+        for ids, scores in [s.search_phrase(q, 10)])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -76,21 +76,12 @@ DECON_EVAL_MOD = 50  # eval set = every doc with doc_id % mod == 0
 
 
 def _doc_ngrams(col: pa.ChunkedArray, n: int):
-    """Vectorized within-doc token n-grams of a string column: returns
-    ``(grams, doc_of)`` where grams are space-joined token windows and
-    doc_of maps each gram to its batch-local doc index."""
-    import pyarrow.compute as pc
+    """Within-doc token n-grams — the shared kernel lives in
+    ``trainprep.doc_ngrams`` (one definition for curate / dedup /
+    trainprep gram semantics)."""
+    from prosearch_ray.pipelines.trainprep import doc_ngrams
 
-    from prosearch_ray.pipelines.trainprep import _split_tokens
-
-    flat, doc_of, _ = _split_tokens(col)
-    m = len(flat) - n + 1
-    if m <= 0:
-        return pa.array([], pa.string()), np.array([], np.int64)
-    parts = [flat.slice(i, m) for i in range(n)]
-    grams = pc.binary_join_element_wise(*parts, " ")
-    same = doc_of[n - 1:] == doc_of[:m]  # window stays inside one doc
-    return grams.filter(pa.array(same)), doc_of[:m][same]
+    return doc_ngrams(col, n)
 
 
 def decontaminate(sf_dir: str, n: int = DECON_N,

@@ -61,22 +61,11 @@ def _doc_shingles(col) -> tuple:
     """Vectorized within-doc token bigram shingles of a string column:
     (shingles as a flat Arrow string array, doc_of index array).  Identical
     strings to the per-doc ``" ".join`` loop over ``simple_tokenize``
-    (tests/test_sql_tokenizer_parity.py pins the tokenizer equivalence)."""
-    import pyarrow.compute as pc
+    (tests/test_sql_tokenizer_parity.py pins the tokenizer equivalence);
+    the kernel is the shared ``trainprep.doc_ngrams`` with n=2."""
+    from prosearch_ray.pipelines.trainprep import doc_ngrams
 
-    from prosearch_ray.pipelines.trainprep import _split_tokens
-
-    flat, doc_of, _ = _split_tokens(col)
-    n = len(flat)
-    if n < 2:
-        return pa.array([], pa.string()), np.array([], np.int64)
-    pairs = pc.binary_join_element_wise(
-        flat.slice(0, n - 1), flat.slice(1, n - 1), " ")
-    same = doc_of[1:] == doc_of[:-1]
-    out = pairs.filter(pa.array(same))
-    if isinstance(out, pa.ChunkedArray):
-        out = out.combine_chunks()
-    return out, doc_of[:-1][same]
+    return doc_ngrams(col, 2)
 
 
 def _hash_shingles(grams) -> np.ndarray:

@@ -50,6 +50,28 @@ def _split_tokens(col: pa.ChunkedArray):
     return flat.filter(pa.array(keep)), doc_of[keep], len(counts)
 
 
+def doc_ngrams(col, n: int, pre=None):
+    """Vectorized within-doc token n-grams of a string column: returns
+    ``(grams, doc_of)`` where grams are space-joined token windows (a flat
+    Arrow string array) and doc_of maps each gram to its batch-local doc
+    index.  THE within-doc n-gram kernel — shared by decontaminate /
+    boilerplate_flags (curate), MinHash/SimHash shingling (dedup, n=2) and
+    pmi_bigrams, so the gram semantics can never diverge between them.
+    ``pre`` takes an existing ``_split_tokens(col)`` result so callers that
+    also need the unigram stream tokenize once."""
+    flat, doc_of, _ = pre if pre is not None else _split_tokens(col)
+    m = len(flat) - n + 1
+    if m <= 0:
+        return pa.array([], pa.string()), np.array([], np.int64)
+    parts = [flat.slice(i, m) for i in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    same = doc_of[n - 1:] == doc_of[:m]  # window stays inside one doc
+    out = grams.filter(pa.array(same))
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return out, doc_of[:m][same]
+
+
 def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET,
                    bucket_docs: int = PACK_BUCKET_DOCS) -> "rd.Dataset":
     """Concat-then-chunk sequence packing per source shard.
@@ -113,26 +135,21 @@ def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET,
         pack_group, batch_format="pyarrow")
 
 
+def _bigram_partial(t: pa.Table) -> pa.Table:
+    """Map-side within-doc bigram occurrence counts of one batch (adjacent
+    token pairs never cross doc boundaries) — shared by ngram_counts and
+    pmi_bigrams."""
+    grams, _ = doc_ngrams(t.column("text"), 2)
+    vc = pc.value_counts(grams)
+    return pa.table({"bigram": vc.field("values"),
+                     "n_part": pc.cast(vc.field("counts"), pa.int64())})
+
+
 def ngram_counts(sf_dir: str, k: int = NGRAM_TOP_K) -> pa.Table:
     """Top-k bigrams by occurrence count over documents.text."""
     docs = read(sf_dir, "documents", columns=["text"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        flat, doc_of, _ = _split_tokens(t.column("text"))
-        n = len(flat)
-        if n < 2:
-            return pa.table({"bigram": pa.array([], pa.string()),
-                             "n_part": pa.array([], pa.int64())})
-        # adjacent token pairs within one doc (never across doc boundaries)
-        same_doc = doc_of[1:] == doc_of[:-1]
-        pairs = pc.binary_join_element_wise(
-            flat.slice(0, n - 1), flat.slice(1, n - 1), " ")
-        pairs = pairs.filter(pa.array(same_doc))
-        vc = pc.value_counts(pairs)
-        return pa.table({"bigram": vc.field("values"),
-                         "n_part": pc.cast(vc.field("counts"), pa.int64())})
-
-    agg = docs.map_batches(partial, batch_format="pyarrow").groupby(
+    agg = docs.map_batches(_bigram_partial, batch_format="pyarrow").groupby(
         "bigram").aggregate(Sum("n_part", alias_name="n"))
 
     def local_topk(t: pa.Table) -> pa.Table:
@@ -271,53 +288,57 @@ def pmi_bigrams(sf_dir: str, min_count: int = PMI_MIN_COUNT) -> pa.Table:
 
     with T1 = total token occurrences, T2 = total bigram occurrences.
 
-    Scale shape: unigram and bigram counts are both map-side value-count
-    partials feeding one bounded ``groupby(term).sum`` each (the ngram_counts
-    shape); totals are Dataset.sum over the tiny aggregates.  Only bigrams
-    with c_ab >= ``min_count`` survive (the heavy-hitter tail), so the
-    driver-side join fetches unigram counts ONLY for tokens appearing in
-    surviving bigrams — never the full vocabulary.  The float expression is
-    evaluated in exactly DuckDB's op order, so the driver value-checks pmi
-    to 4 decimals."""
+    Scale shape: ONE corpus pass (tokens computed once) emits unigram AND
+    bigram value-count partials as tagged rows into a single bounded
+    ``groupby((kind, g)).sum``; totals come from a kind-level rollup of
+    that tiny aggregate.  Only bigrams with c_ab >= ``min_count`` survive
+    (the heavy-hitter tail), so the driver-side join fetches unigram counts
+    ONLY for tokens appearing in surviving bigrams — never the full
+    vocabulary.  The float expression is evaluated in exactly DuckDB's op
+    order, so the driver value-checks pmi to 4 decimals."""
     from prosearch_ray.pipelines.common import sql_round
 
     docs = read(sf_dir, "documents", columns=["text"])
 
-    def uni_partial(t: pa.Table) -> pa.Table:
-        flat, _, _ = _split_tokens(t.column("text"))
-        vc = pc.value_counts(flat)
-        return pa.table({"term": vc.field("values"),
-                         "n_part": pc.cast(vc.field("counts"), pa.int64())})
+    def mixed_partial(t: pa.Table) -> pa.Table:
+        pre = _split_tokens(t.column("text"))
+        grams, _ = doc_ngrams(None, 2, pre=pre)
+        vcu = pc.value_counts(pre[0])
+        vcb = pc.value_counts(grams)
+        n_u, n_b = len(vcu), len(vcb)
+        return pa.table({
+            "kind": pa.array([0] * n_u + [1] * n_b, pa.int8()),
+            "g": pa.concat_arrays([
+                vcu.field("values").cast(pa.string()),
+                vcb.field("values").cast(pa.string())]),
+            "n_part": pa.concat_arrays([
+                pc.cast(vcu.field("counts"), pa.int64()),
+                pc.cast(vcb.field("counts"), pa.int64())]),
+        })
 
-    def big_partial(t: pa.Table) -> pa.Table:
-        flat, doc_of, _ = _split_tokens(t.column("text"))
-        n = len(flat)
-        if n < 2:
-            return pa.table({"bigram": pa.array([], pa.string()),
-                             "n_part": pa.array([], pa.int64())})
-        same_doc = doc_of[1:] == doc_of[:-1]
-        pairs = pc.binary_join_element_wise(
-            flat.slice(0, n - 1), flat.slice(1, n - 1), " ")
-        vc = pc.value_counts(pairs.filter(pa.array(same_doc)))
-        return pa.table({"bigram": vc.field("values"),
-                         "n_part": pc.cast(vc.field("counts"), pa.int64())})
-
-    uni = docs.map_batches(uni_partial, batch_format="pyarrow").groupby(
-        "term").aggregate(Sum("n_part", alias_name="n")).materialize()
-    big = docs.map_batches(big_partial, batch_format="pyarrow").groupby(
-        "bigram").aggregate(Sum("n_part", alias_name="n")).materialize()
-    t1 = float(uni.sum("n"))
-    t2 = float(big.sum("n"))
+    agg = docs.map_batches(mixed_partial, batch_format="pyarrow").groupby(
+        ["kind", "g"]).aggregate(Sum("n_part", alias_name="n")).materialize()
+    totals = {int(r["kind"]): float(r["sum"]) for r in agg.groupby(
+        "kind").aggregate(Sum("n", alias_name="sum")).take_all()}
+    empty = pa.table({
+        "bigram": pa.array([], pa.string()),
+        "n_ab": pa.array([], pa.int64()), "n_a": pa.array([], pa.int64()),
+        "n_b": pa.array([], pa.int64()), "pmi": pa.array([], pa.float64())})
+    if 0 not in totals or 1 not in totals:  # no tokens / no bigrams at all
+        return empty
+    t1, t2 = totals[0], totals[1]
 
     def keep(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t.column("n"),
-                                         pa.scalar(min_count)))
+        m = pc.and_(pc.equal(t.column("kind"), pa.scalar(1, pa.int8())),
+                    pc.greater_equal(t.column("n"), pa.scalar(min_count)))
+        return t.filter(m).select(["g", "n"])
 
-    kept_parts = [tbl for tbl in big.map_batches(
+    kept_parts = [tbl for tbl in agg.map_batches(
         keep, batch_format="pyarrow").iter_batches(batch_format="pyarrow")]
-    kept = pa.concat_tables(kept_parts) if kept_parts else pa.table(
-        {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
-    grams = kept.column("bigram").to_pylist()
+    kept = pa.concat_tables(kept_parts) if kept_parts else None
+    if kept is None or kept.num_rows == 0:
+        return empty
+    grams = kept.column("g").to_pylist()
     needed = set()
     for g in grams:
         a, b = g.split(" ", 1)
@@ -326,16 +347,19 @@ def pmi_bigrams(sf_dir: str, min_count: int = PMI_MIN_COUNT) -> pa.Table:
     need_arr = pa.array(sorted(needed), pa.string())
 
     def pick(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t.column("term"), value_set=need_arr))
+        m = pc.and_(pc.equal(t.column("kind"), pa.scalar(0, pa.int8())),
+                    pc.is_in(t.column("g"), value_set=need_arr))
+        return t.filter(m).select(["g", "n"])
 
     cnt = {}
-    for tbl in uni.map_batches(pick, batch_format="pyarrow").iter_batches(
+    for tbl in agg.map_batches(pick, batch_format="pyarrow").iter_batches(
             batch_format="pyarrow"):
-        cnt.update(zip(tbl.column("term").to_pylist(),
+        cnt.update(zip(tbl.column("g").to_pylist(),
                        tbl.column("n").to_pylist()))
 
     order = sorted(range(len(grams)), key=lambda i: grams[i])
-    c_ab = kept.column("n").to_numpy()[order].astype(np.float64)
+    c_ab = kept.column("n").to_numpy(zero_copy_only=False)[order].astype(
+        np.float64)
     g_sorted = [grams[i] for i in order]
     c_a = np.array([cnt[g.split(" ", 1)[0]] for g in g_sorted], np.float64)
     c_b = np.array([cnt[g.split(" ", 1)[1]] for g in g_sorted], np.float64)

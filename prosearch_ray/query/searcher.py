@@ -1290,46 +1290,53 @@ class IndexSearcher:
             scores += self._term_scores(tp, pos, boost)
         return cand, scores
 
+    def _phrase_ids_tfs(self, text: str
+                        ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """Evaluate a phrase clause: (sorted live doc_ids, phrase tfs) or
+        None when nothing matches."""
+        from prosearch_ray.text.tokenizer import phrase_tokens
+
+        tokens = phrase_tokens(text)
+        if not tokens:
+            return None
+        if len(tokens) == 1:
+            postings = self.fetch_postings(tokens)
+            tp = postings.get(tokens[0])
+            if tp is None:
+                return None
+            mask = tp.tfs > 0
+            ids = tp.doc_ids[mask]
+            if len(self.tombstones):
+                ids = ids[~np.isin(ids, self.tombstones, assume_unique=True)]
+            if len(ids) == 0:
+                return None
+            return ids, tp.tfs[np.searchsorted(tp.doc_ids, ids)]
+        return self._phrase_doc_tfs(tokens)
+
     def _match_phrase_full(self, text: str, df_override: Optional[int] = None,
-                           collect_dfs: Optional[dict] = None):
+                           collect_dfs: Optional[dict] = None,
+                           cache: Optional[dict] = None):
         """Full phrase match: (sorted doc_ids, phrase BM25 scores).
 
         ``df_override`` replaces the locally-observed phrase df in the idf
         (the sharded two-phase global-df_p protocol — each shard sees only
         its local matches but must score under the corpus-wide df, exactly
         like ``_phrase_topk``); ``collect_dfs`` records {clause_text:
-        local_df} for the driver to sum."""
-        from prosearch_ray.text.tokenizer import phrase_tokens
-
-        tokens = phrase_tokens(text)
+        local_df} for the driver to sum; ``cache`` memoizes the evaluated
+        (ids, tfs) per clause text so the sharded phase-2 re-run rescores
+        without re-probing adjacency."""
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
-        if not tokens:
-            if collect_dfs is not None:
-                collect_dfs[text] = 0
-            return empty
-        if len(tokens) == 1:
-            postings = self.fetch_postings(tokens)
-            tp = postings.get(tokens[0])
-            if tp is None:
-                if collect_dfs is not None:
-                    collect_dfs[text] = 0
-                return empty
-            mask = tp.tfs > 0
-            ids = tp.doc_ids[mask]
-            if len(self.tombstones):
-                ids = ids[~np.isin(ids, self.tombstones, assume_unique=True)]
-            if collect_dfs is not None:
-                collect_dfs[text] = int(len(ids))
-            if len(ids) == 0:
-                return empty
-            tfs = tp.tfs[np.searchsorted(tp.doc_ids, ids)]
+        if cache is not None and text in cache:
+            r = cache[text]
         else:
-            r = self._phrase_doc_tfs(tokens)
-            if collect_dfs is not None:
-                collect_dfs[text] = 0 if r is None else int(len(r[0]))
-            if r is None:
-                return empty
-            ids, tfs = r
+            r = self._phrase_ids_tfs(text)
+            if cache is not None:
+                cache[text] = r
+        if collect_dfs is not None:
+            collect_dfs[text] = 0 if r is None else int(len(r[0]))
+        if r is None:
+            return empty
+        ids, tfs = r
         df_p = len(ids) if df_override is None else int(df_override)
         scores = (scoring.idf([df_p], self.score_n_docs)[0]
                   * scoring.tf_factor(tfs.astype(np.float64),
@@ -1362,7 +1369,8 @@ class IndexSearcher:
 
     def search_raw(self, query: str, k: int = scoring.DEFAULT_K,
                    phrase_df_overrides: Optional[dict] = None,
-                   collect_phrase_dfs: Optional[dict] = None
+                   collect_phrase_dfs: Optional[dict] = None,
+                   phrase_cache: Optional[dict] = None
                    ) -> Tuple[np.ndarray, np.ndarray]:
         """Raw-syntax search: +must / -must_not / "phrase" / bare-OR, scored
         by summed clause BM25 (boost set not applied — that is the serve
@@ -1371,7 +1379,8 @@ class IndexSearcher:
 
         ``phrase_df_overrides`` maps phrase clause text -> corpus-wide df_p
         (sharded two-phase protocol); ``collect_phrase_dfs`` records each
-        phrase clause's LOCAL df for the driver to sum."""
+        phrase clause's LOCAL df for the driver to sum; ``phrase_cache``
+        reuses phase-1 phrase evaluations in the phase-2 re-run."""
         from prosearch_ray.text.tokenizer import tokenize
 
         self.last_count = 0
@@ -1385,7 +1394,8 @@ class IndexSearcher:
                 ov = (phrase_df_overrides.get(text)
                       if phrase_df_overrides else None)
                 return self._match_phrase_full(
-                    text, df_override=ov, collect_dfs=collect_phrase_dfs)
+                    text, df_override=ov, collect_dfs=collect_phrase_dfs,
+                    cache=phrase_cache)
             return self._match_terms_full(tokenize(text))
 
         musts, shoulds, nots = [], [], []

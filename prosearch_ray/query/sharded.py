@@ -79,16 +79,29 @@ class _ShardWorker:
 
     def raw_phrase_dfs(self, query: str) -> dict:
         """Phase 1 of sharded raw search (only called when the parsed query
-        has phrase clauses): evaluate locally, return {clause_text:
-        local_df_p}.  The evaluation warms this actor's postings/positions
-        caches, so the phase-2 re-run is a cheap re-score."""
+        has phrase clauses): evaluate ONLY the phrase clauses locally,
+        cache their (ids, tfs) for phase 2, return {clause_text:
+        local_df_p}.  Term clauses are not touched until phase 2."""
+        from prosearch_ray.query.searcher import IndexSearcher
+
+        cache: dict = {}
         dfs: dict = {}
-        self.s.search_raw(query, 1, collect_phrase_dfs=dfs)
+        for _, kind, text in IndexSearcher.parse_raw_query(query):
+            if kind == "phrase" and text not in dfs:
+                r = (cache[text] if text in cache
+                     else self.s._phrase_ids_tfs(text))
+                cache[text] = r
+                dfs[text] = 0 if r is None else int(len(r[0]))
+        self._raw_cache = (query, cache)
         return dfs
 
     def search_raw(self, query: str, k: int, overrides=None):
+        cq, cache = getattr(self, "_raw_cache", (None, None))
+        if cq != query:
+            cache = None  # actor restarted / different query: evaluate fresh
         ids, scs = self.s.search_raw(query, int(k),
-                                     phrase_df_overrides=overrides)
+                                     phrase_df_overrides=overrides,
+                                     phrase_cache=cache)
         return self._keys(ids), [float(x) for x in scs], int(self.s.last_count)
 
     def phrase_candidates(self, query: str) -> int:
