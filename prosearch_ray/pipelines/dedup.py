@@ -195,6 +195,27 @@ def minhash_dup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
                       n_buckets: int = VERIFY_BUCKETS,
                       cand_broadcast_limit: int = CAND_BROADCAST_LIMIT
                       ) -> pa.Table:
+    """Driver-result wrapper over ``minhash_pairs_ds`` — collects the
+    verified pair Dataset into the sorted, rounded driver table.  Pipelines
+    that keep processing pairs distributed (``dedup_clusters``) consume the
+    Dataset directly instead."""
+    rows = minhash_pairs_ds(sf_dir, num_perm=num_perm, bands=bands,
+                            threshold=threshold, n_buckets=n_buckets,
+                            cand_broadcast_limit=cand_broadcast_limit
+                            ).take_all()
+    rows.sort(key=lambda r: (r["ida"], r["idb"]))
+    return pa.table({
+        "ida": pa.array([r["ida"] for r in rows], pa.int64()),
+        "idb": pa.array([r["idb"] for r in rows], pa.int64()),
+        "jac": pa.array(sql_round([r["jac"] for r in rows], 4), pa.float64()),
+    })
+
+
+def minhash_pairs_ds(sf_dir: str, num_perm: int = 64, bands: int = 16,
+                     threshold: float = JACCARD_THRESHOLD,
+                     n_buckets: int = VERIFY_BUCKETS,
+                     cand_broadcast_limit: int = CAND_BROADCAST_LIMIT
+                     ) -> "rd.Dataset":
     """MinHash + LSH near-dup pairs (the scale path): signature → band rows →
     groupby(band_id, band_hash) buckets → candidate pairs → EXACT Jaccard
     verification of candidates only. Never an all-pairs scan.
@@ -267,9 +288,9 @@ def minhash_dup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
     # reduced candidate set (object store, spillable — never the corpus)
     n_cand = cand.count()
     if n_cand == 0:
-        return pa.table({"ida": pa.array([], pa.int64()),
-                         "idb": pa.array([], pa.int64()),
-                         "jac": pa.array([], pa.float64())})
+        return rd.from_arrow(pa.table({"ida": pa.array([], pa.int64()),
+                                       "idb": pa.array([], pa.int64()),
+                                       "jac": pa.array([], pa.float64())}))
     cand_ids_ref = None
     if n_cand <= cand_broadcast_limit:
         rows = cand.take_all()
@@ -402,15 +423,9 @@ def minhash_dup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
                          "idb": pa.array(out_b, pa.int64()),
                          "jac": pa.array(out_j, pa.float64())})
 
-    rows = both.groupby("bkt").map_groups(
+    return both.groupby("bkt").map_groups(
         attach_bucket, batch_format="pyarrow").groupby("pbkt").map_groups(
-        verify_bucket, batch_format="pyarrow").take_all()
-    rows.sort(key=lambda r: (r["ida"], r["idb"]))
-    return pa.table({
-        "ida": pa.array([r["ida"] for r in rows], pa.int64()),
-        "idb": pa.array([r["idb"] for r in rows], pa.int64()),
-        "jac": pa.array(sql_round([r["jac"] for r in rows], 4), pa.float64()),
-    })
+        verify_bucket, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------- simhash
@@ -681,7 +696,135 @@ def _ann_dup_pairs(emb: "rd.Dataset", threshold: float, n_clusters: int,
 
 
 # ------------------------------------------------------------------ clusters
-def dedup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD
+# pair lists up to this size resolve with driver union-find (one task's
+# worth of ints); above it the distributed min-label propagation runs
+CLUSTER_DRIVER_MAX_PAIRS = 1_000_000
+
+
+def _propagate_min_labels(pairs_ds: "rd.Dataset",
+                          n_buckets: int = VERIFY_BUCKETS) -> pa.Table:
+    """Distributed connected components over an (ida, idb) edge Dataset:
+    iterative HASH-MIN label propagation.  Each round is two bounded
+    co-grouping exchanges on hash(vertex) % n_buckets — (1) edges pick up
+    their source's current label, (2) every vertex takes the min of its
+    old label and incoming candidates — and converges in O(component
+    diameter) rounds (near-dup clusters are shallow).  Only PAIR
+    PARTICIPANTS carry label rows; the corpus never enters the loop.
+    Returns the (v, lbl) table of participants (lbl = min doc_id of the
+    component, the union-find convention)."""
+    nb = np.uint64(n_buckets)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t.column("ida").to_numpy()
+        b = t.column("idb").to_numpy()
+        src = np.concatenate([a, b]) if len(a) else np.array([], np.int64)
+        dst = np.concatenate([b, a]) if len(a) else np.array([], np.int64)
+        return pa.table({
+            "bkt": pa.array((_mix64(src) % nb).astype(np.int64), pa.int64()),
+            "kind": pa.array(np.ones(len(src), np.int8), pa.int8()),
+            "v": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "lbl": pa.array(np.full(len(src), -1, np.int64), pa.int64()),
+        })
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        v = np.unique(np.concatenate([t.column("ida").to_numpy(),
+                                      t.column("idb").to_numpy()]))
+        return pa.table({
+            "bkt": pa.array((_mix64(v) % nb).astype(np.int64), pa.int64()),
+            "kind": pa.array(np.zeros(len(v), np.int8), pa.int8()),
+            "v": pa.array(v, pa.int64()),
+            "dst": pa.array(np.full(len(v), -1, np.int64), pa.int64()),
+            "lbl": pa.array(v, pa.int64()),
+        })
+
+    edges = pairs_ds.map_batches(to_edges,
+                                 batch_format="pyarrow").materialize()
+    # duplicate initial label rows (one per batch a vertex appears in) are
+    # harmless: stage 2 takes a min per vertex
+    labels = pairs_ds.map_batches(init_labels,
+                                  batch_format="pyarrow").materialize()
+
+    def send(g: pa.Table) -> pa.Table:
+        """Bucket co-group: edge rows pick up their source's label; label
+        rows pass through re-keyed by hash(v) for stage 2."""
+        kind = g.column("kind").to_numpy()
+        v = g.column("v").to_numpy()
+        lbl = g.column("lbl").to_numpy()
+        lmask = kind == 0
+        lv, ll = v[lmask], lbl[lmask]
+        order = np.argsort(lv, kind="stable")
+        lv, ll = lv[order], ll[order]
+        # min label per vertex within this bucket (duplicates possible)
+        first = np.ones(len(lv), bool)
+        if len(lv):
+            first[1:] = lv[1:] != lv[:-1]
+            ll = np.minimum.reduceat(ll, np.flatnonzero(first)) \
+                if len(lv) else ll
+            lv = lv[first]
+        emask = kind == 1
+        out_v = [lv]
+        out_l = [ll]
+        if emask.any():
+            dst = g.column("dst").to_numpy()[emask]
+            pos = np.searchsorted(lv, v[emask])
+            out_v.append(dst)
+            out_l.append(ll[pos])  # every edge source has a label row
+        ov = np.concatenate(out_v)
+        ol = np.concatenate(out_l)
+        return pa.table({
+            "bkt": pa.array((_mix64(ov) % nb).astype(np.int64), pa.int64()),
+            "v": pa.array(ov, pa.int64()),
+            "lbl": pa.array(ol, pa.int64()),
+            "old": pa.array(
+                np.concatenate([np.ones(len(lv), np.int8),
+                                np.zeros(len(ov) - len(lv), np.int8)]),
+                pa.int8()),
+        })
+
+    def combine(g: pa.Table) -> pa.Table:
+        """Per-vertex min of old label + candidates; emit changed flags."""
+        v = g.column("v").to_numpy()
+        lbl = g.column("lbl").to_numpy()
+        old = g.column("old").to_numpy()
+        order = np.lexsort((lbl, v))
+        v_s, l_s, o_s = v[order], lbl[order], old[order]
+        first = np.ones(len(v_s), bool)
+        first[1:] = v_s[1:] != v_s[:-1]
+        starts = np.flatnonzero(first)
+        new = l_s[starts]  # sorted by (v, lbl): first row per v is the min
+        vs = v_s[starts]
+        # old label per vertex: the row flagged old=1 (exactly one per v)
+        oldl = np.zeros(len(vs), np.int64)
+        om = o_s == 1
+        oldl[np.searchsorted(vs, v_s[om])] = l_s[om]
+        changed = (new < oldl).astype(np.int64)
+        return pa.table({
+            "bkt": pa.array((_mix64(vs) % nb).astype(np.int64), pa.int64()),
+            "kind": pa.array(np.zeros(len(vs), np.int8), pa.int8()),
+            "v": pa.array(vs, pa.int64()),
+            "dst": pa.array(np.full(len(vs), -1, np.int64), pa.int64()),
+            "lbl": pa.array(new, pa.int64()),
+            "changed": pa.array(changed, pa.int64()),
+        })
+
+    for _ in range(64):  # converges in O(diameter) rounds
+        stepped = labels.union(edges).groupby("bkt").map_groups(
+            send, batch_format="pyarrow").groupby("bkt").map_groups(
+            combine, batch_format="pyarrow").materialize()
+        n_changed = stepped.sum("changed")
+        labels = stepped.drop_columns(["changed"]).materialize()
+        if not n_changed:
+            break
+    else:
+        raise RuntimeError("min-label propagation did not converge")
+    out = pa.concat_tables(list(labels.select_columns(
+        ["v", "lbl"]).iter_batches(batch_format="pyarrow")))
+    return out
+
+
+def dedup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD,
+                   driver_max_pairs: int = CLUSTER_DRIVER_MAX_PAIRS
                    ) -> pa.Table:
     """Near-dup CLUSTER assignment — the "keep one per duplicate group"
     step of a training-data pipeline: connected components over the
@@ -690,38 +833,64 @@ def dedup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD
     keeper flag.
 
     Scale shape: the candidate/verify stages are the distributed
-    ``minhash_dup_pairs`` path (no all-pairs scan); the union-find runs on
-    the PAIR LIST, which is the already-reduced near-dup output —
-    orders of magnitude smaller than the corpus (at 100 TB the pair list
-    for a sane threshold fits a single task; were it ever to grow
-    pathological, iterative min-label propagation over joins is the
-    drop-in replacement)."""
-    pairs = minhash_dup_pairs(sf_dir, threshold=threshold)
+    ``minhash_pairs_ds`` path (no all-pairs scan, no driver pair state);
+    components resolve with driver union-find only while the pair list is
+    one task's worth of ints (<= ``driver_max_pairs``), else with
+    DISTRIBUTED iterative hash-min label propagation over the pair Dataset
+    (``_propagate_min_labels`` — two bounded exchanges per round,
+    O(component diameter) rounds, participants-only label table).  The
+    final corpus pass maps every doc to its label (broadcast
+    participants-only table, streaming ``map_batches``)."""
+    pairs_ds = minhash_pairs_ds(sf_dir, threshold=threshold).materialize()
+    n_pairs = pairs_ds.count()
+
+    if n_pairs <= driver_max_pairs:
+        parent: Dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for t in pairs_ds.iter_batches(batch_format="pyarrow"):
+            for a, b in zip(t.column("ida").to_pylist(),
+                            t.column("idb").to_pylist()):
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+        part_v = np.array(sorted(parent), dtype=np.int64)
+        part_l = np.array([find(int(x)) for x in part_v], dtype=np.int64)
+    else:
+        lbl_tbl = _propagate_min_labels(pairs_ds)
+        v = lbl_tbl.column("v").to_numpy()
+        l = lbl_tbl.column("lbl").to_numpy()
+        order = np.argsort(v)
+        keepm = l[order] != v[order]  # non-keepers only, like `parent`
+        part_v, part_l = v[order][keepm], l[order][keepm]
+
+    ref = bput((part_v, part_l))
+
+    def assign(t: pa.Table) -> pa.Table:
+        pv, pl = bget(ref)
+        ids = t.column("doc_id").to_numpy()
+        cluster = ids.astype(np.int64).copy()
+        if len(pv):
+            pos = np.searchsorted(pv, ids)
+            pos_c = np.minimum(pos, len(pv) - 1)
+            hit = pv[pos_c] == ids
+            cluster[hit] = pl[pos_c[hit]]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(cluster, pa.int64()),
+            "is_keeper": pa.array(cluster == ids, pa.bool_()),
+        })
+
     docs = read(sf_dir, "documents", columns=["doc_id"])
-    doc_ids = np.sort(np.concatenate(
-        [t.column("doc_id").to_numpy() for t in
-         docs.iter_batches(batch_size=65536, batch_format="pyarrow")]))
-
-    parent: Dict[int, int] = {}
-
-    def find(x: int) -> int:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:
-            parent[x], x = root, parent[x]
-        return root
-
-    for a, b in zip(pairs.column("ida").to_pylist(),
-                    pairs.column("idb").to_pylist()):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-
-    cluster = np.array([find(int(d)) for d in doc_ids], dtype=np.int64)
-    return pa.table({
-        "doc_id": pa.array(doc_ids, pa.int64()),
-        "cluster": pa.array(cluster, pa.int64()),
-        "is_keeper": pa.array(cluster == doc_ids, pa.bool_()),
-    })
+    out = pa.concat_tables(list(docs.map_batches(
+        assign, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow")))
+    return out.sort_by("doc_id")

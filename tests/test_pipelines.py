@@ -533,3 +533,14 @@ def test_boilerplate_flags_matches_bruteforce():
         assert int(row["flagged"]) == int(share >= 0.1)
         any_hit |= nb > 0
     assert any_hit
+
+
+def test_dedup_clusters_distributed_matches_driver():
+    """Forcing the distributed hash-min label propagation (driver_max_pairs=0)
+    must produce exactly the driver union-find clustering."""
+    from prosearch_ray.pipelines.dedup import dedup_clusters
+
+    drv = dedup_clusters(SF).to_pandas()
+    dist = dedup_clusters(SF, driver_max_pairs=0).to_pandas()
+    assert drv.equals(dist)
+    assert (~drv["is_keeper"]).sum() > 0  # fixture corpus has near-dups
