@@ -23,6 +23,9 @@ def main() -> None:
     p.add_argument("--index", required=True, help="output index directory")
     p.add_argument("--format", default="auto", choices=["auto", "parquet", "jsonl"])
     p.add_argument("--docs-per-bucket", type=int, default=4096)
+    p.add_argument("--num-shards", type=int, default=1,
+                   help=">1 builds a doc-sharded index root (corpus-wide "
+                        "stats, scatter-gather query via query.py --sharded)")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--num-cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
@@ -36,12 +39,22 @@ def main() -> None:
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
-    from prosearch_ray.index.build import build_index
-    from prosearch_ray.sources import read_corpus
+    if args.num_shards > 1:
+        from prosearch_ray.index.sharded import build_sharded_index
 
-    report = build_index(read_corpus(args.corpus, args.format), args.index,
-                         docs_per_bucket=args.docs_per_bucket,
-                         resume=not args.no_resume)
+        # path sources take the fused one-pass corpus spill; Dataset
+        # sources fall back to the partitioned sink inside the builder
+        report = build_sharded_index(args.corpus, args.index,
+                                     num_shards=args.num_shards,
+                                     docs_per_bucket=args.docs_per_bucket)
+    else:
+        from prosearch_ray.index.build import build_index
+        from prosearch_ray.sources import read_corpus
+
+        report = build_index(read_corpus(args.corpus, args.format),
+                             args.index,
+                             docs_per_bucket=args.docs_per_bucket,
+                             resume=not args.no_resume)
     print(json.dumps(report))
     ray.shutdown()
 

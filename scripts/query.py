@@ -21,6 +21,12 @@ def main() -> None:
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--phrase", action="store_true",
                    help="exact phrase search over the body field")
+    p.add_argument("--raw", action="store_true",
+                   help='raw-CLI query syntax: +must -must_not "phrase" '
+                        "bare-OR (tantivy search parity)")
+    p.add_argument("--sharded", action="store_true",
+                   help="--index is a doc-sharded root; scatter-gather "
+                        "search across one actor per shard")
     p.add_argument("--serp", action="store_true",
                    help="print the reference-shaped SERP JSON (with snippets)")
     p.add_argument("--queries", help="parquet of (qid, query[, k]) to run "
@@ -55,24 +61,38 @@ def main() -> None:
     else:
         if not args.query:
             p.error("either a query string or --queries is required")
-        from prosearch_ray.query.searcher import IndexSearcher
         from prosearch_ray.query.serp import serp
 
-        s = IndexSearcher(args.index)
-        if args.phrase:
-            ids, scores = s.search_phrase(args.query, args.k)
-            for rank, (d, sc) in enumerate(zip(ids, scores)):
-                print(json.dumps({"rank": rank, "doc_id": int(d),
-                                  "doc_key": str(s.doc_keys[int(d)]),
-                                  "score": round(float(sc), 4)}))
-        elif args.serp:
-            print(json.dumps(serp(s, args.query, args.k), indent=2))
+        if args.sharded:
+            from prosearch_ray.query.sharded import ShardedSearcher
+
+            m = ShardedSearcher(args.index)
+            try:
+                if args.serp:
+                    print(json.dumps(serp(m, args.query, args.k), indent=2))
+                else:
+                    fn = (m.search_raw if args.raw else
+                          m.search_phrase if args.phrase else m.search)
+                    keys, scores = fn(args.query, args.k)
+                    for rank, (dk, sc) in enumerate(zip(keys, scores)):
+                        print(json.dumps({"rank": rank, "doc_key": str(dk),
+                                          "score": round(float(sc), 4)}))
+            finally:
+                m.shutdown()
         else:
-            ids, scores = s.search(args.query, args.k)
-            for rank, (d, sc) in enumerate(zip(ids, scores)):
-                print(json.dumps({"rank": rank, "doc_id": int(d),
-                                  "doc_key": str(s.doc_keys[int(d)]),
-                                  "score": round(float(sc), 4)}))
+            from prosearch_ray.query.searcher import IndexSearcher
+
+            s = IndexSearcher(args.index)
+            if args.serp:
+                print(json.dumps(serp(s, args.query, args.k), indent=2))
+            else:
+                fn = (s.search_raw if args.raw else
+                      s.search_phrase if args.phrase else s.search)
+                ids, scores = fn(args.query, args.k)
+                for rank, (d, sc) in enumerate(zip(ids, scores)):
+                    print(json.dumps({"rank": rank, "doc_id": int(d),
+                                      "doc_key": str(s.doc_keys[int(d)]),
+                                      "score": round(float(sc), 4)}))
     ray.shutdown()
 
 
