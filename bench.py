@@ -120,12 +120,20 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
         t0 = time.perf_counter()
         m = ShardedSearcher(index_dir, num_cpus_per_actor=0,
                             prespawned=workers)
+        lat_ms = []
         try:
             m.search_many([r["query"] for r in qrows],
                           [int(r["k"]) for r in qrows])
+            query_sec = time.perf_counter() - t0
+            # per-query scatter-gather latency (sequential, warm actors) —
+            # the sharded analog of the unsharded p50/p99
+            for r in qrows:
+                tq = time.perf_counter()
+                m.search(r["query"], int(r["k"]))
+                lat_ms.append((time.perf_counter() - tq) * 1e3)
         finally:
             m.shutdown()
-        query_sec = time.perf_counter() - t0
+        lat_ms.sort()
         total = build_sec + query_sec
         timings = {"index_build": round(build_sec, 3),
                    "query_all": round(query_sec, 3),
@@ -144,6 +152,12 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
                 "build_files_per_sec": round(report["n_docs"] / build_sec, 1),
                 "build_gb_per_hr": round(
                     corpus_bytes / 1e9 / (build_sec / 3600), 2),
+                "query_p50_ms": round(
+                    lat_ms[len(lat_ms) // 2], 3) if lat_ms else None,
+                "query_p99_ms": round(
+                    lat_ms[min(len(lat_ms) - 1,
+                               int(len(lat_ms) * 0.99))], 3)
+                if lat_ms else None,
                 "build_phases": report.get("phases", {}),
             },
         }
