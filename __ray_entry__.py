@@ -345,6 +345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_event": relational.asof_last_event,
         "range_join_events": relational.range_join_events,
         "topk_per_group": relational.topk_per_group,
+        "distinct_daily_users": relational.distinct_daily_users,
         "stratified_sample": curate.stratified_sample,
         # text / search core (SQL-checkable simple-tokenizer variants)
         "term_df": docsearch.term_df,
@@ -944,6 +945,13 @@ def oracle_sql() -> dict[str, str]:
         FROM tf JOIN df USING (b) CROSS JOIN n
     """
     # exact counting-quantiles per source (DuckDB quantile_disc parity)
+    # exact per-day COUNT(DISTINCT user) + event counts
+    d["distinct_daily_users"] = """
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               count(DISTINCT user_id)::BIGINT AS n_users,
+               count(*)::BIGINT AS n_events
+        FROM events GROUP BY 1
+    """
     d["percentile_stats"] = """
         SELECT source,
                quantile_disc(n_chars, 0.50)::BIGINT AS p50,

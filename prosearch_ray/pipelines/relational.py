@@ -504,3 +504,71 @@ def percentile_stats(sf_dir: str, ps=(50, 90, 99)) -> pa.Table:
         "source": pa.array(out["source"], pa.string()),
         **{f"p{p}": pa.array(out[f"p{p}"], pa.int64()) for p in ps},
     })
+
+
+def distinct_daily_users(sf_dir: str) -> pa.Table:
+    """Exact per-day COUNT(DISTINCT user_id) + event count over the events
+    stream — the daily-active-users rollup every event pipeline runs.
+
+    Scale shape: the classic exact count-distinct two-level aggregate.
+    One streaming pass emits, per batch, the WITHIN-BATCH distinct
+    (day, user) pairs (map-side shrink — repeated activity collapses
+    before the shuffle) plus per-day event-count partials as tagged rows;
+    the only full exchange is the ``groupby(day, user_id)`` over the
+    pre-deduped pairs.  Day counts then reduce map-side again into a tiny
+    per-day groupby.  No driver state beyond the days-sized result."""
+    ev = read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t.column("ts"), format="%Y-%m-%d")
+        tb = pa.table({"day": day, "user_id": t.column("user_id")})
+        uniq = tb.group_by(["day", "user_id"]).aggregate([])
+        evs = tb.group_by("day").aggregate([("user_id", "count")])
+        n_u, n_e = uniq.num_rows, evs.num_rows
+        return pa.table({
+            "kind": pa.array([0] * n_u + [1] * n_e, pa.int8()),
+            "day": pa.concat_arrays([
+                uniq.column("day").combine_chunks(),
+                evs.column("day").combine_chunks()]),
+            "user_id": pa.concat_arrays([
+                uniq.column("user_id").combine_chunks(),
+                pa.array([-1] * n_e, pa.int64())]),
+            "n_part": pa.concat_arrays([
+                pa.array([0] * n_u, pa.int64()),
+                evs.column("user_id_count").cast(pa.int64()).combine_chunks()
+            ]),
+        })
+
+    tagged = ev.map_batches(partial, batch_format="pyarrow").materialize()
+
+    def only(kind):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("kind"),
+                                     pa.scalar(kind, pa.int8())))
+        return fn
+
+    # distinct users: global dedup of (day, user), then per-day counts
+    # (value_counts per block after the dedup groupby, tiny final sum)
+    def day_count(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t.column("day"))
+        return pa.table({"day": vc.field("values"),
+                         "n_part": pc.cast(vc.field("counts"), pa.int64())})
+
+    users = tagged.map_batches(only(0), batch_format="pyarrow").groupby(
+        ["day", "user_id"]).aggregate(Count(alias_name="c")).map_batches(
+        day_count, batch_format="pyarrow").groupby("day").aggregate(
+        Sum("n_part", alias_name="n_users"))
+    events = tagged.map_batches(only(1), batch_format="pyarrow").groupby(
+        "day").aggregate(Sum("n_part", alias_name="n_events"))
+
+    by_day = {}
+    for r in users.take_all():
+        by_day[r["day"]] = [int(r["n_users"]), 0]
+    for r in events.take_all():
+        by_day[r["day"]][1] = int(r["n_events"])
+    days = sorted(by_day)
+    return pa.table({
+        "day": pa.array(days, pa.string()),
+        "n_users": pa.array([by_day[d][0] for d in days], pa.int64()),
+        "n_events": pa.array([by_day[d][1] for d in days], pa.int64()),
+    })
