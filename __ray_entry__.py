@@ -293,6 +293,37 @@ def more_like_this(sf_dir: str) -> Any:
     return _topk_table(_mlt_results(sf_dir, run))
 
 
+PREFIXES = ("s", "b", "zz")  # 7 terms, 3 terms, empty range
+
+
+def term_prefix_df(sf_dir: str) -> Any:
+    """Dictionary prefix-range reads (term autocomplete) over the
+    documents-as-corpus index: for each query prefix, every BODY term
+    starting with it plus its document frequency, straight from the
+    term-sorted dict parquet (row-group-pruned range read — no postings
+    touched).  The DuckDB oracle recomputes body df per token with the
+    code-aware tokenizer SQL."""
+    import pyarrow as pa
+
+    from prosearch_ray.index.inspect import prefix_terms
+
+    index_dir = _build_docs_index(sf_dir)
+    out_p, out_t, out_d = [], [], []
+    for p in PREFIXES:
+        t = prefix_terms(index_dir, p)
+        for term, dfb in zip(t.column("term").to_pylist(),
+                             t.column("df_body").to_pylist()):
+            if dfb > 0:  # oracle counts body occurrences only
+                out_p.append(p)
+                out_t.append(term)
+                out_d.append(int(dfb))
+    return pa.table({
+        "prefix": pa.array(out_p, pa.string()),
+        "term": pa.array(out_t, pa.string()),
+        "df_body": pa.array(out_d, pa.int64()),
+    })
+
+
 def more_like_this_sharded(sf_dir: str) -> Any:
     """more_like_this over the 3-shard build: term selection is identical
     (_mlt_results, driver-side from the documents table), the disjunctive
@@ -354,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_search_or_topk": code_search_or_topk,
         "more_like_this": more_like_this,
         "more_like_this_sharded": more_like_this_sharded,
+        "term_prefix_df": term_prefix_df,
         "code_phrase_topk": code_phrase_topk,
         "code_search_topk_sharded": code_search_topk_sharded,
         "code_search_or_topk_sharded": code_search_or_topk_sharded,
@@ -1035,6 +1067,21 @@ def oracle_sql() -> dict[str, str]:
         conjunctive=False, qterms=OR_QTERMS, tiebreak="key")
     d["more_like_this"] = _code_search_sql(conjunctive=False,
                                            mlt_src_ids=MLT_SRC_IDS)
+    # dictionary prefix-range reads: body df per token under the full
+    # code-aware tokenizer, for each queried prefix
+    prefix_vals = ", ".join(f"('{p}')" for p in PREFIXES)
+    d["term_prefix_df"] = f"""
+WITH {_CODE_IDS_CTES},
+braw AS (SELECT doc, unnest(string_split_regex(text, '\\s+')) AS raw FROM ids),
+bexp AS {_expand_cte('braw')},
+btok AS (SELECT doc, unnest(toks) AS tok FROM bexp),
+p(prefix) AS (VALUES {prefix_vals}),
+df AS (SELECT tok, count(DISTINCT doc)::BIGINT AS df_body
+       FROM btok GROUP BY tok)
+SELECT p.prefix, d.tok AS term, d.df_body
+FROM p JOIN df d ON d.tok LIKE p.prefix || '%'
+ORDER BY p.prefix, d.tok
+"""
     d["more_like_this_sharded"] = _code_search_sql(
         conjunctive=False, mlt_src_ids=MLT_SRC_IDS, tiebreak="key")
     d["code_search_topk_sharded"] = _code_search_sql(tiebreak="key")

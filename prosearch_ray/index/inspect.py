@@ -36,3 +36,25 @@ def index_stats(index_dir: str, top_terms: int = 20) -> dict:
         "n_buckets_built": n_buckets_built,
         "top_terms": top,
     }
+
+
+def prefix_terms(index_dir: str, prefix: str) -> "object":
+    """Dictionary PREFIX-RANGE read — the term-autocomplete / vocabulary-
+    exploration primitive over the persistent dict: returns (term, df,
+    df_title, df_body) for every indexed term starting with ``prefix``,
+    term-sorted.
+
+    Scale shape: dict parts are term-SORTED parquet (hash-partitioned by
+    term), so the range filter ``prefix <= term < next(prefix)`` prunes at
+    parquet row-group granularity — each of the P parts contributes one
+    point-range read, never a full dictionary scan.  Tokens are
+    [a-z0-9]+, so the exclusive upper bound is the prefix with its last
+    byte incremented."""
+    if not prefix:
+        raise ValueError("prefix must be non-empty")
+    hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+    d = pads.dataset(os.path.join(index_dir, "dict"))
+    flt = (pads.field("term") >= prefix) & (pads.field("term") < hi)
+    return d.to_table(
+        columns=["term", "df", "df_title", "df_body"],
+        filter=flt).sort_by("term")
