@@ -4,7 +4,7 @@
 actor-pool query) on sf0.001; ``queries()`` exposes one callable per
 implemented operator/pipeline from SURVEY.md §2 plus the training-data
 operator suite (dedup / similarity / text analysis / multimodal);
-``oracle_sql()`` gives the DuckDB-equivalent SQL for EVERY entry — 55/55,
+``oracle_sql()`` gives the DuckDB-equivalent SQL for EVERY entry — 56/56,
 including SimHash (md5-based feature hash, bit_or/bit_count SQL), the
 multimodal stub (md5_number_upper bytes), the REAL multimodal byte-level
 decode (closed-form integer stats of genuinely encoded BMP/PNG/WAV/
