@@ -77,3 +77,26 @@ def test_should_scores_boost_musts(raw_index):
     assert _paths(raw_index, ids) >= {"d0.txt", "d1.txt", "d4.txt"}
     first = str(raw_index.doc_keys[int(ids[0])])
     assert first.endswith(("d0.txt", "d4.txt"))
+
+
+def test_prefix_terms_range_read(raw_index):
+    """Dictionary prefix-range reads: exact term set + body dfs, sorted;
+    empty ranges and the last-byte increment boundary behave."""
+    import pytest as _pytest
+
+    from prosearch_ray.index.inspect import prefix_terms
+
+    idx = raw_index.index_dir
+    t = prefix_terms(idx, "e")
+    terms = t.column("term").to_pylist()
+    assert terms == sorted(terms)
+    assert "epsilon" in terms and "exact" in terms
+    assert all(x.startswith("e") for x in terms)
+    # df sanity: 'alpha' occurs in docs d0, d1, d4
+    ta = prefix_terms(idx, "alpha")
+    row = {t: d for t, d in zip(ta.column("term").to_pylist(),
+                                ta.column("df_body").to_pylist())}
+    assert row.get("alpha") == 3
+    assert prefix_terms(idx, "zzz").num_rows == 0
+    with _pytest.raises(ValueError):
+        prefix_terms(idx, "")
