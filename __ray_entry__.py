@@ -103,6 +103,11 @@ def _build_docs_sharded(sf_dir: str, num_shards: int = 3) -> str:
         build_sharded_index(_documents_as_corpus(sf_dir), root,
                             num_shards=num_shards, docs_per_bucket=512)
     except Exception:
+        # stale/incompatible leftovers: wipe and rebuild — and drop any
+        # cached actor pool still mapping the old files
+        stale = _SHARDED_CACHE.pop(root, None)
+        if stale is not None:
+            stale.shutdown()
         shutil.rmtree(root, ignore_errors=True)
         build_sharded_index(_documents_as_corpus(sf_dir), root,
                             num_shards=num_shards, docs_per_bucket=512)
