@@ -83,13 +83,18 @@ def _shared_sharded(root: str):
     """Driver-session-cached ShardedSearcher per shard root: the four
     sharded driver entries reuse one warm actor pool instead of paying a
     spawn+open+kill cycle each (the correctness gate runs them
-    back-to-back).  Actors die with the driver's Ray session."""
+    back-to-back).  Keyed on the Ray job id too — actors die with their
+    Ray session, so a cached pool from a previous ray.init() is stale
+    even though its handle list is non-empty."""
+    import ray
+
     from prosearch_ray.query.sharded import ShardedSearcher
 
-    m = _SHARDED_CACHE.get(root)
+    key = (root, ray.get_runtime_context().get_job_id())
+    m = _SHARDED_CACHE.get(key)
     if m is None or not m.actors:
         m = ShardedSearcher(root)
-        _SHARDED_CACHE[root] = m
+        _SHARDED_CACHE[key] = m
     return m
 
 
@@ -105,9 +110,8 @@ def _build_docs_sharded(sf_dir: str, num_shards: int = 3) -> str:
     except Exception:
         # stale/incompatible leftovers: wipe and rebuild — and drop any
         # cached actor pool still mapping the old files
-        stale = _SHARDED_CACHE.pop(root, None)
-        if stale is not None:
-            stale.shutdown()
+        for key in [k for k in _SHARDED_CACHE if k[0] == root]:
+            _SHARDED_CACHE.pop(key).shutdown()
         shutil.rmtree(root, ignore_errors=True)
         build_sharded_index(_documents_as_corpus(sf_dir), root,
                             num_shards=num_shards, docs_per_bucket=512)

@@ -133,7 +133,6 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
                 lat_ms.append((time.perf_counter() - tq) * 1e3)
         finally:
             m.shutdown()
-        lat_ms.sort()
         total = build_sec + query_sec
         timings = {"index_build": round(build_sec, 3),
                    "query_all": round(query_sec, 3),
@@ -152,12 +151,8 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
                 "build_files_per_sec": round(report["n_docs"] / build_sec, 1),
                 "build_gb_per_hr": round(
                     corpus_bytes / 1e9 / (build_sec / 3600), 2),
-                "query_p50_ms": round(
-                    lat_ms[len(lat_ms) // 2], 3) if lat_ms else None,
-                "query_p99_ms": round(
-                    lat_ms[min(len(lat_ms) - 1,
-                               int(len(lat_ms) * 0.99))], 3)
-                if lat_ms else None,
+                "query_p50_ms": round(_percentile(lat_ms, 50), 3),
+                "query_p99_ms": round(_percentile(lat_ms, 99), 3),
                 "build_phases": report.get("phases", {}),
             },
         }

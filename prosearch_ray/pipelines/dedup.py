@@ -808,15 +808,65 @@ def _propagate_min_labels(pairs_ds: "rd.Dataset",
             "changed": pa.array(changed, pa.int64()),
         })
 
-    for _ in range(64):  # converges in O(diameter) rounds
-        stepped = labels.union(edges).groupby("bkt").map_groups(
+    def jump_rows(t: pa.Table) -> pa.Table:
+        """POINTER-JUMPING fan-out: from each per-vertex label row emit a
+        lookup row keyed by hash(v) and a pointer row keyed by hash(lbl),
+        so every vertex can take its label's label in one co-group —
+        halving the remaining chain length each round (O(log diameter)
+        total instead of O(diameter))."""
+        v = t.column("v").to_numpy()
+        lbl = t.column("lbl").to_numpy()
+        ch = t.column("changed").to_numpy()
+        n = len(v)
+        return pa.table({
+            "jbkt": pa.array(np.concatenate([
+                (_mix64(v) % nb).astype(np.int64),
+                (_mix64(lbl) % nb).astype(np.int64)]), pa.int64()),
+            "jkind": pa.array(
+                np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)]),
+                pa.int8()),
+            "v": pa.array(np.concatenate([v, v]), pa.int64()),
+            "lbl": pa.array(np.concatenate([lbl, lbl]), pa.int64()),
+            # carry the neighbor-step change flag on pointer rows only
+            "changed": pa.array(np.concatenate([np.zeros(n, np.int64), ch]),
+                                pa.int64()),
+        })
+
+    def jump(g: pa.Table) -> pa.Table:
+        jkind = g.column("jkind").to_numpy()
+        v = g.column("v").to_numpy()
+        lbl = g.column("lbl").to_numpy()
+        ch = g.column("changed").to_numpy()
+        lmask = jkind == 0
+        lv, ll = v[lmask], lbl[lmask]
+        order = np.argsort(lv)
+        lv, ll = lv[order], ll[order]
+        pm = ~lmask
+        pv, pl, pch = v[pm], lbl[pm], ch[pm]
+        # every pointer's label L is a participant vertex whose lookup row
+        # is co-bucketed here (both keyed by hash(L))
+        lbl2 = ll[np.searchsorted(lv, pl)]
+        changed = pch | (lbl2 < pl).astype(np.int64)
+        return pa.table({
+            "bkt": pa.array((_mix64(pv) % nb).astype(np.int64), pa.int64()),
+            "kind": pa.array(np.zeros(len(pv), np.int8), pa.int8()),
+            "v": pa.array(pv, pa.int64()),
+            "dst": pa.array(np.full(len(pv), -1, np.int64), pa.int64()),
+            "lbl": pa.array(lbl2, pa.int64()),
+            "changed": pa.array(changed, pa.int64()),
+        })
+
+    for _ in range(64):  # pointer jumping: O(log diameter) rounds
+        jumped = labels.union(edges).groupby("bkt").map_groups(
             send, batch_format="pyarrow").groupby("bkt").map_groups(
-            combine, batch_format="pyarrow").materialize()
-        n_changed = stepped.sum("changed")
-        labels = stepped.drop_columns(["changed"]).materialize()
+            combine, batch_format="pyarrow").map_batches(
+            jump_rows, batch_format="pyarrow").groupby("jbkt").map_groups(
+            jump, batch_format="pyarrow").materialize()
+        n_changed = jumped.sum("changed")
+        labels = jumped.drop_columns(["changed"])
         if not n_changed:
             break
-    else:
+    else:  # unreachable for any graph smaller than 2^64 vertices
         raise RuntimeError("min-label propagation did not converge")
     out = pa.concat_tables(list(labels.select_columns(
         ["v", "lbl"]).iter_batches(batch_format="pyarrow")))

@@ -521,22 +521,24 @@ def distinct_daily_users(sf_dir: str) -> pa.Table:
 
     def partial(t: pa.Table) -> pa.Table:
         day = pc.strftime(t.column("ts"), format="%Y-%m-%d")
+        # event counts include EVERY row (SQL count(*)); the distinct-user
+        # side drops null user_ids (SQL count(DISTINCT ...) skips nulls)
+        evc = pc.value_counts(day)
         tb = pa.table({"day": day, "user_id": t.column("user_id")})
+        tb = tb.filter(pc.is_valid(tb.column("user_id")))
         uniq = tb.group_by(["day", "user_id"]).aggregate([])
-        evs = tb.group_by("day").aggregate([("user_id", "count")])
-        n_u, n_e = uniq.num_rows, evs.num_rows
+        n_u, n_e = uniq.num_rows, len(evc)
         return pa.table({
             "kind": pa.array([0] * n_u + [1] * n_e, pa.int8()),
             "day": pa.concat_arrays([
                 uniq.column("day").combine_chunks(),
-                evs.column("day").combine_chunks()]),
+                evc.field("values")]),
             "user_id": pa.concat_arrays([
                 uniq.column("user_id").combine_chunks(),
                 pa.array([-1] * n_e, pa.int64())]),
             "n_part": pa.concat_arrays([
                 pa.array([0] * n_u, pa.int64()),
-                evs.column("user_id_count").cast(pa.int64()).combine_chunks()
-            ]),
+                pc.cast(evc.field("counts"), pa.int64())]),
         })
 
     tagged = ev.map_batches(partial, batch_format="pyarrow").materialize()

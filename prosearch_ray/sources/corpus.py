@@ -19,15 +19,22 @@ import ray.data as rd
 CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 
 
+def detect_format(path: str, format: str = "auto") -> str:
+    """Resolve ``auto`` to parquet|jsonl by probing the path (directory:
+    first non-underscore entry)."""
+    if format != "auto":
+        return format
+    probe = path
+    if os.path.isdir(path):
+        names = [f for f in os.listdir(path) if not f.startswith("_")]
+        probe = names[0] if names else ""
+    return "jsonl" if probe.endswith((".jsonl", ".json")) else "parquet"
+
+
 def read_corpus(path: str, format: str = "auto") -> "rd.Dataset":
     """Read a corpus directory/file as a Dataset with the fixed 5-column
     schema. ``format``: auto | parquet | jsonl."""
-    if format == "auto":
-        probe = path
-        if os.path.isdir(path):
-            names = [f for f in os.listdir(path) if not f.startswith("_")]
-            probe = names[0] if names else ""
-        format = "jsonl" if probe.endswith((".jsonl", ".json")) else "parquet"
+    format = detect_format(path, format)
     if format == "parquet":
         return rd.read_parquet(path, columns=CORPUS_COLUMNS)
     if format == "jsonl":

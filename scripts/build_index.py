@@ -41,12 +41,21 @@ def main() -> None:
 
     if args.num_shards > 1:
         from prosearch_ray.index.sharded import build_sharded_index
+        from prosearch_ray.sources.corpus import detect_format
 
-        # path sources take the fused one-pass corpus spill; Dataset
-        # sources fall back to the partitioned sink inside the builder
-        report = build_sharded_index(args.corpus, args.index,
+        # parquet path sources take the fused one-pass corpus spill;
+        # jsonl (or any non-parquet) sources go in as a Dataset and take
+        # the partitioned-sink fallback inside the builder
+        if detect_format(args.corpus, args.format) == "parquet":
+            source = args.corpus
+        else:
+            from prosearch_ray.sources import read_corpus
+
+            source = read_corpus(args.corpus, args.format)
+        report = build_sharded_index(source, args.index,
                                      num_shards=args.num_shards,
-                                     docs_per_bucket=args.docs_per_bucket)
+                                     docs_per_bucket=args.docs_per_bucket,
+                                     resume=not args.no_resume)
     else:
         from prosearch_ray.index.build import build_index
         from prosearch_ray.sources import read_corpus

@@ -46,18 +46,48 @@ def main() -> None:
     DataContext.get_current().enable_progress_bars = False
 
     if args.queries:
-        import ray.data as rd
+        if args.sharded:
+            # batch path over a sharded root: pipelined scatter-gather
+            # (the query file is small by nature — read driver-side)
+            import pyarrow as pa
+            import pyarrow.parquet as pq
 
-        from prosearch_ray.query.actor import search_dataset
+            from prosearch_ray.query.sharded import ShardedSearcher
 
-        hits = search_dataset(rd.read_parquet(args.queries), args.index,
-                              concurrency=args.concurrency)
-        if args.out:
-            hits.write_parquet(args.out)
-            print(json.dumps({"written": args.out}))
+            qrows = pq.read_table(args.queries).to_pylist()
+            m = ShardedSearcher(args.index)
+            try:
+                res = m.search_many(
+                    [r["query"] for r in qrows],
+                    [int(r.get("k", args.k)) for r in qrows])
+            finally:
+                m.shutdown()
+            rows = [{"qid": r.get("qid", i), "rank": rank,
+                     "doc_key": dk, "score": round(float(sc), 4)}
+                    for i, (r, (keys, scores)) in enumerate(zip(qrows, res))
+                    for rank, (dk, sc) in enumerate(zip(keys, scores))]
+            if args.out:
+                pq.write_table(
+                    pa.Table.from_pylist(rows),
+                    os.path.join(args.out, "hits.parquet")
+                    if os.path.isdir(args.out) else args.out)
+                print(json.dumps({"written": args.out, "rows": len(rows)}))
+            else:
+                for row in rows:
+                    print(json.dumps(row))
         else:
-            for row in hits.take_all():
-                print(json.dumps(row))
+            import ray.data as rd
+
+            from prosearch_ray.query.actor import search_dataset
+
+            hits = search_dataset(rd.read_parquet(args.queries), args.index,
+                                  concurrency=args.concurrency)
+            if args.out:
+                hits.write_parquet(args.out)
+                print(json.dumps({"written": args.out}))
+            else:
+                for row in hits.take_all():
+                    print(json.dumps(row))
     else:
         if not args.query:
             p.error("either a query string or --queries is required")
