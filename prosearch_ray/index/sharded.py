@@ -168,28 +168,46 @@ def _cross_shard_losers(corpus_src,
 
     dset = rd.read_parquet(corpus_src,
                            columns=["doc_key", "sha_hex", "commit"])
+    # BOUNDED-bucket exchanges, never per-key/per-sha groups: a
+    # groupby(doc_key).map_groups would invoke the UDF once per key —
+    # millions of Python calls at corpus scale (measured ~200 s at 3.9M
+    # docs).  Bucket count keeps each group ~corpus/nb rows and the
+    # within-bucket resolution fully vectorized.
+    nb = 512
 
     def batch_winners(t: pa.Table) -> pa.Table:
         # map-side combiner: at most one candidate row per key per batch
-        return _upsert_survivors_driver(t)
+        t = _upsert_survivors_driver(t)
+        return t.append_column(
+            "bkt", pa.array(docid.buckets_of(
+                t.column("doc_key").to_pylist(), nb), pa.int64()))
 
-    def group_winner(g: pa.Table) -> pa.Table:
+    def bucket_key_winners(g: pa.Table) -> pa.Table:
+        # all rows of a doc_key share its bucket: one vectorized
+        # first-per-key resolution per bucket
         g = _upsert_survivors_driver(g)
-        return g.select(["doc_key", "sha_hex"])
+        return pa.table({
+            "sbkt": pa.array(docid.buckets_of(
+                g.column("sha_hex").to_pylist(), nb), pa.int64()),
+            "doc_key": g.column("doc_key"),
+            "sha_hex": g.column("sha_hex"),
+        })
 
-    surv_rows = (dset.map_batches(batch_winners, batch_format="pyarrow")
-                 .groupby("doc_key")
-                 .map_groups(group_winner, batch_format="pyarrow"))
-
-    def sha_losers(g: pa.Table) -> pa.Table:
-        # per-sha groups are bounded by a content's copy count; everything
-        # but the min-doc_key winner is a loser
-        if g.num_rows <= 1:
+    def bucket_sha_losers(g: pa.Table) -> pa.Table:
+        # all survivors of a sha share its bucket: vectorized
+        # all-but-min-key per sha
+        g = g.sort_by([("sha_hex", "ascending"), ("doc_key", "ascending")])
+        shas = g.column("sha_hex").to_numpy(zero_copy_only=False)
+        if not len(shas):
             return pa.table({"doc_key": pa.array([], pa.string())})
-        return g.sort_by("doc_key").slice(1).select(["doc_key"])
+        loser = np.concatenate(([False], shas[1:] == shas[:-1]))
+        return g.filter(pa.array(loser)).select(["doc_key"])
 
-    losers = (surv_rows.groupby("sha_hex")
-              .map_groups(sha_losers, batch_format="pyarrow").take_all())
+    losers = (dset.map_batches(batch_winners, batch_format="pyarrow")
+              .groupby("bkt").map_groups(
+                  bucket_key_winners, batch_format="pyarrow")
+              .groupby("sbkt").map_groups(
+                  bucket_sha_losers, batch_format="pyarrow").take_all())
     return {r["doc_key"] for r in losers}
 
 
