@@ -260,18 +260,49 @@ def minhash_pairs_ds(sf_dir: str, num_perm: int = 64, bands: int = 16,
             "band_hash": pa.array(acc.ravel(), pa.uint64()),
             "doc_id": pa.array(np.repeat(ids, bands), pa.int64())})
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        ids = sorted(set(g.column("doc_id").to_pylist()))
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pa.table({"ida": pa.array(a, pa.int64()),
-                         "idb": pa.array(b, pa.int64())})
+    # BOUNDED-bucket exchange over hash(band_id, band_hash): a per-LSH-
+    # bucket map_groups would fire one Python UDF per occupied bucket
+    # (~docs x bands groups — the cross-shard-dedup lesson); here one
+    # vectorized pass per hash bucket finds the collision runs, and only
+    # runs with >= 2 docs (the near-dup tail) pay any per-run work.
+    nbk = np.uint64(VERIFY_BUCKETS)
 
-    cand = sig_ds.map_batches(band_rows, batch_format="pyarrow").groupby(
-        ["band_id", "band_hash"]).map_groups(
+    def tag_band_rows(t: pa.Table) -> pa.Table:
+        t = band_rows(t)
+        bi = t.column("band_id").to_numpy().astype(np.uint64)
+        bh = t.column("band_hash").to_numpy()
+        with np.errstate(over="ignore"):
+            key = _mix64((bh ^ (bi * np.uint64(0x9E3779B97F4A7C15))
+                          ).astype(np.int64))
+        return t.append_column(
+            "bkt", pa.array((key % nbk).astype(np.int64), pa.int64()))
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        bi = g.column("band_id").to_numpy()
+        bh = g.column("band_hash").to_numpy()
+        did = g.column("doc_id").to_numpy()
+        order = np.lexsort((did, bh, bi))
+        bi, bh, did = bi[order], bh[order], did[order]
+        new = np.concatenate(
+            ([True], (bi[1:] != bi[:-1]) | (bh[1:] != bh[:-1])))
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(did)))
+        a_out, b_out = [], []
+        for s, sz in zip(starts[sizes > 1], sizes[sizes > 1]):
+            ids = np.unique(did[s:s + sz])
+            if len(ids) > 1:
+                ia, ib = np.triu_indices(len(ids), k=1)
+                a_out.append(ids[ia])
+                b_out.append(ids[ib])
+        if not a_out:
+            return pa.table({"ida": pa.array([], pa.int64()),
+                             "idb": pa.array([], pa.int64())})
+        return pa.table({
+            "ida": pa.array(np.concatenate(a_out), pa.int64()),
+            "idb": pa.array(np.concatenate(b_out), pa.int64())})
+
+    cand = sig_ds.map_batches(tag_band_rows, batch_format="pyarrow").groupby(
+        "bkt").map_groups(
         bucket_pairs, batch_format="pyarrow").groupby(
         ["ida", "idb"]).aggregate(Count(alias_name="n_bands"))
 
@@ -490,38 +521,71 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     fp_ds = docs.map_batches(fp_batch, batch_format="pyarrow")
 
     def seg_rows(t: pa.Table) -> pa.Table:
-        d, seg, segv, fp = [], [], [], []
-        for doc_id, f in zip(t.column("doc_id").to_pylist(),
-                             t.column("fp").to_pylist()):
-            for s in range(4):
-                d.append(doc_id)
-                seg.append(s)
-                segv.append((f >> (16 * s)) & 0xFFFF)
-                fp.append(f)
-        return pa.table({"seg": pa.array(seg, pa.int32()),
-                         "segv": pa.array(segv, pa.int32()),
-                         "doc_id": pa.array(d, pa.int64()),
-                         "fp": pa.array(fp, pa.uint64())})
+        """Vectorized 4-way pigeonhole fan-out, bucketed by
+        hash(seg, segv) %% VERIFY_BUCKETS — bounded shuffle groups, not one
+        per occupied (seg, value) cell."""
+        ids = t.column("doc_id").to_numpy()
+        fp = t.column("fp").to_numpy()
+        n = len(ids)
+        seg = np.tile(np.arange(4, dtype=np.int64), n)
+        fps = np.repeat(fp, 4)
+        segv = (fps >> (np.uint64(16) * seg.astype(np.uint64))) \
+            & np.uint64(0xFFFF)
+        with np.errstate(over="ignore"):
+            key = _mix64((segv ^ ((seg.astype(np.uint64) + np.uint64(1))
+                                  * np.uint64(0x9E3779B97F4A7C15))
+                          ).astype(np.int64))
+        return pa.table({
+            "bkt": pa.array((key % np.uint64(VERIFY_BUCKETS)).astype(
+                np.int64), pa.int64()),
+            "seg": pa.array(seg, pa.int32()),
+            "segv": pa.array(segv.astype(np.int64), pa.int32()),
+            "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+            "fp": pa.array(fps, pa.uint64())})
 
     def seg_pairs(g: pa.Table) -> pa.Table:
-        rows = sorted(zip(g.column("doc_id").to_pylist(),
-                          g.column("fp").to_pylist()))
-        a, b, ham = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                if rows[i][0] == rows[j][0]:
-                    continue
-                d = bin(rows[i][1] ^ rows[j][1]).count("1")
-                if d <= max_hamming:
-                    a.append(rows[i][0])
-                    b.append(rows[j][0])
-                    ham.append(d)
-        return pa.table({"ida": pa.array(a, pa.int64()),
-                         "idb": pa.array(b, pa.int64()),
-                         "hamming": pa.array(ham, pa.int64())})
+        """Per bucket: find (seg, segv) collision runs vectorized; only
+        runs with >= 2 docs (candidate cells) pair up, with the hamming
+        check vectorized per run."""
+        seg = g.column("seg").to_numpy()
+        segv = g.column("segv").to_numpy()
+        did = g.column("doc_id").to_numpy()
+        fp = g.column("fp").to_numpy()
+        order = np.lexsort((did, segv, seg))
+        seg, segv, did, fp = seg[order], segv[order], did[order], fp[order]
+        new = np.concatenate(
+            ([True], (seg[1:] != seg[:-1]) | (segv[1:] != segv[:-1])))
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(did)))
+        a_out, b_out, h_out = [], [], []
+        for s, sz in zip(starts[sizes > 1], sizes[sizes > 1]):
+            ids_r, fp_r = did[s:s + sz], fp[s:s + sz]
+            ia, ib = np.triu_indices(int(sz), k=1)
+            keep = ids_r[ia] != ids_r[ib]
+            ia, ib = ia[keep], ib[keep]
+            if not len(ia):
+                continue
+            x = fp_r[ia] ^ fp_r[ib]
+            ham = np.zeros(len(x), np.int64)
+            while x.any():
+                ham += (x & np.uint64(1)).astype(np.int64)
+                x = x >> np.uint64(1)
+            m = ham <= max_hamming
+            if m.any():
+                a_out.append(ids_r[ia[m]])
+                b_out.append(ids_r[ib[m]])
+                h_out.append(ham[m])
+        if not a_out:
+            return pa.table({"ida": pa.array([], pa.int64()),
+                             "idb": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        return pa.table({
+            "ida": pa.array(np.concatenate(a_out), pa.int64()),
+            "idb": pa.array(np.concatenate(b_out), pa.int64()),
+            "hamming": pa.array(np.concatenate(h_out), pa.int64())})
 
     pairs = fp_ds.map_batches(seg_rows, batch_format="pyarrow").groupby(
-        ["seg", "segv"]).map_groups(seg_pairs, batch_format="pyarrow")
+        "bkt").map_groups(seg_pairs, batch_format="pyarrow")
     rows = {(r["ida"], r["idb"]): r["hamming"] for r in pairs.take_all()}
     keys = sorted(rows)
     return pa.table({

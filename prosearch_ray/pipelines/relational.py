@@ -70,21 +70,46 @@ def seed_backfill(sf_dir: str) -> pa.Table:
     })
 
 
-def upsert_last_wins(sf_dir: str) -> "rd.Dataset":
+def upsert_last_wins(sf_dir: str, n_buckets: int = 256) -> "rd.Dataset":
     """Last-write-wins per key (D3; TantivyCommitter delete-then-insert):
-    per customer keep the latest order by (o_orderdate, o_orderkey)."""
-    orders = read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+    per customer keep the latest order by (o_orderdate, o_orderkey).
 
-    def latest(group: pa.Table) -> pa.Table:
-        dates = group.column("o_orderdate").to_numpy()
-        keys = group.column("o_orderkey").to_numpy()
-        i = int(np.lexsort((keys, dates))[-1])
+    Scale shape: map-side per-batch winners first (one candidate row per
+    key per batch), then a BOUNDED ``hash(key) % n_buckets`` exchange with
+    one vectorized last-per-key pass per bucket — never a Python UDF call
+    per key (key count is unbounded; bucket count is not)."""
+    from prosearch_ray.pipelines.dedup import _mix64
+
+    orders = read(sf_dir, "orders",
+                  columns=["o_custkey", "o_orderkey", "o_orderdate"])
+    nb = np.uint64(n_buckets)
+
+    def _last_per_key(t: pa.Table) -> pa.Table:
+        cust = t.column("o_custkey").to_numpy()
+        dates = t.column("o_orderdate").to_numpy()
+        keys = t.column("o_orderkey").to_numpy()
+        order = np.lexsort((keys, dates, cust))
+        c_s = cust[order]
+        last = np.concatenate((c_s[1:] != c_s[:-1], [True]))
+        idx = order[last]
         return pa.table({
-            "o_custkey": group.column("o_custkey").slice(i, 1),
-            "o_orderkey": group.column("o_orderkey").slice(i, 1),
+            "o_custkey": pa.array(cust[idx]),
+            "o_orderkey": pa.array(keys[idx]),
+            "o_orderdate": pa.array(dates[idx]),
         })
 
-    return orders.groupby("o_custkey").map_groups(latest, batch_format="pyarrow")
+    def combine(t: pa.Table) -> pa.Table:
+        t = _last_per_key(t)
+        return t.append_column(
+            "bkt", pa.array((_mix64(
+                t.column("o_custkey").to_numpy().astype(np.int64)) % nb
+            ).astype(np.int64), pa.int64()))
+
+    def bucket_last(g: pa.Table) -> pa.Table:
+        return _last_per_key(g).select(["o_custkey", "o_orderkey"])
+
+    return orders.map_batches(combine, batch_format="pyarrow").groupby(
+        "bkt").map_groups(bucket_last, batch_format="pyarrow")
 
 
 def tpch_q1(sf_dir: str) -> "rd.Dataset":
@@ -303,24 +328,55 @@ def quota_filter(sf_dir: str, limit: int = 20) -> "rd.Dataset":
         "source").map_groups(head_per_group, batch_format="pyarrow")
 
 
-def user_sessions(sf_dir: str, gap_minutes: int = 30) -> "rd.Dataset":
+def user_sessions(sf_dir: str, gap_minutes: int = 30,
+                  n_buckets: int = 256) -> "rd.Dataset":
     """Sessionization over the events stream table (the streaming-shaped
     workload pattern: partition by key, sort by ts within the group, derive
     sessions from gaps > ``gap_minutes``): per user, number of sessions and
-    events."""
+    events.
+
+    Scale shape: the shuffle key is ``hash(user) % n_buckets`` — a BOUNDED
+    group count — not the user id itself (per-user groups mean one Python
+    UDF call per user: millions of calls at event-stream scale, the
+    cross-shard-dedup lesson).  Each bucket resolves every contained user
+    vectorized: one lexsort over (user, ts), session starts where the user
+    changes or the gap exceeds the threshold, per-user rollup by
+    ``reduceat``."""
+    from prosearch_ray.pipelines.dedup import _mix64
+
     ev = read(sf_dir, "events", columns=["user_id", "ts"])
     gap_us = gap_minutes * 60 * 1_000_000
+    nb = np.uint64(n_buckets)
 
-    def sessions(g: pa.Table) -> pa.Table:
-        ts = np.sort(g.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64))
-        n_sessions = 1 + int((np.diff(ts) > gap_us).sum()) if len(ts) else 0
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy()
+        return t.append_column(
+            "bkt", pa.array((_mix64(uid) % nb).astype(np.int64), pa.int64()))
+
+    def bucket_sessions(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy()
+        if not len(uid):
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_sessions": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64())})
+        ts = g.column("ts").to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, uid))
+        u, t2 = uid[order], ts[order]
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        gap = np.concatenate(([True], (t2[1:] - t2[:-1]) > gap_us))
+        starts = np.flatnonzero(new_user)
+        n_events = np.diff(np.append(starts, len(u)))
+        n_sessions = np.add.reduceat(
+            (new_user | gap).astype(np.int64), starts)
         return pa.table({
-            "user_id": pa.array([g.column("user_id")[0].as_py()], pa.int64()),
-            "n_sessions": pa.array([n_sessions], pa.int64()),
-            "n_events": pa.array([len(ts)], pa.int64()),
+            "user_id": pa.array(u[starts], pa.int64()),
+            "n_sessions": pa.array(n_sessions, pa.int64()),
+            "n_events": pa.array(n_events, pa.int64()),
         })
 
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+    return ev.map_batches(tag, batch_format="pyarrow").groupby(
+        "bkt").map_groups(bucket_sessions, batch_format="pyarrow")
 
 
 def asof_last_event(sf_dir: str) -> "rd.Dataset":
