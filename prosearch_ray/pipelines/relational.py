@@ -384,15 +384,22 @@ def asof_last_event(sf_dir: str) -> "rd.Dataset":
     order, the latest event of that customer with ts <= o_orderdate
     (ties on ts broken by max event_id; -1 when no prior event).
 
-    Pattern (per the guide): tag both sides, ONE co-grouping shuffle on the
-    key, and a sorted searchsorted lookup inside each group — the
-    bucketed-merge_asof shape that scales to range joins."""
+    Pattern (per the guide): tag both sides, ONE co-grouping shuffle on
+    ``hash(key) % n_buckets`` — a BOUNDED group count (per-key groups mean
+    one Python UDF call per key at corpus scale) — then per-key segments
+    resolve inside each bucket with the sorted searchsorted lookup."""
+    from prosearch_ray.pipelines.dedup import _mix64
+
     orders = read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
     events = read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    nb = np.uint64(256)
 
     def tag_orders(t: pa.Table) -> pa.Table:
+        key = pc.cast(t.column("o_custkey"), pa.int64())
         return pa.table({
-            "key": pc.cast(t.column("o_custkey"), pa.int64()),
+            "bkt": pa.array((_mix64(key.to_numpy()) % nb).astype(np.int64),
+                            pa.int64()),
+            "key": key,
             "kind": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
             "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
             "ts": pc.cast(t.column("o_orderdate"), pa.timestamp("us")),
@@ -400,8 +407,11 @@ def asof_last_event(sf_dir: str) -> "rd.Dataset":
         })
 
     def tag_events(t: pa.Table) -> pa.Table:
+        key = pc.cast(t.column("user_id"), pa.int64())
         return pa.table({
-            "key": pc.cast(t.column("user_id"), pa.int64()),
+            "bkt": pa.array((_mix64(key.to_numpy()) % nb).astype(np.int64),
+                            pa.int64()),
+            "key": key,
             "kind": pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
             "o_orderkey": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
             "ts": pc.cast(t.column("ts"), pa.timestamp("us")),
@@ -411,34 +421,46 @@ def asof_last_event(sf_dir: str) -> "rd.Dataset":
     both = orders.map_batches(tag_orders, batch_format="pyarrow").union(
         events.map_batches(tag_events, batch_format="pyarrow"))
 
-    def asof_group(g: pa.Table) -> pa.Table:
+    def asof_bucket(g: pa.Table) -> pa.Table:
+        key = g.column("key").to_numpy()
         kind = g.column("kind").to_numpy()
         ts = g.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
-        ev_mask = kind == 1
-        ord_mask = ~ev_mask
-        if not ord_mask.any():
+        okey = g.column("o_orderkey").to_numpy()
+        evid = g.column("event_id").to_numpy()
+        order = np.argsort(key, kind="stable")
+        key, kind, ts, okey, evid = (key[order], kind[order], ts[order],
+                                     okey[order], evid[order])
+        starts = np.flatnonzero(
+            np.concatenate(([True], key[1:] != key[:-1])))
+        ends = np.append(starts[1:], len(key))
+        out_ok, out_ck, out_last = [], [], []
+        for s, e in zip(starts, ends):  # per-key segments, numpy inside
+            km = kind[s:e] == 1
+            odates = ts[s:e][~km]
+            if not len(odates):
+                continue
+            ev_ts, ev_id = ts[s:e][km], evid[s:e][km]
+            if len(ev_ts) == 0:
+                last = np.full(len(odates), -1, np.int64)
+            else:
+                oe = np.lexsort((ev_id, ev_ts))
+                ev_ts, ev_id = ev_ts[oe], ev_id[oe]
+                idx = np.searchsorted(ev_ts, odates, side="right") - 1
+                last = np.where(idx >= 0, ev_id[np.clip(idx, 0, None)], -1)
+            out_ok.append(okey[s:e][~km])
+            out_ck.append(np.full(len(odates), key[s], np.int64))
+            out_last.append(last)
+        if not out_ok:
             return pa.table({"o_orderkey": pa.array([], pa.int64()),
                              "o_custkey": pa.array([], pa.int64()),
                              "last_event_id": pa.array([], pa.int64())})
-        okeys = g.column("o_orderkey").to_numpy()[ord_mask]
-        odates = ts[ord_mask]
-        key = int(g.column("key")[0].as_py())
-        ev_ts = ts[ev_mask]
-        ev_id = g.column("event_id").to_numpy()[ev_mask]
-        if len(ev_ts) == 0:
-            last = np.full(len(okeys), -1, np.int64)
-        else:
-            order_ev = np.lexsort((ev_id, ev_ts))
-            ev_ts, ev_id = ev_ts[order_ev], ev_id[order_ev]
-            idx = np.searchsorted(ev_ts, odates, side="right") - 1
-            last = np.where(idx >= 0, ev_id[np.clip(idx, 0, None)], -1)
         return pa.table({
-            "o_orderkey": pa.array(okeys, pa.int64()),
-            "o_custkey": pa.array(np.full(len(okeys), key, np.int64), pa.int64()),
-            "last_event_id": pa.array(last, pa.int64()),
+            "o_orderkey": pa.array(np.concatenate(out_ok), pa.int64()),
+            "o_custkey": pa.array(np.concatenate(out_ck), pa.int64()),
+            "last_event_id": pa.array(np.concatenate(out_last), pa.int64()),
         })
 
-    return both.groupby("key").map_groups(asof_group, batch_format="pyarrow")
+    return both.groupby("bkt").map_groups(asof_bucket, batch_format="pyarrow")
 
 
 def range_join_events(sf_dir: str, window_days: int = 7) -> "rd.Dataset":
@@ -446,18 +468,24 @@ def range_join_events(sf_dir: str, window_days: int = 7) -> "rd.Dataset":
     customer's events with ts in [o_orderdate, o_orderdate + window).
 
     Same bucketed shape as ``asof_last_event``: tag both sides, ONE
-    co-grouping shuffle on the customer key (groups are bounded by
-    events-per-user), then two vectorized searchsorted probes per group
-    give each order its event interval; sums come from one cumsum.  No
-    all-pairs expansion, no driver-side materialization."""
+    co-grouping shuffle on ``hash(key) % n_buckets`` (bounded group count),
+    per-key segments inside each bucket with two searchsorted probes per
+    segment; sums come from one cumsum.  No all-pairs expansion, no
+    driver-side materialization."""
+    from prosearch_ray.pipelines.dedup import _mix64
+
     orders = read(sf_dir, "orders", columns=["o_custkey", "o_orderkey",
                                              "o_orderdate"])
     events = read(sf_dir, "events", columns=["user_id", "ts", "value"])
     window_us = np.int64(window_days) * 86_400_000_000
+    nb = np.uint64(256)
 
     def tag_orders(t: pa.Table) -> pa.Table:
+        key = pc.cast(t.column("o_custkey"), pa.int64())
         return pa.table({
-            "key": pc.cast(t.column("o_custkey"), pa.int64()),
+            "bkt": pa.array((_mix64(key.to_numpy()) % nb).astype(np.int64),
+                            pa.int64()),
+            "key": key,
             "kind": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
             "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
             "ts": pc.cast(t.column("o_orderdate"), pa.timestamp("us")),
@@ -465,8 +493,11 @@ def range_join_events(sf_dir: str, window_days: int = 7) -> "rd.Dataset":
         })
 
     def tag_events(t: pa.Table) -> pa.Table:
+        key = pc.cast(t.column("user_id"), pa.int64())
         return pa.table({
-            "key": pc.cast(t.column("user_id"), pa.int64()),
+            "bkt": pa.array((_mix64(key.to_numpy()) % nb).astype(np.int64),
+                            pa.int64()),
+            "key": key,
             "kind": pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
             "o_orderkey": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
             "ts": pc.cast(t.column("ts"), pa.timestamp("us")),
@@ -476,49 +507,87 @@ def range_join_events(sf_dir: str, window_days: int = 7) -> "rd.Dataset":
     both = orders.map_batches(tag_orders, batch_format="pyarrow").union(
         events.map_batches(tag_events, batch_format="pyarrow"))
 
-    def range_group(g: pa.Table) -> pa.Table:
+    def range_bucket(g: pa.Table) -> pa.Table:
+        key = g.column("key").to_numpy()
         kind = g.column("kind").to_numpy()
         ts = g.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
-        ev_mask = kind == 1
-        ord_mask = ~ev_mask
-        if not ord_mask.any():
+        okey = g.column("o_orderkey").to_numpy()
+        val = g.column("value").to_numpy()
+        order = np.argsort(key, kind="stable")
+        key, kind, ts, okey, val = (key[order], kind[order], ts[order],
+                                    okey[order], val[order])
+        starts = np.flatnonzero(
+            np.concatenate(([True], key[1:] != key[:-1])))
+        ends = np.append(starts[1:], len(key))
+        out_ok, out_n, out_v = [], [], []
+        for s, e in zip(starts, ends):  # per-key segments, numpy inside
+            km = kind[s:e] == 1
+            odates = ts[s:e][~km]
+            if not len(odates):
+                continue
+            ev_ts, ev_val = ts[s:e][km], val[s:e][km]
+            oe = np.argsort(ev_ts, kind="stable")
+            ev_ts, ev_val = ev_ts[oe], ev_val[oe]
+            lo = np.searchsorted(ev_ts, odates, side="left")
+            hi = np.searchsorted(ev_ts, odates + window_us, side="left")
+            cs = np.concatenate(([0.0], np.cumsum(ev_val)))
+            out_ok.append(okey[s:e][~km])
+            out_n.append(hi - lo)
+            out_v.append(cs[hi] - cs[lo])
+        if not out_ok:
             return pa.table({"o_orderkey": pa.array([], pa.int64()),
                              "n_events_7d": pa.array([], pa.int64()),
                              "value_sum_7d": pa.array([], pa.float64())})
-        okeys = g.column("o_orderkey").to_numpy()[ord_mask]
-        odates = ts[ord_mask]
-        ev_ts = ts[ev_mask]
-        ev_val = g.column("value").to_numpy()[ev_mask]
-        order_ev = np.argsort(ev_ts, kind="stable")
-        ev_ts, ev_val = ev_ts[order_ev], ev_val[order_ev]
-        lo = np.searchsorted(ev_ts, odates, side="left")
-        hi = np.searchsorted(ev_ts, odates + window_us, side="left")
-        cs = np.concatenate(([0.0], np.cumsum(ev_val)))
         return pa.table({
-            "o_orderkey": pa.array(okeys, pa.int64()),
-            "n_events_7d": pa.array(hi - lo, pa.int64()),
-            "value_sum_7d": pa.array(sql_round(cs[hi] - cs[lo], 4),
-                                     pa.float64()),
+            "o_orderkey": pa.array(np.concatenate(out_ok), pa.int64()),
+            "n_events_7d": pa.array(np.concatenate(out_n), pa.int64()),
+            "value_sum_7d": pa.array(
+                sql_round(np.concatenate(out_v), 4), pa.float64()),
         })
 
-    return both.groupby("key").map_groups(range_group, batch_format="pyarrow")
+    return both.groupby("bkt").map_groups(range_bucket, batch_format="pyarrow")
 
 
-def topk_per_group(sf_dir: str, k: int = 3) -> "rd.Dataset":
+def topk_per_group(sf_dir: str, k: int = 3, n_buckets: int = 256
+                   ) -> "rd.Dataset":
     """Windowed rank — top-k orders by price per customer (the per-group
-    head that quota/fairness surfaces need).  One bounded-group shuffle on
-    the customer key; rank computed vectorized inside each group."""
+    head that quota/fairness surfaces need).  One BOUNDED
+    ``hash(key) % n_buckets`` shuffle (never a group per key), then the
+    rank-within-key is one vectorized lexsort + segment-relative arange
+    per bucket."""
+    from prosearch_ray.pipelines.dedup import _mix64
+
     orders = read(sf_dir, "orders",
                   columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    nb = np.uint64(n_buckets)
 
-    def head(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("o_totalprice", "descending"),
-                       ("o_orderkey", "ascending")]).slice(0, k)
-        return g.append_column(
-            "rnk", pa.array(np.arange(1, g.num_rows + 1), pa.int64()))
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bkt", pa.array((_mix64(
+                t.column("o_custkey").to_numpy().astype(np.int64)) % nb
+            ).astype(np.int64), pa.int64()))
 
-    return orders.groupby("o_custkey").map_groups(
-        head, batch_format="pyarrow")
+    def head_bucket(g: pa.Table) -> pa.Table:
+        cust = g.column("o_custkey").to_numpy()
+        okey = g.column("o_orderkey").to_numpy()
+        price = g.column("o_totalprice").to_numpy()
+        order = np.lexsort((okey, -price, cust))
+        c_s = cust[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], c_s[1:] != c_s[:-1])))
+        sizes = np.diff(np.append(starts, len(c_s)))
+        rnk = np.arange(len(c_s)) - np.repeat(starts, sizes) + 1
+        keep = rnk <= k
+        idx = order[keep]
+        return pa.table({
+            "o_custkey": pa.array(cust[idx]),
+            "o_orderkey": pa.array(okey[idx]),
+            "o_totalprice": pa.array(price[idx]),
+            "rnk": pa.array(rnk[keep], pa.int64()),
+        })
+
+    return orders.map_batches(tag, batch_format="pyarrow").groupby(
+        "bkt").map_groups(head_bucket, batch_format="pyarrow")
 
 
 def percentile_stats(sf_dir: str, ps=(50, 90, 99)) -> pa.Table:
