@@ -365,6 +365,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          textstats, trainprep)
 
     return {
+        # --- entries the round-3 driver run did not reach (it graded the
+        # first 50 of 56) come FIRST so every operator gets the hard
+        # CORRECTNESS signal; relative order within the groups below is
+        # otherwise unchanged.
+        "fingerprint": textstats.fingerprint,
+        "repetition_stats": textstats.repetition_stats,
+        "percentile_stats": relational.percentile_stats,
+        # multimodal plumbing (stub decode kernel)
+        "media_features": multimodal.media_features,
+        # multimodal REAL byte-level decode + transforms (pure stdlib+numpy
+        # BMP/PNG/WAV/FRAMESEQ codecs; stats exactly predicted by the
+        # synthesis rule, so the oracle catches any mis-parsed pixel)
+        "media_decode": multimodal.media_decode,
+        "media_transform": multimodal.media_transform,
         # relational / crawl-state analogs (SURVEY.md §2.5-2.8)
         "stats_rollup": relational.stats_rollup,
         "per_lang_count": relational.per_lang_count,
@@ -430,16 +444,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "lang_id": textstats.lang_id,
         "quality_score": textstats.quality_score,
-        "fingerprint": textstats.fingerprint,
-        "repetition_stats": textstats.repetition_stats,
-        "percentile_stats": relational.percentile_stats,
-        # multimodal plumbing (stub decode kernel)
-        "media_features": multimodal.media_features,
-        # multimodal REAL byte-level decode + transforms (pure stdlib+numpy
-        # BMP/PNG/WAV/FRAMESEQ codecs; stats exactly predicted by the
-        # synthesis rule, so the oracle catches any mis-parsed pixel)
-        "media_decode": multimodal.media_decode,
-        "media_transform": multimodal.media_transform,
     }
 
 
