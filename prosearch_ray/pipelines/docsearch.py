@@ -12,7 +12,6 @@ brute-force oracle in tests/test_conformance.py instead.
 from __future__ import annotations
 
 import hashlib
-from collections import Counter
 from typing import Sequence, Tuple
 
 import numpy as np
@@ -25,7 +24,6 @@ from ray.data.aggregate import Count, Min, Sum
 from prosearch_ray.index.scoring import B, K1
 from prosearch_ray.pipelines.common import read, sql_round
 from prosearch_ray.state.broadcast import bget, bput
-from prosearch_ray.text.tokenizer import simple_tokenize
 
 # Fixed query for the SQL-checked BM25 pipeline (both terms exist in the
 # synthetic documents vocabulary).
@@ -33,32 +31,38 @@ BM25_QUERY_TERMS: Tuple[str, ...] = ("table", "hash")
 BM25_K = 10
 
 
+def _split_doc_tokens(text_col) -> Tuple[pa.Array, np.ndarray, int]:
+    """Vectorized simple_tokenize over a batch column: Arrow lower +
+    regex-split on non-[a-z0-9] runs (same token set as simple_tokenize for
+    ASCII — pinned by the SQL oracles).  Returns (flat non-empty token
+    array, doc index per token, n_docs).  No Python loop over rows."""
+    split = pc.split_pattern_regex(pc.utf8_lower(text_col), "[^a-z0-9]+")
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    counts = np.diff(split.offsets.to_numpy().astype(np.int64))
+    flat = split.flatten()
+    doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    return flat.filter(pa.array(keep)), doc_of[keep], len(counts)
+
+
 def term_df(sf_dir: str, limit: int = 100) -> pa.Table:
     """Top terms by document frequency (A5 df statistics analog).
 
     Scale pattern: per-batch partial df (set-of-terms per doc, then a
-    within-batch combiner) -> small groupby(term).sum -> top-k."""
+    within-batch combiner) -> small groupby(term).sum -> per-block local
+    top-k over the aggregated dataset -> tiny driver merge of <= limit rows
+    per block.  The vocabulary-sized aggregate never reaches the driver
+    (code-corpus vocabulary at 100 TB is billions of terms)."""
     docs = read(sf_dir, "documents", columns=["text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        """Vectorized per-batch partial df: Arrow lower+regex-split (same
-        token set as simple_tokenize for ASCII — pinned by the SQL oracle),
-        then per-doc distinct via one packed-key np.unique; no Python loop
+        """Per-doc distinct via one packed-key np.unique; no Python loop
         over rows or tokens."""
-        import numpy as np
-        import pyarrow.compute as pc
-
-        split = pc.split_pattern_regex(
-            pc.utf8_lower(t.column("text")), "[^a-z0-9]+")
-        if isinstance(split, pa.ChunkedArray):
-            split = split.combine_chunks()
-        counts = np.diff(split.offsets.to_numpy().astype(np.int64))
-        flat = split.flatten()
-        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        denc = flat.filter(pa.array(keep)).dictionary_encode()
+        flat, doc_of, _ = _split_doc_tokens(t.column("text"))
+        denc = flat.dictionary_encode()
         tid = denc.indices.to_numpy().astype(np.int64)
-        packed = (doc_of[keep] << np.int64(32)) | tid
+        packed = (doc_of << np.int64(32)) | tid
         dist_tid = (np.unique(packed) & np.int64(0xFFFFFFFF))
         df_part = np.bincount(dist_tid, minlength=len(denc.dictionary))
         return pa.table({
@@ -67,12 +71,22 @@ def term_df(sf_dir: str, limit: int = 100) -> pa.Table:
 
     agg = docs.map_batches(partial, batch_format="pyarrow").groupby(
         "term").aggregate(Sum("df_part", alias_name="df"))
-    rows = agg.take_all()
-    rows.sort(key=lambda r: (-r["df"], r["term"]))
-    rows = rows[:limit]
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        df = pc.cast(t.column("df"), pa.int64())
+        t = pa.table({"term": t.column("term"), "df": df})
+        if t.num_rows <= limit:
+            return t
+        idx = pc.sort_indices(t, sort_keys=[("df", "descending"),
+                                            ("term", "ascending")])
+        return t.take(idx[:limit])
+
+    cand = agg.map_batches(local_topk, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: (-r["df"], r["term"]))
+    cand = cand[:limit]
     return pa.table({
-        "term": pa.array([r["term"] for r in rows], pa.string()),
-        "df": pa.array([int(r["df"]) for r in rows], pa.int64()),
+        "term": pa.array([r["term"] for r in cand], pa.string()),
+        "df": pa.array([int(r["df"]) for r in cand], pa.int64()),
     })
 
 
@@ -81,7 +95,8 @@ def token_counts(sf_dir: str) -> "rd.Dataset":
     docs = read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
-        n = [len(simple_tokenize(x)) for x in t.column("text").to_pylist()]
+        _, doc_of, n_docs = _split_doc_tokens(t.column("text"))
+        n = np.bincount(doc_of, minlength=n_docs)
         return pa.table({"doc_id": t.column("doc_id"),
                          "n_tokens": pa.array(n, pa.int64())})
 
@@ -106,22 +121,20 @@ def bm25_topk(sf_dir: str, terms: Sequence[str] = BM25_QUERY_TERMS,
     docs = read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def tf_batch(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        out = {"doc_id": [], "dl": []}
-        tf_cols = {f"tf_{i}": [] for i in range(len(terms))}
-        for doc_id, text in zip(ids, t.column("text").to_pylist()):
-            toks = simple_tokenize(text)
-            c = Counter(toks)
-            out["doc_id"].append(doc_id)
-            out["dl"].append(len(toks))
-            for i, term in enumerate(terms):
-                tf_cols[f"tf_{i}"].append(c.get(term, 0))
-        tbl = pa.table({
-            "doc_id": pa.array(out["doc_id"], pa.int64()),
-            "dl": pa.array(out["dl"], pa.int64()),
-            **{name: pa.array(vals, pa.int64()) for name, vals in tf_cols.items()},
-        })
-        return tbl
+        """Vectorized per-doc query-term tf + doc length: one Arrow split,
+        then a bincount per query term (query term count is tiny and fixed;
+        no Python loop over rows)."""
+        flat, doc_of, n_docs = _split_doc_tokens(t.column("text"))
+        dl = np.bincount(doc_of, minlength=n_docs)
+        cols = {
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "dl": pa.array(dl, pa.int64()),
+        }
+        for i, term in enumerate(terms):
+            hit = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            tf = np.bincount(doc_of[hit], minlength=n_docs)
+            cols[f"tf_{i}"] = pa.array(tf, pa.int64())
+        return pa.table(cols)
 
     tf_ds = docs.map_batches(tf_batch, batch_format="pyarrow")
 
