@@ -2,12 +2,14 @@
 actually runs over raw documents: near-duplicate KEEPER filter + quality
 gate + language gate, emitting the clean training subset.
 
-Scale shape: the three per-doc signals fuse into ONE ``map_batches`` pass
-(no per-signal re-read, no doc-level join); the only cross-doc state is the
-non-keeper id set from the dedup clustering, which is the near-dup LOSER
-list — orders of magnitude smaller than the corpus — broadcast once via the
-object store.  Every predicate is SQL-expressible, so the whole composition
-is exact-checked against DuckDB by the driver."""
+Scale shape: the two per-doc signals fuse into ONE ``map_batches`` pass
+(no per-signal re-read, no doc-level join); the near-dup LOSER list from
+the dedup clustering stays a participants-only DATASET end-to-end and is
+applied to the (already heavily gated, text-free) survivor rows — broadcast
+once through the object store while it is small, else as one bounded-bucket
+hash anti-join on doc_id.  No corpus-sized driver table on any path.  Every
+predicate is SQL-expressible, so the whole composition is exact-checked
+against DuckDB by the driver."""
 
 from __future__ import annotations
 
@@ -17,21 +19,25 @@ import pyarrow as pa
 import ray.data as rd
 
 from prosearch_ray.pipelines.common import read, sql_round
-from prosearch_ray.pipelines.dedup import dedup_clusters
 from prosearch_ray.state.broadcast import bget, bput
 
 DEFAULT_MIN_TTR = 0.5
 DEFAULT_LANGS = ("de", "en", "es", "fr")
+# broadcast the non-keeper id set into the gate stage while it is this many
+# rows; above it the dup filter runs as a bounded-bucket hash anti-join
+CLEAN_BCAST_MAX_NON_KEEPERS = 4_000_000
+CLEAN_ANTI_JOIN_BUCKETS = 64
 
 
 class _CurateStage:
     """Actor-pool stage: marker lexicons built once; per batch computes
     language prediction + type-token ratio (both vectorized — one Arrow
-    tokenize pass feeds the textstats kernels) and applies all three gates
-    as numpy masks."""
+    tokenize pass feeds the textstats kernels) and applies the language +
+    quality gates as numpy masks.  The near-dup gate is applied AFTER this
+    stage, on the text-free survivor rows (so the anti-join never shuffles
+    document payloads)."""
 
-    def __init__(self, non_keepers_ref, min_ttr: float, keep_langs):
-        self.non_keepers = bget(non_keepers_ref)  # sorted int64 ids
+    def __init__(self, min_ttr: float, keep_langs):
         self.min_ttr = float(min_ttr)
         self.keep_langs = sorted(keep_langs)
 
@@ -41,14 +47,12 @@ class _CurateStage:
         from prosearch_ray.pipelines.trainprep import _split_tokens
 
         ids = t.column("doc_id").to_numpy()
-        dup = np.isin(ids, self.non_keepers, assume_unique=True)
         pre = _split_tokens(t.column("text"))
         pred, _, n_tok, _, _ = _lang_scores(t.column("text"), pre=pre)
         _, _, _, _, n_uniq = _doc_token_stats(t.column("text"), pre=pre)
         nz = np.maximum(1, n_tok).astype(np.float64)
         ttr = sql_round(np.where(n_tok > 0, n_uniq / nz, 0.0), 4)
-        keep = (~dup
-                & np.isin(pred.astype(object), self.keep_langs)
+        keep = (np.isin(pred.astype(object), self.keep_langs)
                 & (ttr >= self.min_ttr))
         return pa.table({
             "doc_id": pa.array(ids[keep], pa.int64()),
@@ -58,16 +62,69 @@ class _CurateStage:
 
 
 def clean_corpus(sf_dir: str, min_ttr: float = DEFAULT_MIN_TTR,
-                 keep_langs=DEFAULT_LANGS) -> "rd.Dataset":
-    clusters = dedup_clusters(sf_dir)
-    keep_mask = clusters.column("is_keeper").to_numpy(zero_copy_only=False)
-    non_keepers = np.sort(
-        clusters.column("doc_id").to_numpy()[~keep_mask]).astype(np.int64)
-    ref = bput(non_keepers)
+                 keep_langs=DEFAULT_LANGS,
+                 bcast_max: int = CLEAN_BCAST_MAX_NON_KEEPERS,
+                 n_buckets: int = CLEAN_ANTI_JOIN_BUCKETS) -> "rd.Dataset":
+    from prosearch_ray.pipelines.dedup import _mix64, non_keepers_ds
+
+    nk = non_keepers_ds(sf_dir).materialize()
     docs = read(sf_dir, "documents", columns=["doc_id", "text"])
-    return docs.map_batches(
-        _CurateStage, fn_constructor_args=(ref, min_ttr, tuple(keep_langs)),
+    survivors = docs.map_batches(
+        _CurateStage, fn_constructor_args=(min_ttr, tuple(keep_langs)),
         batch_format="pyarrow", concurrency=2, num_cpus=1)
+
+    if nk.count() <= bcast_max:
+        ids = np.sort(np.concatenate(
+            [t.column("doc_id").to_numpy() for t in
+             nk.iter_batches(batch_format="pyarrow")] or
+            [np.array([], np.int64)]).astype(np.int64))
+        ref = bput(ids)
+
+        def drop_dups(t: pa.Table) -> pa.Table:
+            non_keepers = bget(ref)
+            keep = ~np.isin(t.column("doc_id").to_numpy(), non_keepers,
+                            assume_unique=True)
+            return t.filter(pa.array(keep))
+
+        return survivors.map_batches(drop_dups, batch_format="pyarrow")
+
+    # bounded-bucket hash anti-join: survivor rows (kind=1) and non-keeper
+    # rows (kind=0) meet in hash(doc_id) % n_buckets groups; one np.isin per
+    # bucket, group count fixed — no corpus-scale broadcast or driver set.
+    nb = np.uint64(n_buckets)
+
+    def surv_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array((_mix64(ids) % nb).astype(np.int64), pa.int64()),
+            "kind": pa.array(np.ones(len(ids), np.int8), pa.int8()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "pred_lang": t.column("pred_lang"),
+            "ttr": t.column("ttr"),
+        })
+
+    def nk_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array((_mix64(ids) % nb).astype(np.int64), pa.int64()),
+            "kind": pa.array(np.zeros(len(ids), np.int8), pa.int8()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "pred_lang": pa.array([None] * len(ids), pa.string()),
+            "ttr": pa.array(np.zeros(len(ids)), pa.float64()),
+        })
+
+    def anti(g: pa.Table) -> pa.Table:
+        kind = g.column("kind").to_numpy()
+        ids = g.column("doc_id").to_numpy()
+        drop = np.unique(ids[kind == 0])
+        sm = kind == 1
+        keep = sm & ~np.isin(ids, drop)
+        g = g.filter(pa.array(keep))
+        return g.select(["doc_id", "pred_lang", "ttr"])
+
+    both = survivors.map_batches(surv_rows, batch_format="pyarrow").union(
+        nk.map_batches(nk_rows, batch_format="pyarrow"))
+    return both.groupby("bkt").map_groups(anti, batch_format="pyarrow")
 
 
 DECON_N = 3         # token n-gram width (real pipelines use ~13; the bench

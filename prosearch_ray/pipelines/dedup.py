@@ -15,6 +15,7 @@ from typing import Dict, Set
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 from ray.data.aggregate import Count
@@ -766,7 +767,7 @@ CLUSTER_DRIVER_MAX_PAIRS = 1_000_000
 
 
 def _propagate_min_labels(pairs_ds: "rd.Dataset",
-                          n_buckets: int = VERIFY_BUCKETS) -> pa.Table:
+                          n_buckets: int = VERIFY_BUCKETS) -> "rd.Dataset":
     """Distributed connected components over an (ida, idb) edge Dataset:
     iterative HASH-MIN label propagation.  Each round is two bounded
     co-grouping exchanges on hash(vertex) % n_buckets — (1) edges pick up
@@ -774,8 +775,9 @@ def _propagate_min_labels(pairs_ds: "rd.Dataset",
     old label and incoming candidates — and converges in O(component
     diameter) rounds (near-dup clusters are shallow).  Only PAIR
     PARTICIPANTS carry label rows; the corpus never enters the loop.
-    Returns the (v, lbl) table of participants (lbl = min doc_id of the
-    component, the union-find convention)."""
+    Returns the (v, lbl) DATASET of participants (lbl = min doc_id of the
+    component, the union-find convention) — never materialized on the
+    driver, so the participant set may be corpus-scale."""
     nb = np.uint64(n_buckets)
 
     def to_edges(t: pa.Table) -> pa.Table:
@@ -932,29 +934,26 @@ def _propagate_min_labels(pairs_ds: "rd.Dataset",
             break
     else:  # unreachable for any graph smaller than 2^64 vertices
         raise RuntimeError("min-label propagation did not converge")
-    out = pa.concat_tables(list(labels.select_columns(
-        ["v", "lbl"]).iter_batches(batch_format="pyarrow")))
-    return out
+    return labels.select_columns(["v", "lbl"])
 
 
-def dedup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD,
-                   driver_max_pairs: int = CLUSTER_DRIVER_MAX_PAIRS
-                   ) -> pa.Table:
-    """Near-dup CLUSTER assignment — the "keep one per duplicate group"
-    step of a training-data pipeline: connected components over the
-    MinHash-verified exact-Jaccard pair set, labeling every doc with the
-    smallest doc_id reachable from it (singletons label themselves) and a
-    keeper flag.
+# broadcast the participant (v, lbl) mapping into the corpus-labeling map
+# while it is this many rows; above it the labeling runs as a bounded-bucket
+# co-group join (participants can approach corpus scale when duplication is
+# heavy, and a corpus-scale broadcast re-ships per worker)
+CLUSTER_BCAST_MAX_PARTICIPANTS = 4_000_000
 
-    Scale shape: the candidate/verify stages are the distributed
-    ``minhash_pairs_ds`` path (no all-pairs scan, no driver pair state);
-    components resolve with driver union-find only while the pair list is
-    one task's worth of ints (<= ``driver_max_pairs``), else with
-    DISTRIBUTED iterative hash-min label propagation over the pair Dataset
-    (``_propagate_min_labels`` — two bounded exchanges per round,
-    O(component diameter) rounds, participants-only label table).  The
-    final corpus pass maps every doc to its label (broadcast
-    participants-only table, streaming ``map_batches``)."""
+
+def _dup_labels_ds(sf_dir: str, threshold: float,
+                   driver_max_pairs: int) -> "rd.Dataset":
+    """Participants-only (v, lbl) label Dataset for the near-dup components,
+    NON-KEEPER rows only (lbl != v, the union-find ``parent`` convention).
+
+    Pair lists up to ``driver_max_pairs`` resolve with driver union-find
+    (one task's worth of ints — the labels then enter the object store via
+    ``from_arrow``); larger pair sets never touch the driver: distributed
+    hash-min label propagation (``_propagate_min_labels``) filtered to
+    non-keeper rows as a streaming map."""
     pairs_ds = minhash_pairs_ds(sf_dir, threshold=threshold).materialize()
     n_pairs = pairs_ds.count()
 
@@ -978,33 +977,139 @@ def dedup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD,
                     parent[hi] = lo
         part_v = np.array(sorted(parent), dtype=np.int64)
         part_l = np.array([find(int(x)) for x in part_v], dtype=np.int64)
-    else:
-        lbl_tbl = _propagate_min_labels(pairs_ds)
+        return rd.from_arrow(pa.table({
+            "v": pa.array(part_v, pa.int64()),
+            "lbl": pa.array(part_l, pa.int64())}))
+
+    labels = _propagate_min_labels(pairs_ds)
+
+    def non_keepers(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy()
+        l = t.column("lbl").to_numpy()
+        m = l != v
+        return pa.table({"v": pa.array(v[m], pa.int64()),
+                         "lbl": pa.array(l[m], pa.int64())})
+
+    return labels.map_batches(non_keepers, batch_format="pyarrow")
+
+
+def non_keepers_ds(sf_dir: str, threshold: float = JACCARD_THRESHOLD,
+                   driver_max_pairs: int = CLUSTER_DRIVER_MAX_PAIRS
+                   ) -> "rd.Dataset":
+    """Dataset of near-dup LOSER doc_ids (docs a curation pass drops).
+    Participants-only — never corpus-sized on the driver."""
+    return _dup_labels_ds(sf_dir, threshold, driver_max_pairs) \
+        .select_columns(["v"]).rename_columns(["doc_id"])
+
+
+def dedup_clusters_ds(sf_dir: str, threshold: float = JACCARD_THRESHOLD,
+                      driver_max_pairs: int = CLUSTER_DRIVER_MAX_PAIRS,
+                      bcast_max: int = CLUSTER_BCAST_MAX_PARTICIPANTS,
+                      n_buckets: int = VERIFY_BUCKETS) -> "rd.Dataset":
+    """Near-dup CLUSTER assignment — the "keep one per duplicate group"
+    step of a training-data pipeline: connected components over the
+    MinHash-verified exact-Jaccard pair set, labeling every doc with the
+    smallest doc_id reachable from it (singletons label themselves) and a
+    keeper flag.
+
+    Scale shape: the candidate/verify stages are the distributed
+    ``minhash_pairs_ds`` path (no all-pairs scan, no driver pair state);
+    components resolve with driver union-find only while the pair list is
+    one task's worth of ints (<= ``driver_max_pairs``), else with
+    DISTRIBUTED iterative hash-min label propagation over the pair Dataset
+    (``_propagate_min_labels`` — two bounded exchanges per round,
+    O(component diameter) rounds, participants-only label Dataset).  The
+    final corpus labeling broadcasts the (small) participant mapping into a
+    streaming ``map_batches`` while it fits (<= ``bcast_max`` rows), else
+    runs as ONE bounded-bucket co-group join on hash(doc_id) % n_buckets —
+    no corpus-sized driver table on any path."""
+    labels = _dup_labels_ds(sf_dir, threshold, driver_max_pairs) \
+        .materialize()
+    docs = read(sf_dir, "documents", columns=["doc_id"])
+
+    if labels.count() <= bcast_max:
+        lbl_tbl = pa.concat_tables(
+            list(labels.iter_batches(batch_format="pyarrow")))
         v = lbl_tbl.column("v").to_numpy()
         l = lbl_tbl.column("lbl").to_numpy()
         order = np.argsort(v)
-        keepm = l[order] != v[order]  # non-keepers only, like `parent`
-        part_v, part_l = v[order][keepm], l[order][keepm]
+        ref = bput((v[order].astype(np.int64), l[order].astype(np.int64)))
 
-    ref = bput((part_v, part_l))
+        def assign(t: pa.Table) -> pa.Table:
+            pv, pl = bget(ref)
+            ids = t.column("doc_id").to_numpy()
+            cluster = ids.astype(np.int64).copy()
+            if len(pv):
+                pos = np.searchsorted(pv, ids)
+                pos_c = np.minimum(pos, len(pv) - 1)
+                hit = pv[pos_c] == ids
+                cluster[hit] = pl[pos_c[hit]]
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(cluster, pa.int64()),
+                "is_keeper": pa.array(cluster == ids, pa.bool_()),
+            })
 
-    def assign(t: pa.Table) -> pa.Table:
-        pv, pl = bget(ref)
-        ids = t.column("doc_id").to_numpy()
-        cluster = ids.astype(np.int64).copy()
-        if len(pv):
-            pos = np.searchsorted(pv, ids)
-            pos_c = np.minimum(pos, len(pv) - 1)
-            hit = pv[pos_c] == ids
-            cluster[hit] = pl[pos_c[hit]]
+        return docs.map_batches(assign, batch_format="pyarrow")
+
+    # bounded-bucket co-group join: doc rows (kind=1) + label rows (kind=0)
+    # meet in hash(doc_id) % n_buckets groups; within a bucket the lookup is
+    # one searchsorted — no per-key Python, group count fixed at n_buckets.
+    nb = np.uint64(n_buckets)
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
         return pa.table({
+            "bkt": pa.array((_mix64(ids) % nb).astype(np.int64), pa.int64()),
+            "kind": pa.array(np.ones(len(ids), np.int8), pa.int8()),
             "doc_id": pa.array(ids, pa.int64()),
-            "cluster": pa.array(cluster, pa.int64()),
-            "is_keeper": pa.array(cluster == ids, pa.bool_()),
+            "lbl": pa.array(np.full(len(ids), -1, np.int64), pa.int64()),
         })
 
-    docs = read(sf_dir, "documents", columns=["doc_id"])
-    out = pa.concat_tables(list(docs.map_batches(
-        assign, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow")))
+    def lbl_rows(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array((_mix64(v) % nb).astype(np.int64), pa.int64()),
+            "kind": pa.array(np.zeros(len(v), np.int8), pa.int8()),
+            "doc_id": pa.array(v, pa.int64()),
+            "lbl": pc.cast(t.column("lbl"), pa.int64()),
+        })
+
+    def resolve(g: pa.Table) -> pa.Table:
+        kind = g.column("kind").to_numpy()
+        ids = g.column("doc_id").to_numpy()
+        lbl = g.column("lbl").to_numpy()
+        lm = kind == 0
+        lv, ll = ids[lm], lbl[lm]
+        order = np.argsort(lv)
+        lv, ll = lv[order], ll[order]
+        d = ids[~lm]
+        cluster = d.astype(np.int64).copy()
+        if len(lv):
+            pos = np.searchsorted(lv, d)
+            pos_c = np.minimum(pos, len(lv) - 1)
+            hit = lv[pos_c] == d
+            cluster[hit] = ll[pos_c[hit]]
+        return pa.table({
+            "doc_id": pa.array(d, pa.int64()),
+            "cluster": pa.array(cluster, pa.int64()),
+            "is_keeper": pa.array(cluster == d, pa.bool_()),
+        })
+
+    both = docs.map_batches(doc_rows, batch_format="pyarrow").union(
+        labels.map_batches(lbl_rows, batch_format="pyarrow"))
+    return both.groupby("bkt").map_groups(resolve, batch_format="pyarrow")
+
+
+def dedup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD,
+                   driver_max_pairs: int = CLUSTER_DRIVER_MAX_PAIRS,
+                   bcast_max: int = CLUSTER_BCAST_MAX_PARTICIPANTS
+                   ) -> pa.Table:
+    """Materialized doc_id-sorted convenience wrapper over
+    ``dedup_clusters_ds`` — the driver-oracle/report surface.  Pipelines
+    that consume cluster labels at corpus scale use the Dataset form
+    (``dedup_clusters_ds`` / ``non_keepers_ds``) instead."""
+    out = pa.concat_tables(list(dedup_clusters_ds(
+        sf_dir, threshold=threshold, driver_max_pairs=driver_max_pairs,
+        bcast_max=bcast_max).iter_batches(batch_format="pyarrow")))
     return out.sort_by("doc_id")

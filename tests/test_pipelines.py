@@ -544,3 +544,27 @@ def test_dedup_clusters_distributed_matches_driver():
     dist = dedup_clusters(SF, driver_max_pairs=0).to_pandas()
     assert drv.equals(dist)
     assert (~drv["is_keeper"]).sum() > 0  # fixture corpus has near-dups
+
+
+def test_dedup_clusters_bucket_join_matches_broadcast():
+    """Forcing the bounded-bucket label join (bcast_max=0) must label the
+    corpus exactly like the broadcast-mapping path."""
+    from prosearch_ray.pipelines.dedup import dedup_clusters
+
+    bc = dedup_clusters(SF).to_pandas()
+    bj = dedup_clusters(SF, bcast_max=0).to_pandas()
+    assert bc.equals(bj)
+    assert (~bc["is_keeper"]).sum() > 0
+
+
+def test_clean_corpus_anti_join_matches_broadcast():
+    """Forcing the bounded-bucket hash anti-join (bcast_max=0) must keep
+    exactly the broadcast path's survivor set."""
+    from prosearch_ray.pipelines.curate import clean_corpus
+
+    key = ["doc_id", "pred_lang", "ttr"]
+    bc = clean_corpus(SF).to_pandas().sort_values(key).reset_index(drop=True)
+    aj = clean_corpus(SF, bcast_max=0).to_pandas().sort_values(
+        key).reset_index(drop=True)
+    assert bc.equals(aj)
+    assert len(bc) > 0
