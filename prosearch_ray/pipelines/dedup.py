@@ -149,10 +149,38 @@ def jaccard_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa.Table
 
 
 # ------------------------------------------------------------------- minhash
-def minhash_signatures(ds: "rd.Dataset", num_perm: int = 64,
-                       seed: int = 7) -> "rd.Dataset":
-    """Per-doc MinHash signature (vectorized): stable 64-bit shingle hashes
-    permuted by ``num_perm`` affine maps (a*h+b mod 2^61-1)."""
+def _doc_hash_lists(t: pa.Table) -> pa.Table:
+    """Per-doc DISTINCT sorted shingle-hash lists (doc_id, list<uint64>) —
+    the ONE corpus-scan kernel shared by signature derivation AND exact
+    verification (previously each stage re-read + re-shingled the corpus).
+    Each distinct shingle string is blake2b'd once per batch
+    (dictionary-encode inside ``_hash_shingles``); per-doc dedup is one
+    lexsort.  Shingle-less docs keep an empty list (signatures drop them,
+    verification treats them as empty sets — same as before the fusion)."""
+    ids = t.column("doc_id").to_numpy()
+    grams, doc_of = _doc_shingles(t.column("text"))
+    h_flat = _hash_shingles(grams)
+    order = np.lexsort((h_flat, doc_of))
+    d_s, h_s = doc_of[order], h_flat[order]
+    if len(h_s):
+        first = np.ones(len(h_s), bool)
+        first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        d_s, h_s = d_s[first], h_s[first]
+    counts = np.bincount(d_s, minlength=len(ids))
+    offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "hashes": pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(h_s, pa.uint64())),
+    })
+
+
+def _sigs_from_hash_lists(hash_ds: "rd.Dataset", num_perm: int = 64,
+                          seed: int = 7) -> "rd.Dataset":
+    """MinHash signatures from per-doc shingle-hash lists: one vectorized
+    affine-permutation pass (a*h+b mod 2^61-1) + segmented min.  min is
+    order- and multiplicity-invariant, so distinct sorted hash lists give
+    signatures identical to the raw shingle stream."""
     p = (1 << 61) - 1
     rng = np.random.default_rng(seed)
     a = rng.integers(1, p, size=num_perm, dtype=np.int64).astype(np.uint64)
@@ -163,23 +191,17 @@ def minhash_signatures(ds: "rd.Dataset", num_perm: int = 64,
         aa, bb = bget(ref)
         empty = pa.table({"doc_id": pa.array([], pa.int64()),
                           "sig": pa.array([], pa.list_(pa.uint64(), num_perm))})
-        # vectorized shingle stream (Arrow tokenize + bigram join — no
-        # per-doc Python loop); docs with <2 tokens have no shingles and
-        # are dropped, exactly as the per-doc loop did.  min is idempotent,
-        # so no per-doc SET dedup of shingles is needed.
         ids = t.column("doc_id").to_numpy()
-        grams, doc_of = _doc_shingles(t.column("text"))
-        if len(grams) == 0:
+        hcol = t.column("hashes").combine_chunks()
+        h_flat = hcol.values.to_numpy(zero_copy_only=False).astype(
+            np.uint64) % np.uint64(p)
+        if len(h_flat) == 0:
             return empty
-        counts = np.bincount(doc_of, minlength=len(ids))
+        offs = hcol.offsets.to_numpy().astype(np.int64)
+        counts = np.diff(offs)
         keep = counts > 0
-        # hash each DISTINCT shingle ONCE per batch (dictionary-encode), then
-        # one vectorized affine-permutation pass + segmented min — identical
-        # signatures to the per-shingle formula, ~df(shingle)x fewer blake2b
-        h_flat = _hash_shingles(grams) % np.uint64(p)
         perm = (h_flat[:, None] * aa[None, :] + bb[None, :]) % np.uint64(p)
-        starts = np.concatenate(
-            ([0], np.cumsum(counts[keep])))[:-1].astype(np.int64)
+        starts = offs[:-1][keep]
         sigs = np.minimum.reduceat(perm, starts, axis=0)
         return pa.table({
             "doc_id": pa.array(ids[keep], pa.int64()),
@@ -188,7 +210,16 @@ def minhash_signatures(ds: "rd.Dataset", num_perm: int = 64,
         })
 
     # modest batch size bounds the transient (n_shingles x num_perm) matrix
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=256)
+    return hash_ds.map_batches(fn, batch_format="pyarrow", batch_size=256)
+
+
+def minhash_signatures(ds: "rd.Dataset", num_perm: int = 64,
+                       seed: int = 7) -> "rd.Dataset":
+    """Per-doc MinHash signature (vectorized): stable 64-bit shingle hashes
+    permuted by ``num_perm`` affine maps (a*h+b mod 2^61-1)."""
+    return _sigs_from_hash_lists(
+        ds.map_batches(_doc_hash_lists, batch_format="pyarrow"),
+        num_perm=num_perm, seed=seed)
 
 
 def minhash_dup_pairs(sf_dir: str, num_perm: int = 64, bands: int = 16,
@@ -236,7 +267,12 @@ def minhash_pairs_ds(sf_dir: str, num_perm: int = 64, bands: int = 16,
     collision (p < 1e-11 for web-scale shingle sets)."""
     docs = read(sf_dir, "documents", columns=["doc_id", "text"])
     rows_per_band = num_perm // bands
-    sig_ds = minhash_signatures(docs, num_perm=num_perm)
+    # ONE corpus scan: per-doc distinct shingle-hash lists feed BOTH the
+    # signature derivation and (materialized in the object store) the exact
+    # verification below — the corpus text is never re-read or re-shingled.
+    hash_rows = docs.map_batches(
+        _doc_hash_lists, batch_format="pyarrow").materialize()
+    sig_ds = _sigs_from_hash_lists(hash_rows, num_perm=num_perm)
 
     def band_rows(t: pa.Table) -> pa.Table:
         """Vectorized banding: FNV-style 64-bit fold of each band's rows
@@ -355,38 +391,27 @@ def minhash_pairs_ds(sf_dir: str, num_perm: int = 64, bands: int = 16,
         })
 
     def doc_hash_rows(t: pa.Table) -> pa.Table:
-        """Per-doc DISTINCT shingle-hash rows (vectorized: each distinct
-        shingle blake2b'd once per batch via dictionary-encode, per-doc
-        dedup by one lexsort); optionally pre-filtered to candidate ids."""
+        """Re-key the precomputed per-doc hash lists (the fused corpus-scan
+        output — nothing is re-shingled here); optionally pre-filtered to
+        candidate ids."""
         ids = t.column("doc_id").to_numpy()
-        texts = t.column("text")
+        hcol = t.column("hashes").combine_chunks()
         if cand_ids_ref is not None:
             keep = np.flatnonzero(np.isin(ids, bget(cand_ids_ref),
                                           assume_unique=True))
             ids = ids[keep]
-            texts = texts.take(pa.array(keep, pa.int64()))
-        grams, doc_of = _doc_shingles(texts)
-        h_flat = _hash_shingles(grams)
-        order = np.lexsort((h_flat, doc_of))
-        d_s, h_s = doc_of[order], h_flat[order]
-        if len(h_s):
-            first = np.ones(len(h_s), bool)
-            first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
-            d_s, h_s = d_s[first], h_s[first]
-        counts = np.bincount(d_s, minlength=len(ids))
-        l_offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+            hcol = hcol.take(pa.array(keep, pa.int64()))
         return pa.table({
             "bkt": pa.array((_mix64(ids) % nb).astype(np.int64), pa.int64()),
             "kind": pa.array(np.ones(len(ids), np.int8), pa.int8()),
             "key": pa.array(ids, pa.int64()),
             "ida": pa.array(np.full(len(ids), -1, np.int64), pa.int64()),
             "idb": pa.array(np.full(len(ids), -1, np.int64), pa.int64()),
-            "hashes": pa.ListArray.from_arrays(
-                pa.array(l_offs, pa.int32()), pa.array(h_s, pa.uint64())),
+            "hashes": hcol,
         })
 
     both = cand.map_batches(membership_rows, batch_format="pyarrow").union(
-        docs.map_batches(doc_hash_rows, batch_format="pyarrow"))
+        hash_rows.map_batches(doc_hash_rows, batch_format="pyarrow"))
 
     def attach_bucket(g: pa.Table) -> pa.Table:
         """Replicate each candidate doc's hash set onto its membership
