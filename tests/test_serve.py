@@ -1,0 +1,154 @@
+"""Resident HTTP query service round-trips (mirrors MainTest.java:52-101
+server tests and the serve.rs /api /delete /index route semantics)."""
+
+import json
+import threading
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pytest
+
+
+@pytest.fixture()
+def served_index(ray_session, tmp_path):
+    import ray.data as rd
+
+    from prosearch_ray.fixtures.gen import generate_corpus
+    from prosearch_ray.index.build import build_index
+    from prosearch_ray.serve import make_server
+
+    corpus = generate_corpus(200)
+    index_dir = str(tmp_path / "idx")
+    build_index(rd.from_arrow(corpus), index_dir, docs_per_bucket=64)
+    server, service = make_server(index_dir, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    port = server.server_address[1]
+    yield f"http://127.0.0.1:{port}", index_dir
+    server.shutdown()
+    thread.join(timeout=10)
+    service.close()
+
+
+def _get(url: str):
+    try:
+        with urllib.request.urlopen(url) as r:
+            return r.status, r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+def _post(url: str, body: bytes):
+    req = urllib.request.Request(
+        url, data=body, headers={"Content-Type": "application/json"},
+        method="POST")
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+def test_api_search_roundtrip(served_index):
+    base, _ = served_index
+    code, body = _get(f"{base}/api?q=the&nhits=5")
+    assert code == 200
+    serp = json.loads(body)
+    assert serp["q"] == "the"
+    assert serp["count"] > 0
+    assert 0 < len(serp["hits"]) <= 5
+    hit = serp["hits"][0]
+    assert hit["doc"]["url"][0] and hit["doc"]["title"][0]
+    assert serp["timings"]["timings"][0]["name"] == "search"
+    # missing q -> 400 (serve.rs:577-582)
+    code, _ = _get(f"{base}/api")
+    assert code == 400
+
+
+def test_delete_then_search(served_index):
+    base, _ = served_index
+    _, body = _get(f"{base}/api?q=the&nhits=1")
+    victim = json.loads(body)["hits"][0]["doc"]["url"][0]
+    count_before = json.loads(body)["count"]
+    code, body = _get(f"{base}/delete?url={urllib.parse.quote(victim)}")
+    assert (code, body) == (200, "true")
+    code, body = _get(f"{base}/api?q=the&nhits=1000")
+    assert code == 200
+    serp = json.loads(body)
+    urls = [h["doc"]["url"][0] for h in serp["hits"]]
+    assert victim not in urls
+    assert serp["count"] == count_before - 1
+    # missing url -> 400
+    code, _ = _get(f"{base}/delete")
+    assert code == 400
+
+
+def test_index_then_search(served_index):
+    base, _ = served_index
+    doc = {"repo": "serveorg/serverepo", "path": "src/served_doc.py",
+           "commit": "e" * 40, "lang": "py",
+           "content": "zzservenew token stream for the live index route"}
+    code, body = _post(f"{base}/index", json.dumps(doc).encode())
+    assert code == 200
+    from prosearch_ray.index import docid
+    assert int(body) == len(doc["content"]) + len(
+        docid.doc_key(doc["repo"], doc["path"]))
+    code, body = _get(f"{base}/api?q=zzservenew")
+    assert code == 200
+    serp = json.loads(body)
+    assert serp["count"] == 1
+    assert serp["hits"][0]["doc"]["url"][0] == docid.doc_key(
+        doc["repo"], doc["path"])
+    # malformed bodies -> 400 (serve.rs:469-493 validation)
+    assert _post(f"{base}/index", b"not json")[0] == 400
+    assert _post(f"{base}/index", b"")[0] == 400
+    bad = dict(doc)
+    del bad["content"]
+    code, msg = _post(f"{base}/index", json.dumps(bad).encode())
+    assert code == 400 and "content" in msg
+    bad = dict(doc, lang=7)
+    assert _post(f"{base}/index", json.dumps(bad).encode())[0] == 400
+
+
+def test_sharded_serve_roundtrip(ray_session, tmp_path):
+    """Sharded root behind the same routes: search via the scatter-gather
+    pool, delete + index via the sharded delta routing."""
+    from prosearch_ray.fixtures import write_corpus
+    from prosearch_ray.index import docid
+    from prosearch_ray.index.sharded import build_sharded_index
+    from prosearch_ray.serve import make_server
+
+    d = write_corpus(str(tmp_path / "corpus"), n_docs=300)
+    root = str(tmp_path / "shards")
+    build_sharded_index(d + "/corpus", root, num_shards=2,
+                        docs_per_bucket=64)
+    server, service = make_server(root, port=0, sharded=True)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        code, body = _get(f"{base}/api?q=the&nhits=5")
+        assert code == 200
+        serp = json.loads(body)
+        assert serp["count"] > 0 and serp["hits"]
+        victim = serp["hits"][0]["doc"]["url"][0]
+        assert _get(f"{base}/delete?url="
+                    f"{urllib.parse.quote(victim)}") == (200, "true")
+        code, body = _get(f"{base}/api?q=the&nhits=1000")
+        urls = [h["doc"]["url"][0] for h in json.loads(body)["hits"]]
+        assert victim not in urls
+        doc = {"repo": "serveorg/shardrepo", "path": "src/sharded_doc.py",
+               "commit": "d" * 40, "lang": "py",
+               "content": "zzshardserve scatter gather live fold"}
+        code, body = _post(f"{base}/index", json.dumps(doc).encode())
+        assert code == 200
+        code, body = _get(f"{base}/api?q=zzshardserve")
+        serp = json.loads(body)
+        assert serp["count"] == 1
+        assert serp["hits"][0]["doc"]["url"][0] == docid.doc_key(
+            doc["repo"], doc["path"])
+    finally:
+        server.shutdown()
+        thread.join(timeout=10)
+        service.close()
