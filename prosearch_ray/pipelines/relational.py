@@ -226,32 +226,110 @@ def doc_length_measure(sf_dir: str) -> "rd.Dataset":
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
-def join_orders_customers(sf_dir: str) -> "rd.Dataset":
-    """Broadcast hash join (small dimension side shipped once via ray.put,
-    looked up per batch — never a shuffle): order count + revenue per
-    customer market segment."""
-    cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).take_all()
-    keys_pa = pa.array([r["c_custkey"] for r in cust], pa.int64())
-    segs_pa = pa.array([r["c_mktsegment"] for r in cust], pa.string())
-    ref = bput((keys_pa, segs_pa))
+# broadcast the dimension side of a hash join while it is this many rows;
+# above it the join runs as a bounded-bucket co-group shuffle (a corpus-scale
+# "dimension" re-broadcast per worker is the classic scale failure)
+JOIN_BCAST_MAX_DIM_ROWS = 5_000_000
 
+
+def join_orders_customers(sf_dir: str,
+                          bcast_max: int = JOIN_BCAST_MAX_DIM_ROWS,
+                          n_buckets: int = 64) -> "rd.Dataset":
+    """Dimension join: order count + revenue per customer market segment.
+
+    Below ``bcast_max`` dimension rows: broadcast hash join (dimension side
+    shipped once via ray.put, vectorized index_in probe per batch — never a
+    shuffle).  Above it: ONE bounded-bucket co-group exchange on
+    hash(custkey) % n_buckets with per-bucket PARTIAL per-segment
+    aggregation, so the exchange emits segment-count rows, not order rows."""
+    cust_ds = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
-    def attach(t: pa.Table) -> pa.Table:
-        keys, segs = bget(ref)
-        # vectorized probe: index_in yields null positions for misses, which
-        # take() propagates to null segments — no per-row Python lookup
-        pos = pc.index_in(t.column("o_custkey"), value_set=keys)
-        out = pa.table({
-            "segment": segs.take(pos),
-            "o_totalprice": t.column("o_totalprice"),
-        })
-        return out.filter(pc.is_valid(out.column("segment")))
+    if cust_ds.count() <= bcast_max:
+        cust = cust_ds.take_all()
+        keys_pa = pa.array([r["c_custkey"] for r in cust], pa.int64())
+        segs_pa = pa.array([r["c_mktsegment"] for r in cust], pa.string())
+        ref = bput((keys_pa, segs_pa))
 
-    agg = orders.map_batches(attach, batch_format="pyarrow").groupby(
-        "segment").aggregate(
-        Count(alias_name="n_orders"),
-        Sum("o_totalprice", alias_name="revenue"))
+        def attach(t: pa.Table) -> pa.Table:
+            keys, segs = bget(ref)
+            # vectorized probe: index_in yields null positions for misses,
+            # which take() propagates to null segments — no per-row Python
+            pos = pc.index_in(t.column("o_custkey"), value_set=keys)
+            out = pa.table({
+                "segment": segs.take(pos),
+                "o_totalprice": t.column("o_totalprice"),
+            })
+            return out.filter(pc.is_valid(out.column("segment")))
+
+        probed = orders.map_batches(attach, batch_format="pyarrow")
+        agg = probed.groupby("segment").aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="revenue"))
+    else:
+        from prosearch_ray.pipelines.dedup import _mix64
+
+        nb = np.uint64(n_buckets)
+
+        def order_rows(t: pa.Table) -> pa.Table:
+            k = pc.cast(t.column("o_custkey"), pa.int64()).to_numpy()
+            return pa.table({
+                "bkt": pa.array((_mix64(k) % nb).astype(np.int64), pa.int64()),
+                "kind": pa.array(np.ones(len(k), np.int8), pa.int8()),
+                "key": pa.array(k, pa.int64()),
+                "price": pc.cast(t.column("o_totalprice"), pa.float64()),
+                "segment": pa.array([None] * len(k), pa.string()),
+            })
+
+        def cust_rows(t: pa.Table) -> pa.Table:
+            k = pc.cast(t.column("c_custkey"), pa.int64()).to_numpy()
+            return pa.table({
+                "bkt": pa.array((_mix64(k) % nb).astype(np.int64), pa.int64()),
+                "kind": pa.array(np.zeros(len(k), np.int8), pa.int8()),
+                "key": pa.array(k, pa.int64()),
+                "price": pa.array(np.zeros(len(k)), pa.float64()),
+                "segment": pc.cast(t.column("c_mktsegment"), pa.string()),
+            })
+
+        def join_bucket(g: pa.Table) -> pa.Table:
+            """searchsorted dimension probe + per-segment partials — the
+            bucket emits one row per segment, never per order."""
+            kind = g.column("kind").to_numpy()
+            key = g.column("key").to_numpy()
+            dm = kind == 0
+            dk = key[dm]
+            seg = g.column("segment").combine_chunks()
+            dseg = seg.filter(pa.array(dm)).dictionary_encode()
+            order = np.argsort(dk)
+            dk_s = dk[order]
+            code_s = dseg.indices.to_numpy().astype(np.int64)[order]
+            ok = key[~dm]
+            price = g.column("price").to_numpy()[~dm]
+            if not len(dk_s) or not len(ok):
+                return pa.table({"segment": pa.array([], pa.string()),
+                                 "n_part": pa.array([], pa.int64()),
+                                 "rev_part": pa.array([], pa.float64())})
+            pos = np.searchsorted(dk_s, ok)
+            pos_c = np.minimum(pos, len(dk_s) - 1)
+            hit = dk_s[pos_c] == ok
+            codes = code_s[pos_c[hit]]
+            nseg = len(dseg.dictionary)
+            n_part = np.bincount(codes, minlength=nseg)
+            rev_part = np.bincount(codes, weights=price[hit], minlength=nseg)
+            nz = n_part > 0
+            return pa.table({
+                "segment": dseg.dictionary.take(
+                    pa.array(np.flatnonzero(nz), pa.int64())),
+                "n_part": pa.array(n_part[nz], pa.int64()),
+                "rev_part": pa.array(rev_part[nz], pa.float64()),
+            })
+
+        parts = orders.map_batches(order_rows, batch_format="pyarrow").union(
+            cust_ds.map_batches(cust_rows, batch_format="pyarrow")).groupby(
+            "bkt").map_groups(join_bucket, batch_format="pyarrow")
+        agg = parts.groupby("segment").aggregate(
+            Sum("n_part", alias_name="n_orders"),
+            Sum("rev_part", alias_name="revenue"))
 
     def round_rev(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -422,42 +500,36 @@ def asof_last_event(sf_dir: str) -> "rd.Dataset":
         events.map_batches(tag_events, batch_format="pyarrow"))
 
     def asof_bucket(g: pa.Table) -> pa.Table:
+        """ONE vectorized pass over the whole bucket — no per-key Python
+        loop: merge-sort both sides by (key, ts, events-first, event_id),
+        then a grouped cummax of event row positions; stale positions from
+        a previous key are detected against the key's segment start."""
         key = g.column("key").to_numpy()
         kind = g.column("kind").to_numpy()
         ts = g.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
         okey = g.column("o_orderkey").to_numpy()
         evid = g.column("event_id").to_numpy()
-        order = np.argsort(key, kind="stable")
+        n = len(key)
+        # events sort BEFORE orders at equal ts (ts <= o_orderdate is
+        # inclusive); ascending event_id makes the nearest preceding event
+        # row the max-id tiebreak winner
+        order = np.lexsort((evid, 1 - kind, ts, key))
         key, kind, ts, okey, evid = (key[order], kind[order], ts[order],
                                      okey[order], evid[order])
-        starts = np.flatnonzero(
-            np.concatenate(([True], key[1:] != key[:-1])))
-        ends = np.append(starts[1:], len(key))
-        out_ok, out_ck, out_last = [], [], []
-        for s, e in zip(starts, ends):  # per-key segments, numpy inside
-            km = kind[s:e] == 1
-            odates = ts[s:e][~km]
-            if not len(odates):
-                continue
-            ev_ts, ev_id = ts[s:e][km], evid[s:e][km]
-            if len(ev_ts) == 0:
-                last = np.full(len(odates), -1, np.int64)
-            else:
-                oe = np.lexsort((ev_id, ev_ts))
-                ev_ts, ev_id = ev_ts[oe], ev_id[oe]
-                idx = np.searchsorted(ev_ts, odates, side="right") - 1
-                last = np.where(idx >= 0, ev_id[np.clip(idx, 0, None)], -1)
-            out_ok.append(okey[s:e][~km])
-            out_ck.append(np.full(len(odates), key[s], np.int64))
-            out_last.append(last)
-        if not out_ok:
-            return pa.table({"o_orderkey": pa.array([], pa.int64()),
-                             "o_custkey": pa.array([], pa.int64()),
-                             "last_event_id": pa.array([], pa.int64())})
+        is_ev = kind == 1
+        ev_pos = np.where(is_ev, np.arange(n), -1)
+        last_pos = np.maximum.accumulate(ev_pos) if n else ev_pos
+        new_key = np.concatenate(([True], key[1:] != key[:-1])) \
+            if n else np.array([], bool)
+        seg_start = np.flatnonzero(new_key)[np.cumsum(new_key) - 1] \
+            if n else np.array([], np.int64)
+        valid = last_pos >= seg_start  # cummax from an earlier key is stale
+        last = np.where(valid, evid[np.clip(last_pos, 0, None)], -1)
+        om = ~is_ev
         return pa.table({
-            "o_orderkey": pa.array(np.concatenate(out_ok), pa.int64()),
-            "o_custkey": pa.array(np.concatenate(out_ck), pa.int64()),
-            "last_event_id": pa.array(np.concatenate(out_last), pa.int64()),
+            "o_orderkey": pa.array(okey[om], pa.int64()),
+            "o_custkey": pa.array(key[om], pa.int64()),
+            "last_event_id": pa.array(last[om], pa.int64()),
         })
 
     return both.groupby("bkt").map_groups(asof_bucket, batch_format="pyarrow")

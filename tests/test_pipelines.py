@@ -568,3 +568,18 @@ def test_clean_corpus_anti_join_matches_broadcast():
         key).reset_index(drop=True)
     assert bc.equals(aj)
     assert len(bc) > 0
+
+
+def test_join_orders_customers_shuffle_matches_broadcast():
+    """Forcing the bounded-bucket shuffle join (bcast_max=0) must produce
+    the broadcast hash join's exact aggregate."""
+    from prosearch_ray.pipelines.relational import join_orders_customers
+
+    key = ["segment"]
+    bc = join_orders_customers(SF).to_pandas().sort_values(
+        key).reset_index(drop=True)
+    sj = join_orders_customers(SF, bcast_max=0).to_pandas().sort_values(
+        key).reset_index(drop=True)
+    assert list(bc.columns) == list(sj.columns)
+    assert bc.equals(sj)
+    assert len(bc) > 0
