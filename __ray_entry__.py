@@ -437,6 +437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn": lambda sf_dir: similarity.ivf_knn(sf_dir, n_probe=16),
         # training-data preparation
         "pack_sequences": trainprep.pack_sequences,
+        "budget_mix": trainprep.budget_mix,
         "ngram_counts": trainprep.ngram_counts,
         "pmi_bigrams": trainprep.pmi_bigrams,
         "doc_vectors": trainprep.doc_vectors,
@@ -588,6 +589,22 @@ def oracle_sql() -> dict[str, str]:
                    (cum - n_tokens)::BIGINT AS start_tok,
                    ((cum - n_tokens) // 512)::BIGINT AS seq_id
             FROM c
+        """,
+        "budget_mix": f"""
+            WITH tok AS (SELECT doc_id, lang,
+                                len({TOK_SQL})::BIGINT AS n_tokens
+                         FROM documents),
+            c AS (SELECT doc_id, lang, n_tokens,
+                         SUM(n_tokens) OVER (PARTITION BY lang
+                                             ORDER BY doc_id) AS cum_tokens
+                  FROM tok)
+            SELECT doc_id, lang, n_tokens, cum_tokens::BIGINT AS cum_tokens
+            FROM c
+            WHERE cum_tokens <= CASE lang WHEN 'en' THEN 5000
+                                          WHEN 'de' THEN 2000
+                                          WHEN 'fr' THEN 2500
+                                          WHEN 'es' THEN 1500
+                                          ELSE 0 END
         """,
         "chunk_documents": f"""
             WITH tok AS (SELECT doc_id, len({TOK_SQL})::BIGINT AS n

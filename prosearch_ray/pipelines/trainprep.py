@@ -135,6 +135,82 @@ def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET,
         pack_group, batch_format="pyarrow")
 
 
+# per-lang token budgets for the deterministic corpus-mixing operator;
+# sized so every lang's budget BINDS at sf0.001/0.01/0.1 (each lang carries
+# >= 3.5k tokens there) — langs with no budget (zh) are dropped entirely
+MIX_BUDGETS = {"en": 5000, "de": 2000, "fr": 2500, "es": 1500}
+
+
+def budget_mix(sf_dir: str, budgets=None,
+               bucket_docs: int = PACK_BUCKET_DOCS) -> "rd.Dataset":
+    """Token-budget corpus mixing — the data-mixing step of training-corpus
+    assembly: each language gets a token budget and contributes docs in
+    deterministic doc_id order until its INCLUSIVE running token total
+    exceeds the budget (languages without a budget contribute nothing).
+
+    Scale shape (the ``pack_sequences`` two-level prefix sum): one
+    streaming tokenize-count pass, a tiny (lang, bucket) partial-sum
+    aggregate, driver exclusive prefix per lang (lang x bucket rows, never
+    corpus-sized), then per-bucket vectorized cumsum + budget gate — no
+    global sort, no corpus-sized driver state."""
+    budgets = dict(MIX_BUDGETS if budgets is None else budgets)
+    docs = read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        _, doc_of, n = _split_tokens(t.column("text"))
+        n_tok = np.bincount(doc_of, minlength=n)
+        ids = t.column("doc_id").to_numpy()
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "lang": t.column("lang"),
+            "bucket": pa.array(ids // bucket_docs, pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+        })
+
+    counted = docs.map_batches(count, batch_format="pyarrow").materialize()
+
+    partials = counted.groupby(["lang", "bucket"]).aggregate(
+        Sum("n_tokens", alias_name="tok_sum")).take_all()
+    partials.sort(key=lambda r: (r["lang"], r["bucket"]))
+    bases = {}
+    run_lang, run_sum = None, 0
+    for r in partials:
+        if r["lang"] != run_lang:
+            run_lang, run_sum = r["lang"], 0
+        bases[(r["lang"], int(r["bucket"]))] = run_sum
+        run_sum += int(r["tok_sum"])
+    ref = bput((bases, budgets))
+
+    def mix_group(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "lang": pa.array([], pa.string()),
+            "n_tokens": pa.array([], pa.int64()),
+            "cum_tokens": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        b, bud = bget(ref)
+        lang = t.column("lang")[0].as_py()
+        limit = int(bud.get(lang, 0))
+        base = b[(lang, int(t.column("bucket")[0].as_py()))]
+        if base >= limit:  # whole bucket past the budget — emit nothing
+            return empty
+        t = t.sort_by("doc_id")
+        n_tok = t.column("n_tokens").to_numpy()
+        cum = base + np.cumsum(n_tok)
+        keep = cum <= limit
+        t = t.filter(pa.array(keep))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "lang": t.column("lang"),
+            "n_tokens": t.column("n_tokens"),
+            "cum_tokens": pa.array(cum[keep], pa.int64()),
+        })
+
+    return counted.groupby(["lang", "bucket"]).map_groups(
+        mix_group, batch_format="pyarrow")
+
+
 def _bigram_partial(t: pa.Table) -> pa.Table:
     """Map-side within-doc bigram occurrence counts of one batch (adjacent
     token pairs never cross doc boundaries) — shared by ngram_counts and
