@@ -178,6 +178,61 @@ def entry() -> Any:
 
 AND_QUERIES = ("table", "hash value", "merge batch", "scan")
 
+# typed fast-field filter for code_search_filtered (binds: ~130 of 500
+# sf0.01 docs survive); FILTER_QUERIES includes a single-term query so the
+# filtered _search_single path is oracle-checked too
+FILTERED_PRED = [("doc_lang", "in", ("de", "en")), ("n_chars", ">=", 300)]
+FILTER_SQL_PRED = ("SELECT doc_id FROM documents "
+                   "WHERE lang IN ('de','en') AND n_chars >= 300")
+
+
+def _build_docs_fastfields(sf_dir: str, index_dir: str) -> None:
+    """Typed sidecar over the cached docs index: doc_lang (the documents
+    table's real lang) + n_chars, joined through the same doc_key identity
+    the corpus mapping uses.  Idempotent per index dir."""
+    from prosearch_ray.index.fastfields import FASTFIELD_DIR, build_fast_fields
+
+    if os.path.exists(os.path.join(index_dir, FASTFIELD_DIR, "_meta.json")):
+        return
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "lang", "n_chars", "source"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table({
+            "repo": t.column("source"),
+            "path": pa.array([f"docs/doc{int(i):07d}.txt" for i in ids],
+                             pa.string()),
+            "commit": pa.array(["0" * 40] * len(ids), pa.string()),
+            "doc_lang": t.column("lang"),
+            "n_chars": pc.cast(t.column("n_chars"), pa.int64()),
+        })
+
+    build_fast_fields(index_dir, docs.map_batches(fn, batch_format="pyarrow"),
+                      columns=["doc_lang", "n_chars"])
+
+
+def code_search_filtered(sf_dir: str) -> Any:
+    """Full-engine BM25 AND search with a typed fast-field filter (tantivy
+    fast-field/range-query analog, new.rs:83-95): scores identical to the
+    unfiltered scores of the surviving docs (filters never change BM25
+    statistics), exact-matched against the BM25 oracle with the same
+    predicate applied relationally."""
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    index_dir = _build_docs_index(sf_dir)
+    _build_docs_fastfields(sf_dir, index_dir)
+    s = IndexSearcher(index_dir)
+    return _topk_table(
+        (qid, [str(s.doc_keys[int(d)]) for d in ids], scores)
+        for qid, q in enumerate(AND_QUERIES)
+        for ids, scores in [s.search(q, 10, filter=FILTERED_PRED)])
+
 
 def code_search_topk(sf_dir: str) -> Any:
     """Full engine (code-aware tokenizer, fieldnorm quantization, block-max
@@ -382,6 +437,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # synthesis rule, so the oracle catches any mis-parsed pixel)
         "media_decode": multimodal.media_decode,
         "media_transform": multimodal.media_transform,
+        # typed fast-field filter over the full engine (round-4 new)
+        "code_search_filtered": code_search_filtered,
         # relational / crawl-state analogs (SURVEY.md §2.5-2.8)
         "stats_rollup": relational.stats_rollup,
         "per_lang_count": relational.per_lang_count,
@@ -1096,6 +1153,8 @@ def oracle_sql() -> dict[str, str]:
     # full-engine BM25 / phrase oracles: DuckDB reimplementation of the
     # code-aware tokenizer, fieldnorm quantization and tantivy scoring
     d["code_search_topk"] = _code_search_sql()
+    d["code_search_filtered"] = _code_search_sql(
+        filter_src_sql=FILTER_SQL_PRED)
     d["code_search_or_topk"] = _code_search_sql(
         conjunctive=False, qterms=OR_QTERMS)
     d["code_search_or_topk_sharded"] = _code_search_sql(
@@ -1188,18 +1247,23 @@ def _fnt_values() -> str:
 
 
 def _code_search_sql(tiebreak: str = "doc", conjunctive: bool = True,
-                     qterms: str = None, mlt_src_ids=None) -> str:
+                     qterms: str = None, mlt_src_ids=None,
+                     filter_src_sql: str = None) -> str:
     """tiebreak="doc": equal scores rank by engine doc_id (unsharded
     searcher).  tiebreak="key": by doc_key (the sharded merge's order).
     conjunctive=False ranks every doc matching ANY query term (the raw-CLI
     bare-OR semantics of searcher.search_raw, search.rs:41-42) instead of
-    requiring all terms."""
+    requiring all terms.  filter_src_sql: a SELECT of allowed documents
+    doc_ids — applied as a candidate mask AFTER scoring, the tantivy
+    filter-query semantics (BM25 stats stay corpus-wide)."""
     tb = "i2.doc_key" if tiebreak == "key" else "s.doc"
     if qterms is None:
         qterms = ("(0, 'table'), (1, 'hash'), (1, 'value'), (2, 'merge'), "
                   "(2, 'batch'), (3, 'scan')")
     match_pred = ("s.n_matched = nq.n_terms" if conjunctive
                   else "s.n_matched >= 1")
+    if filter_src_sql is not None:
+        match_pred += f" AND i2.src_id IN ({filter_src_sql})"
     if mlt_src_ids is None:
         q_block = f"""q(qid, term) AS (VALUES {qterms}),
 nq AS (SELECT qid, count(*)::BIGINT AS n_terms FROM q GROUP BY 1),"""

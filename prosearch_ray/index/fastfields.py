@@ -1,0 +1,223 @@
+"""Typed fast-field sidecar — the tantivy typed-schema surface
+(u64/i64/f64/bool/date/text fast fields + range/term filters,
+/root/reference/tantivy-cli/src/commands/new.rs:83-95,239-241) re-expressed
+for this engine: a doc_id-indexed columnar sidecar built AFTER (or beside)
+the text index, so typed metadata never touches the conformance-pinned
+build/scoring path.
+
+Shape: one bounded-bucket co-group join (hash(doc_key) % n_buckets — the
+same md5 bucketing the build uses) between the source rows and the index's
+``docmeta`` mapping, canonicalized per doc_key with the build's
+last-write-wins rule (commit DESC, sha_hex DESC — build.py
+``_canonicalize_bucket``); emits (doc_id, typed columns) parquet parts
+under ``<index>/fastfields/``.  Query-side, ``IndexSearcher`` mmaps the
+sidecar once per actor and evaluates filter predicates as vectorized doc
+masks; BM25 statistics stay corpus-wide (a tantivy filter query never
+changes idf/avgdl — it only masks candidates), and docs absent from the
+sidecar (e.g. delta-added after the sidecar was built) never match a typed
+predicate, exactly tantivy's missing-fast-field semantics.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from prosearch_ray.index import docid
+
+FASTFIELD_DIR = "fastfields"
+_JOIN_BUCKETS = 64
+
+# predicate ops accepted by IndexSearcher.search(filter=...)
+FILTER_OPS = ("==", "!=", "<", "<=", ">", ">=", "in", "not_in")
+
+
+def _sha_hex_col(content: pa.ChunkedArray) -> List[str]:
+    return [hashlib.sha256(x.encode("utf-8")).hexdigest()
+            for x in content.to_pylist()]
+
+
+def build_fast_fields(index_dir: str, source, columns: Sequence[str],
+                      n_buckets: int = _JOIN_BUCKETS) -> dict:
+    """Build the typed sidecar for an existing index.
+
+    ``source``: parquet path or Dataset carrying ``repo``/``path``/
+    ``commit`` (doc identity), the requested typed ``columns``, and
+    optionally ``content`` (enables the full (commit, sha) last-write-wins
+    tie-break for upsert duplicates; without it ties break on commit only).
+    Rows whose doc_key is not in the index (lang-filtered, dedup losers)
+    are dropped by the inner join.  Returns {"n_rows", "columns"}.
+    """
+    columns = list(columns)
+    if isinstance(source, str):
+        import pyarrow.dataset as pads
+
+        src_cols = ["repo", "path", "commit"] + columns
+        if "content" in set(pads.dataset(source).schema.names):
+            src_cols.append("content")
+        src = rd.read_parquet(source, columns=src_cols)
+    else:
+        src = source
+    nb = n_buckets
+    base = src.schema().base_schema
+    col_types = {c: base.field(c).type for c in columns}
+
+    def src_rows(t: pa.Table) -> pa.Table:
+        keys = [docid.doc_key(r, p)
+                for r, p in zip(t.column("repo").to_pylist(),
+                                t.column("path").to_pylist())]
+        sha = (_sha_hex_col(t.column("content"))
+               if "content" in t.column_names else [""] * len(keys))
+        cols = {
+            "bkt": pa.array(docid.buckets_of(keys, nb), pa.int64()),
+            "kind": pa.array(np.ones(len(keys), np.int8), pa.int8()),
+            "doc_key": pa.array(keys, pa.string()),
+            "commit": pc.cast(t.column("commit"), pa.string()),
+            "sha_hex": pa.array(sha, pa.string()),
+            "doc_id": pa.array(np.full(len(keys), -1, np.int64), pa.int64()),
+        }
+        for c in columns:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    src_tagged = src.map_batches(src_rows, batch_format="pyarrow")
+    meta = rd.read_parquet(os.path.join(index_dir, "docmeta"),
+                           columns=["doc_key", "doc_id"])
+
+    def meta_rows(t: pa.Table) -> pa.Table:
+        keys = t.column("doc_key").to_pylist()
+        cols = {
+            "bkt": pa.array(docid.buckets_of(keys, nb), pa.int64()),
+            "kind": pa.array(np.zeros(len(keys), np.int8), pa.int8()),
+            "doc_key": t.column("doc_key"),
+            "commit": pa.array([""] * len(keys), pa.string()),
+            "sha_hex": pa.array([""] * len(keys), pa.string()),
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+        }
+        for c in columns:
+            cols[c] = pa.nulls(len(keys), col_types[c])
+        return pa.table(cols)
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        kind = g.column("kind").to_numpy()
+        sm = kind == 1
+        src_t = g.filter(pa.array(sm))
+        meta_t = g.filter(pa.array(~sm))
+        if src_t.num_rows == 0 or meta_t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             **{c: pa.array([], col_types[c])
+                                for c in columns}})
+        # last-write-wins canonical row per doc_key (build.py
+        # _canonicalize_bucket order: key asc, commit desc, sha desc)
+        src_t = src_t.sort_by([("doc_key", "ascending"),
+                               ("commit", "descending"),
+                               ("sha_hex", "descending")])
+        kcol = src_t.column("doc_key")
+        keys = kcol.to_numpy(zero_copy_only=False)
+        first = np.ones(len(keys), bool)
+        first[1:] = keys[1:] != keys[:-1]
+        src_t = src_t.filter(pa.array(first))
+        pos = pc.index_in(meta_t.column("doc_key"),
+                          value_set=src_t.column("doc_key").combine_chunks())
+        hit = pc.is_valid(pos)
+        meta_t = meta_t.filter(hit)
+        pos = pos.filter(hit)
+        out = {"doc_id": meta_t.column("doc_id")}
+        for c in columns:
+            out[c] = src_t.column(c).take(pos)
+        return pa.table(out)
+
+    joined = src_tagged.union(meta.map_batches(
+        meta_rows, batch_format="pyarrow")).groupby("bkt").map_groups(
+        join_bucket, batch_format="pyarrow")
+
+    out_dir = os.path.join(index_dir, FASTFIELD_DIR)
+    tmp_dir = out_dir + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    joined.write_parquet(tmp_dir)
+    n_rows = sum(
+        pq.read_metadata(os.path.join(tmp_dir, f)).num_rows
+        for f in os.listdir(tmp_dir) if f.endswith(".parquet"))
+    with open(os.path.join(tmp_dir, "_meta.json"), "w") as f:
+        json.dump({"columns": columns, "n_rows": int(n_rows)}, f)
+    os.rename(tmp_dir, out_dir)
+    return {"n_rows": int(n_rows), "columns": columns}
+
+
+def load_fast_fields(index_dir: str, n_docs: int
+                     ) -> Optional[Dict[str, np.ndarray]]:
+    """doc_id-indexed column arrays + ``_valid`` mask (False for docs with
+    no sidecar row — delta-added or never covered).  None when the index
+    has no sidecar."""
+    import pyarrow.dataset as pads
+
+    out_dir = os.path.join(index_dir, FASTFIELD_DIR)
+    meta_path = os.path.join(out_dir, "_meta.json")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as f:
+        columns = json.load(f)["columns"]
+    tbl = pads.dataset(
+        [os.path.join(out_dir, f) for f in sorted(os.listdir(out_dir))
+         if f.endswith(".parquet")]).to_table(
+        columns=["doc_id"] + columns)
+    ids = tbl.column("doc_id").to_numpy()
+    valid = np.zeros(n_docs, bool)
+    in_range = ids < n_docs
+    valid[ids[in_range]] = True
+    out: Dict[str, np.ndarray] = {"_valid": valid}
+    for c in columns:
+        col = tbl.column(c)
+        vals = col.to_numpy(zero_copy_only=False)
+        if vals.dtype.kind in "iuf":
+            arr = np.zeros(n_docs, dtype=vals.dtype)
+        elif vals.dtype.kind == "b":
+            arr = np.zeros(n_docs, dtype=bool)
+        else:
+            arr = np.full(n_docs, None, dtype=object)
+        arr[ids[in_range]] = vals[in_range]
+        out[c] = arr
+    return out
+
+
+def eval_filter(ff: Dict[str, np.ndarray],
+                predicates: Sequence[Tuple]) -> np.ndarray:
+    """AND of typed predicates over the loaded fast fields -> doc mask.
+    Each predicate is (column, op, value) with op in FILTER_OPS."""
+    mask = ff["_valid"].copy()
+    for col, op, val in predicates:
+        if col not in ff:
+            raise KeyError(f"no fast field {col!r}")
+        if op not in FILTER_OPS:
+            raise ValueError(f"bad filter op {op!r}")
+        arr = ff[col]
+        if op == "==":
+            m = arr == val
+        elif op == "!=":
+            m = arr != val
+        elif op == "<":
+            m = arr < val
+        elif op == "<=":
+            m = arr <= val
+        elif op == ">":
+            m = arr > val
+        elif op == ">=":
+            m = arr >= val
+        elif op == "in":
+            m = np.isin(arr, list(val))
+        else:  # not_in
+            m = ~np.isin(arr, list(val))
+        mask &= np.asarray(m, bool)
+    return mask

@@ -268,6 +268,10 @@ class IndexSearcher:
         self.last_count = 0
         # candidates skipped by bucket-bound pruning in the LAST search()
         self.last_pruned = 0
+        # typed fast-field sidecar (index/fastfields.py): loaded lazily on
+        # the first filtered search; predicate masks cached per tuple
+        self._fastfields = None
+        self._filter_cache: Dict[tuple, np.ndarray] = {}
 
     def prewarm(self, n_top_terms: int = 64) -> int:
         """Prefetch + decode the highest-df terms into the postings LRU
@@ -746,22 +750,65 @@ class IndexSearcher:
         return int(len(ids)
                    - np.isin(ids, self.tombstones, assume_unique=True).sum())
 
-    def search(self, query: str, k: int = scoring.DEFAULT_K
-               ) -> Tuple[np.ndarray, np.ndarray]:
+    def _filter_mask(self, predicates) -> np.ndarray:
+        """Typed fast-field filter -> per-doc bool mask (cached per
+        predicate tuple).  BM25 statistics are untouched — a tantivy filter
+        query never changes idf/avgdl, it only masks candidates."""
+        from prosearch_ray.index import fastfields
+
+        key = tuple((c, op, tuple(v) if isinstance(v, (list, tuple, set))
+                     else v) for c, op, v in predicates)
+        cached = self._filter_cache.get(key)
+        if cached is not None:
+            return cached
+        if self._fastfields is None:
+            ff = fastfields.load_fast_fields(self.index_dir, self.n_docs)
+            if ff is None:
+                raise ValueError(
+                    f"index {self.index_dir} has no fastfields sidecar "
+                    "(build one with fastfields.build_fast_fields)")
+            self._fastfields = ff
+        mask = fastfields.eval_filter(self._fastfields, predicates)
+        if len(self._filter_cache) > 64:
+            self._filter_cache.clear()
+        self._filter_cache[key] = mask
+        return mask
+
+    def search(self, query: str, k: int = scoring.DEFAULT_K,
+               filter=None) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (doc_ids, scores), rank-ordered by (-score, doc_id);
-        the corpus-wide live match count lands in ``self.last_count``."""
+        the corpus-wide live match count lands in ``self.last_count``.
+        ``filter``: optional list of typed fast-field predicates
+        (column, op, value) ANDed with the query (fastfields.FILTER_OPS);
+        scores are identical to the unfiltered scores of the same docs."""
         self.last_count = 0
         self.last_pruned = 0
         plan = scoring.query_plan(query, self.boost_terms)
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
         if not plan:
             return empty
+        fmask = self._filter_mask(filter) if filter else None
         postings = self.fetch_postings([t for t, _ in plan])
         if any(t not in postings for t, _ in plan):
             return empty  # AND semantics: a zero-df term empties the result
 
         if len(plan) == 1:
             term, boost = plan[0]
+            if fmask is not None:
+                tp = postings[term]
+                keep = fmask[tp.doc_ids]
+                if len(self.tombstones):
+                    keep &= ~np.isin(tp.doc_ids, self.tombstones,
+                                     assume_unique=True)
+                ids = tp.doc_ids[keep]
+                self.last_count = len(ids)
+                if not len(ids):
+                    return empty
+                sc = self._term_contrib(tp)[keep]
+                if boost != 1.0:
+                    sc = sc * boost
+                top = self._topk(sc, ids, k)
+                return ids[top], sc[top]
             self.last_count = self._live_count(postings[term].doc_ids)
             return self._search_single(postings[term], boost, k)
 
@@ -779,6 +826,8 @@ class IndexSearcher:
             if len(self.tombstones):
                 presence[self.tombstones] = 0
             cand = np.nonzero(presence == len(plan))[0]
+            if fmask is not None:
+                cand = cand[fmask[cand]]
             self.last_count = len(cand)
             if len(cand) == 0:
                 return empty
@@ -791,6 +840,10 @@ class IndexSearcher:
             for term, _ in plan_sorted[1:]:
                 cand = cand[np.isin(cand, postings[term].doc_ids,
                                     assume_unique=True)]
+                if len(cand) == 0:
+                    return empty
+            if fmask is not None:
+                cand = cand[fmask[cand]]
                 if len(cand) == 0:
                     return empty
             self.last_count = len(cand)
@@ -1457,11 +1510,11 @@ class IndexSearcher:
         return {int(d): by_key.get(str(self.doc_keys[d]), "")
                 for d in doc_ids}
 
-    def search_with_snippets(self, query: str, k: int = scoring.DEFAULT_K
-                             ) -> List[dict]:
+    def search_with_snippets(self, query: str, k: int = scoring.DEFAULT_K,
+                             filter=None) -> List[dict]:
         """Full SERP hits: doc_key + title + snippet, body dropped from the
         stored doc before returning (M13, serve.rs:379-386)."""
-        ids, scores = self.search(query, k)
+        ids, scores = self.search(query, k, filter=filter)
         contents = self.fetch_contents(ids)
         terms = [t for t, _ in scoring.query_plan(query, self.boost_terms)]
         return [

@@ -1,0 +1,131 @@
+"""Typed fast-field sidecar + filtered search (tantivy typed-schema parity:
+new.rs:83-95 field types, range/term filters over fast fields; filters mask
+candidates without touching BM25 statistics)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ff_index(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    from prosearch_ray.fixtures import write_corpus
+    from prosearch_ray.index.build import build_index
+    from prosearch_ray.index.fastfields import build_fast_fields
+
+    base = tmp_path_factory.mktemp("ff")
+    d = write_corpus(str(base / "corpus"), n_docs=400)
+    index_dir = str(base / "idx")
+    build_index(d + "/corpus", index_dir, docs_per_bucket=64)
+
+    def add_typed(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.append_column(
+            "n_chars", pc.cast(pc.utf8_length(t.column("content")),
+                               pa.int64()))
+
+    src = rd.read_parquet(d + "/corpus").map_batches(
+        add_typed, batch_format="pyarrow")
+    rep = build_fast_fields(index_dir, src, columns=["lang", "n_chars"])
+    return index_dir, rep
+
+
+def _brute_filtered(searcher, query, mask, k):
+    ids, scores = searcher.search(query, 10 ** 6)
+    keep = mask[ids]
+    ids, scores = ids[keep], scores[keep]
+    order = np.lexsort((ids, -scores))[:k]
+    return ids[order], scores[order], int(keep.sum())
+
+
+def test_sidecar_covers_every_doc(ff_index):
+    from prosearch_ray.index.fastfields import load_fast_fields
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    index_dir, rep = ff_index
+    s = IndexSearcher(index_dir)
+    ff = load_fast_fields(index_dir, s.n_docs)
+    assert rep["n_rows"] == s.n_docs
+    assert ff["_valid"].all()
+    # typed columns populated for every doc
+    assert all(isinstance(v, str) and v for v in ff["lang"])
+    assert (ff["n_chars"] > 0).all()
+    # values come from the right corpus row: for every doc whose doc_key
+    # has exactly ONE corpus row (no upsert ambiguity — the dup tie-break
+    # is the build's own pinned rule), the sidecar lang equals that row's
+    import pyarrow.dataset as pads
+
+    from prosearch_ray.index import docid
+
+    corpus_dir = index_dir.rsplit("/idx", 1)[0] + "/corpus/corpus"
+    ct = pads.dataset(corpus_dir).to_table(columns=["repo", "path", "lang"])
+    lang_of: dict = {}
+    for r, p, lg in zip(ct.column("repo").to_pylist(),
+                        ct.column("path").to_pylist(),
+                        ct.column("lang").to_pylist()):
+        key = docid.doc_key(r, p)
+        lang_of[key] = None if key in lang_of else lg  # None = ambiguous
+    checked = 0
+    for d in range(s.n_docs):
+        want = lang_of[str(s.doc_keys[d])]
+        if want is not None:
+            assert ff["lang"][d] == want
+            checked += 1
+    assert checked > 300
+
+
+@pytest.mark.parametrize("query,predicates", [
+    ("the", [("lang", "in", ("py", "rs"))]),                 # single term
+    ("merge hash", [("n_chars", ">=", 400)]),                # conjunctive
+    ("merge hash", [("lang", "==", "py"),
+                    ("n_chars", "<", 900)]),                 # ANDed typed
+    ("the", [("lang", "not_in", ("py",))]),
+])
+def test_filtered_search_matches_brute_force(ff_index, query, predicates):
+    from prosearch_ray.index.fastfields import eval_filter, load_fast_fields
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    index_dir, _ = ff_index
+    s = IndexSearcher(index_dir)
+    mask = eval_filter(load_fast_fields(index_dir, s.n_docs), predicates)
+    want_ids, want_scores, want_count = _brute_filtered(s, query, mask, 10)
+    got_ids, got_scores = s.search(query, 10, filter=predicates)
+    assert got_ids.tolist() == want_ids.tolist()
+    assert np.allclose(got_scores, want_scores, rtol=0, atol=1e-12)
+    assert s.last_count == want_count
+    assert 0 < want_count < (s.search(query, 1) and s.last_count)  # binds
+
+
+def test_filtered_excludes_delta_docs(ff_index):
+    import ray
+
+    from prosearch_ray.index.delta import add_documents
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    index_dir, _ = ff_index
+    delta = pa.table({
+        "repo": ["fforg/ffrepo"], "path": ["src/ff_delta.py"],
+        "commit": ["a" * 40], "lang": ["py"],
+        "content": ["zzffdelta merge hash stream"],
+    })
+    add_documents(index_dir, ray.data.from_arrow(delta))
+    s = IndexSearcher(index_dir)
+    ids, _ = s.search("zzffdelta", 10)
+    assert len(ids) == 1  # unfiltered: delta doc found
+    # filtered: the delta doc has no sidecar row -> never matches a typed
+    # predicate (tantivy missing-fast-field semantics)
+    ids, _ = s.search("zzffdelta", 10, filter=[("lang", "==", "py")])
+    assert len(ids) == 0 and s.last_count == 0
+
+
+def test_filter_errors(ff_index):
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    index_dir, _ = ff_index
+    s = IndexSearcher(index_dir)
+    with pytest.raises(KeyError):
+        s.search("the", 10, filter=[("nope", "==", 1)])
+    with pytest.raises(ValueError):
+        s.search("the", 10, filter=[("lang", "~", 1)])
