@@ -194,6 +194,11 @@ def _build_docs_fastfields(sf_dir: str, index_dir: str) -> None:
 
     if os.path.exists(os.path.join(index_dir, FASTFIELD_DIR, "_meta.json")):
         return
+    build_fast_fields(index_dir, _docs_fastfields_source(sf_dir),
+                      columns=["doc_lang", "n_chars"])
+
+
+def _docs_fastfields_source(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -213,8 +218,33 @@ def _build_docs_fastfields(sf_dir: str, index_dir: str) -> None:
             "n_chars": pc.cast(t.column("n_chars"), pa.int64()),
         })
 
-    build_fast_fields(index_dir, docs.map_batches(fn, batch_format="pyarrow"),
-                      columns=["doc_lang", "n_chars"])
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def code_search_filtered_sharded(sf_dir: str) -> Any:
+    """Typed-filter search over the 3-shard build: per-shard sidecars
+    (built in ONE source pass against the union of shard docmetas), the
+    predicate pushed down to every shard worker — same oracle as
+    code_search_filtered with the sharded merge's doc_key tie-break."""
+    from prosearch_ray.index.fastfields import (FASTFIELD_DIR,
+                                                build_fast_fields_sharded)
+    from prosearch_ray.index.sharded import shard_dirs
+
+    root = _build_docs_sharded(sf_dir)
+    if not all(os.path.exists(os.path.join(d, FASTFIELD_DIR, "_meta.json"))
+               for d in shard_dirs(root)):
+        build_fast_fields_sharded(root, _docs_fastfields_source(sf_dir),
+                                  columns=["doc_lang", "n_chars"])
+        # a cached actor pool predates the sidecars: its searchers would
+        # lazily load them, but respawn keeps the cache semantics simple
+        for key in [k for k in _SHARDED_CACHE if k[0] == root]:
+            _SHARDED_CACHE.pop(key).shutdown()
+    m = _shared_sharded(root)
+    results = []
+    for qid, q in enumerate(AND_QUERIES):
+        keys, scores = m.search(q, 10, filter=FILTERED_PRED)
+        results.append((qid, keys, scores))
+    return _topk_table(results)
 
 
 def code_search_filtered(sf_dir: str) -> Any:
@@ -439,6 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_transform": multimodal.media_transform,
         # typed fast-field filter over the full engine (round-4 new)
         "code_search_filtered": code_search_filtered,
+        "code_search_filtered_sharded": code_search_filtered_sharded,
         # relational / crawl-state analogs (SURVEY.md §2.5-2.8)
         "stats_rollup": relational.stats_rollup,
         "per_lang_count": relational.per_lang_count,
@@ -1155,6 +1186,8 @@ def oracle_sql() -> dict[str, str]:
     d["code_search_topk"] = _code_search_sql()
     d["code_search_filtered"] = _code_search_sql(
         filter_src_sql=FILTER_SQL_PRED)
+    d["code_search_filtered_sharded"] = _code_search_sql(
+        filter_src_sql=FILTER_SQL_PRED, tiebreak="key")
     d["code_search_or_topk"] = _code_search_sql(
         conjunctive=False, qterms=OR_QTERMS)
     d["code_search_or_topk_sharded"] = _code_search_sql(

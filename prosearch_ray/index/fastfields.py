@@ -46,27 +46,22 @@ def _sha_hex_col(content: pa.ChunkedArray) -> List[str]:
             for x in content.to_pylist()]
 
 
-def build_fast_fields(index_dir: str, source, columns: Sequence[str],
-                      n_buckets: int = _JOIN_BUCKETS) -> dict:
-    """Build the typed sidecar for an existing index.
-
-    ``source``: parquet path or Dataset carrying ``repo``/``path``/
-    ``commit`` (doc identity), the requested typed ``columns``, and
-    optionally ``content`` (enables the full (commit, sha) last-write-wins
-    tie-break for upsert duplicates; without it ties break on commit only).
-    Rows whose doc_key is not in the index (lang-filtered, dedup losers)
-    are dropped by the inner join.  Returns {"n_rows", "columns"}.
-    """
-    columns = list(columns)
+def _read_source(source, columns: List[str]):
     if isinstance(source, str):
         import pyarrow.dataset as pads
 
         src_cols = ["repo", "path", "commit"] + columns
         if "content" in set(pads.dataset(source).schema.names):
             src_cols.append("content")
-        src = rd.read_parquet(source, columns=src_cols)
-    else:
-        src = source
+        return rd.read_parquet(source, columns=src_cols)
+    return source
+
+
+def _join_fast_fields(metas: List[Tuple[int, str]], src,
+                      columns: List[str], n_buckets: int):
+    """Co-group join of source rows against one or more shards' docmeta
+    mappings.  ``metas``: list of (shard, docmeta_dir).  Returns the
+    (shard, doc_id, typed columns) Dataset + col_types."""
     nb = n_buckets
     base = src.schema().base_schema
     col_types = {c: base.field(c).type for c in columns}
@@ -80,6 +75,7 @@ def build_fast_fields(index_dir: str, source, columns: Sequence[str],
         cols = {
             "bkt": pa.array(docid.buckets_of(keys, nb), pa.int64()),
             "kind": pa.array(np.ones(len(keys), np.int8), pa.int8()),
+            "shard": pa.array(np.full(len(keys), -1, np.int64), pa.int64()),
             "doc_key": pa.array(keys, pa.string()),
             "commit": pc.cast(t.column("commit"), pa.string()),
             "sha_hex": pa.array(sha, pa.string()),
@@ -90,22 +86,30 @@ def build_fast_fields(index_dir: str, source, columns: Sequence[str],
         return pa.table(cols)
 
     src_tagged = src.map_batches(src_rows, batch_format="pyarrow")
-    meta = rd.read_parquet(os.path.join(index_dir, "docmeta"),
-                           columns=["doc_key", "doc_id"])
 
-    def meta_rows(t: pa.Table) -> pa.Table:
-        keys = t.column("doc_key").to_pylist()
-        cols = {
-            "bkt": pa.array(docid.buckets_of(keys, nb), pa.int64()),
-            "kind": pa.array(np.zeros(len(keys), np.int8), pa.int8()),
-            "doc_key": t.column("doc_key"),
-            "commit": pa.array([""] * len(keys), pa.string()),
-            "sha_hex": pa.array([""] * len(keys), pa.string()),
-            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
-        }
-        for c in columns:
-            cols[c] = pa.nulls(len(keys), col_types[c])
-        return pa.table(cols)
+    def meta_rows_for(shard: int):
+        def meta_rows(t: pa.Table) -> pa.Table:
+            keys = t.column("doc_key").to_pylist()
+            cols = {
+                "bkt": pa.array(docid.buckets_of(keys, nb), pa.int64()),
+                "kind": pa.array(np.zeros(len(keys), np.int8), pa.int8()),
+                "shard": pa.array(np.full(len(keys), shard, np.int64),
+                                  pa.int64()),
+                "doc_key": t.column("doc_key"),
+                "commit": pa.array([""] * len(keys), pa.string()),
+                "sha_hex": pa.array([""] * len(keys), pa.string()),
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            }
+            for c in columns:
+                cols[c] = pa.nulls(len(keys), col_types[c])
+            return pa.table(cols)
+        return meta_rows
+
+    both = src_tagged
+    for shard, meta_dir in metas:
+        both = both.union(
+            rd.read_parquet(meta_dir, columns=["doc_key", "doc_id"])
+            .map_batches(meta_rows_for(shard), batch_format="pyarrow"))
 
     def join_bucket(g: pa.Table) -> pa.Table:
         kind = g.column("kind").to_numpy()
@@ -113,7 +117,8 @@ def build_fast_fields(index_dir: str, source, columns: Sequence[str],
         src_t = g.filter(pa.array(sm))
         meta_t = g.filter(pa.array(~sm))
         if src_t.num_rows == 0 or meta_t.num_rows == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
+            return pa.table({"shard": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
                              **{c: pa.array([], col_types[c])
                                 for c in columns}})
         # last-write-wins canonical row per doc_key (build.py
@@ -131,22 +136,56 @@ def build_fast_fields(index_dir: str, source, columns: Sequence[str],
         hit = pc.is_valid(pos)
         meta_t = meta_t.filter(hit)
         pos = pos.filter(hit)
-        out = {"doc_id": meta_t.column("doc_id")}
+        out = {"shard": meta_t.column("shard"),
+               "doc_id": meta_t.column("doc_id")}
         for c in columns:
             out[c] = src_t.column(c).take(pos)
         return pa.table(out)
 
-    joined = src_tagged.union(meta.map_batches(
-        meta_rows, batch_format="pyarrow")).groupby("bkt").map_groups(
-        join_bucket, batch_format="pyarrow")
+    return both.groupby("bkt").map_groups(
+        join_bucket, batch_format="pyarrow"), col_types
 
+
+def _write_sidecar(index_dir: str, joined_tbl: pa.Table,
+                   columns: List[str]) -> int:
+    """Atomically (re)write one index dir's sidecar from a driver table."""
+    import shutil
+
+    out_dir = os.path.join(index_dir, FASTFIELD_DIR)
+    tmp_dir = out_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(tmp_dir)
+    pq.write_table(joined_tbl, os.path.join(tmp_dir, "part-000.parquet"))
+    with open(os.path.join(tmp_dir, "_meta.json"), "w") as f:
+        json.dump({"columns": columns,
+                   "n_rows": int(joined_tbl.num_rows)}, f)
+    os.rename(tmp_dir, out_dir)
+    return int(joined_tbl.num_rows)
+
+
+def build_fast_fields(index_dir: str, source, columns: Sequence[str],
+                      n_buckets: int = _JOIN_BUCKETS) -> dict:
+    """Build the typed sidecar for an existing index.
+
+    ``source``: parquet path or Dataset carrying ``repo``/``path``/
+    ``commit`` (doc identity), the requested typed ``columns``, and
+    optionally ``content`` (enables the full (commit, sha) last-write-wins
+    tie-break for upsert duplicates; without it ties break on commit only).
+    Rows whose doc_key is not in the index (lang-filtered, dedup losers)
+    are dropped by the inner join.  Returns {"n_rows", "columns"}.
+    """
+    columns = list(columns)
+    src = _read_source(source, columns)
+    joined, _ = _join_fast_fields(
+        [(0, os.path.join(index_dir, "docmeta"))], src, columns, n_buckets)
     out_dir = os.path.join(index_dir, FASTFIELD_DIR)
     tmp_dir = out_dir + ".tmp"
     import shutil
 
     shutil.rmtree(tmp_dir, ignore_errors=True)
     shutil.rmtree(out_dir, ignore_errors=True)
-    joined.write_parquet(tmp_dir)
+    joined.drop_columns(["shard"]).write_parquet(tmp_dir)
     n_rows = sum(
         pq.read_metadata(os.path.join(tmp_dir, f)).num_rows
         for f in os.listdir(tmp_dir) if f.endswith(".parquet"))
@@ -154,6 +193,35 @@ def build_fast_fields(index_dir: str, source, columns: Sequence[str],
         json.dump({"columns": columns, "n_rows": int(n_rows)}, f)
     os.rename(tmp_dir, out_dir)
     return {"n_rows": int(n_rows), "columns": columns}
+
+
+def build_fast_fields_sharded(root: str, source, columns: Sequence[str],
+                              n_buckets: int = _JOIN_BUCKETS) -> dict:
+    """Typed sidecars for every shard of a doc-sharded root in ONE source
+    pass: the co-group join runs once against the union of all shards'
+    docmeta mappings (each row tagged with its shard); the narrow
+    (shard, doc_id, typed) result is then split per shard.  Each shard's
+    sidecar is the exact layout ``build_fast_fields`` writes, so shard
+    workers load it with the same ``load_fast_fields``."""
+    from prosearch_ray.index.sharded import shard_dirs
+
+    columns = list(columns)
+    dirs = shard_dirs(root)
+    src = _read_source(source, columns)
+    joined, _ = _join_fast_fields(
+        [(s, os.path.join(d, "docmeta")) for s, d in enumerate(dirs)],
+        src, columns, n_buckets)
+    # the joined result is typed-metadata-narrow (never carries text);
+    # collect once, split per shard — at real scale swap for a partitioned
+    # write keyed on shard
+    tbl = pa.concat_tables(list(joined.iter_batches(batch_format="pyarrow")))
+    shards = tbl.column("shard").to_numpy()
+    n_total = 0
+    for s, d in enumerate(dirs):
+        sub = tbl.filter(pa.array(shards == s)).drop_columns(["shard"])
+        n_total += _write_sidecar(d, sub, columns)
+    return {"n_rows": n_total, "columns": columns,
+            "num_shards": len(dirs)}
 
 
 def load_fast_fields(index_dir: str, n_docs: int

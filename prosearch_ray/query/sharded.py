@@ -54,8 +54,8 @@ class _ShardWorker:
     def _keys(self, ids) -> List[str]:
         return [self.s.doc_keys[int(i)].as_py() for i in ids]
 
-    def search(self, query: str, k: int):
-        ids, scs = self.s.search(query, int(k))
+    def search(self, query: str, k: int, filter=None):
+        ids, scs = self.s.search(query, int(k), filter=filter)
         return self._keys(ids), [float(x) for x in scs], int(self.s.last_count)
 
     def snippets_for(self, doc_keys: List[str], query: str):
@@ -178,9 +178,13 @@ class ShardedSearcher:
         rows = rows[:k]
         return [r[0] for r in rows], [r[1] for r in rows]
 
-    def search(self, query: str, k: int = scoring.DEFAULT_K
+    def search(self, query: str, k: int = scoring.DEFAULT_K, filter=None
                ) -> Tuple[List[str], List[float]]:
-        res = ray.get([a.search.remote(query, k) for a in self.actors])
+        """``filter``: typed fast-field predicates, pushed down to every
+        shard worker (each shard holds its own sidecar over its local
+        doc_id space — build with fastfields.build_fast_fields_sharded);
+        the merge is unchanged, counts sum the per-shard filtered counts."""
+        res = ray.get([a.search.remote(query, k, filter) for a in self.actors])
         self.last_count = sum(c for _, _, c in res)
         return self._merge([(keys, scs) for keys, scs, _ in res], k)
 

@@ -129,3 +129,53 @@ def test_filter_errors(ff_index):
         s.search("the", 10, filter=[("nope", "==", 1)])
     with pytest.raises(ValueError):
         s.search("the", 10, filter=[("lang", "~", 1)])
+
+
+def test_sharded_filter_matches_unsharded(ray_session, tmp_path):
+    """Per-shard sidecars + filter push-down: the scatter-gather filtered
+    top-k must equal the unsharded filtered top-k (scores bit-identical,
+    doc_key tie-break)."""
+    import ray.data as rd
+
+    from prosearch_ray.fixtures import write_corpus
+    from prosearch_ray.index.build import build_index
+    from prosearch_ray.index.fastfields import (build_fast_fields,
+                                                build_fast_fields_sharded)
+    from prosearch_ray.index.sharded import build_sharded_index
+    from prosearch_ray.query.searcher import IndexSearcher
+    from prosearch_ray.query.sharded import ShardedSearcher
+
+    d = write_corpus(str(tmp_path / "corpus"), n_docs=400)
+
+    def add_typed(t):
+        import pyarrow.compute as pc
+        return t.append_column(
+            "n_chars", pc.cast(pc.utf8_length(t.column("content")),
+                               pa.int64()))
+
+    src = rd.read_parquet(d + "/corpus").map_batches(
+        add_typed, batch_format="pyarrow")
+    single = str(tmp_path / "single")
+    root = str(tmp_path / "shards")
+    build_index(d + "/corpus", single, docs_per_bucket=64)
+    build_sharded_index(d + "/corpus", root, num_shards=3,
+                        docs_per_bucket=64)
+    build_fast_fields(single, src, columns=["lang", "n_chars"])
+    rep = build_fast_fields_sharded(root, src, columns=["lang", "n_chars"])
+    s = IndexSearcher(single)
+    assert rep["n_rows"] == s.n_docs and rep["num_shards"] == 3
+    m = ShardedSearcher(root)
+    try:
+        for q, pred in [("the", [("lang", "in", ("py", "rs"))]),
+                        ("merge hash", [("n_chars", ">=", 400)])]:
+            ids, scs = s.search(q, 10, filter=pred)
+            want = [(str(s.doc_keys[int(i)]), float(x))
+                    for i, x in zip(ids, scs)]
+            want.sort(key=lambda r: (-r[1], r[0]))
+            keys, mscs = m.search(q, 10, filter=pred)
+            assert [k for k, _ in want] == list(keys)
+            assert np.allclose([x for _, x in want], mscs,
+                               rtol=0, atol=1e-12)
+            assert m.last_count == s.last_count > 0
+    finally:
+        m.shutdown()
