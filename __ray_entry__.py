@@ -526,11 +526,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": trainprep.pmi_bigrams,
         "doc_vectors": trainprep.doc_vectors,
         "chunk_documents": trainprep.chunk_documents,
-        # text analysis
+        # --- double-covered tail (green in 2+ prior rounds AND pinned by
+        # dedicated pytest): the entries a 50-entry driver cap can most
+        # safely skip.
         "lang_id": textstats.lang_id,
         "quality_score": textstats.quality_score,
-        # --- double-covered tail (green r2 AND r3; dedicated pytest): the
-        # entries a 50-entry driver cap can most safely skip.
         "token_counts": docsearch.token_counts,
         "doc_length_measure": relational.doc_length_measure,
         "jaccard_pairs": dedup.jaccard_pairs,
