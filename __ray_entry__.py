@@ -247,6 +247,57 @@ def code_search_filtered_sharded(sf_dir: str) -> Any:
     return _topk_table(results)
 
 
+def _facet_table(results) -> Any:
+    import pyarrow as pa
+
+    out_q, out_v, out_n = [], [], []
+    for qid, pairs in results:
+        for val, n in pairs:
+            out_q.append(qid)
+            out_v.append(str(val))
+            out_n.append(int(n))
+    return pa.table({
+        "qid": pa.array(out_q, pa.int32()),
+        "doc_lang": pa.array(out_v, pa.string()),
+        "n_docs": pa.array(out_n, pa.int64()),
+    })
+
+
+def code_search_facets(sf_dir: str) -> Any:
+    """Facet counting over a typed fast field (tantivy facet-field analog):
+    per AND query, count of ALL matching docs per doc_lang value —
+    exact-matched against the BM25 oracle's match set grouped
+    relationally."""
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    index_dir = _build_docs_index(sf_dir)
+    _build_docs_fastfields(sf_dir, index_dir)
+    s = IndexSearcher(index_dir)
+    return _facet_table(
+        (qid, s.facet_counts(q, "doc_lang"))
+        for qid, q in enumerate(AND_QUERIES))
+
+
+def code_search_facets_sharded(sf_dir: str) -> Any:
+    """Scatter-gather facet counting (per-shard bincounts merged by value)
+    — same oracle as code_search_facets (counts are shard-additive)."""
+    from prosearch_ray.index.fastfields import (FASTFIELD_DIR,
+                                                build_fast_fields_sharded)
+    from prosearch_ray.index.sharded import shard_dirs
+
+    root = _build_docs_sharded(sf_dir)
+    if not all(os.path.exists(os.path.join(d, FASTFIELD_DIR, "_meta.json"))
+               for d in shard_dirs(root)):
+        build_fast_fields_sharded(root, _docs_fastfields_source(sf_dir),
+                                  columns=["doc_lang", "n_chars"])
+        for key in [k for k in _SHARDED_CACHE if k[0] == root]:
+            _SHARDED_CACHE.pop(key).shutdown()
+    m = _shared_sharded(root)
+    return _facet_table(
+        (qid, m.facet_counts(q, "doc_lang"))
+        for qid, q in enumerate(AND_QUERIES))
+
+
 def code_search_filtered(sf_dir: str) -> Any:
     """Full-engine BM25 AND search with a typed fast-field filter (tantivy
     fast-field/range-query analog, new.rs:83-95): scores identical to the
@@ -470,6 +521,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # typed fast-field filter over the full engine (round-4 new)
         "code_search_filtered": code_search_filtered,
         "code_search_filtered_sharded": code_search_filtered_sharded,
+        "code_search_facets": code_search_facets,
+        "code_search_facets_sharded": code_search_facets_sharded,
         # relational / crawl-state analogs (SURVEY.md §2.5-2.8)
         "stats_rollup": relational.stats_rollup,
         "per_lang_count": relational.per_lang_count,
@@ -1188,6 +1241,8 @@ def oracle_sql() -> dict[str, str]:
         filter_src_sql=FILTER_SQL_PRED)
     d["code_search_filtered_sharded"] = _code_search_sql(
         filter_src_sql=FILTER_SQL_PRED, tiebreak="key")
+    d["code_search_facets"] = _code_search_sql(facet=True)
+    d["code_search_facets_sharded"] = _code_search_sql(facet=True)
     d["code_search_or_topk"] = _code_search_sql(
         conjunctive=False, qterms=OR_QTERMS)
     d["code_search_or_topk_sharded"] = _code_search_sql(
@@ -1281,7 +1336,8 @@ def _fnt_values() -> str:
 
 def _code_search_sql(tiebreak: str = "doc", conjunctive: bool = True,
                      qterms: str = None, mlt_src_ids=None,
-                     filter_src_sql: str = None) -> str:
+                     filter_src_sql: str = None,
+                     facet: bool = False) -> str:
     """tiebreak="doc": equal scores rank by engine doc_id (unsharded
     searcher).  tiebreak="key": by doc_key (the sharded merge's order).
     conjunctive=False ranks every doc matching ANY query term (the raw-CLI
@@ -1381,19 +1437,28 @@ scored AS (
   JOIN norms nm ON nm.doc = c.doc
   GROUP BY 1, 2
 ),
-ranked AS (
+{'''facets AS (
+  SELECT s.qid, dd.lang AS doc_lang, count(*)::BIGINT AS n_docs
+  FROM scored s JOIN ids i2 ON i2.doc = s.doc JOIN nq ON nq.qid = s.qid
+  JOIN documents dd ON dd.doc_id = i2.src_id
+  WHERE ''' + match_pred + '''
+  GROUP BY 1, 2
+)
+SELECT qid::INTEGER AS qid, doc_lang, n_docs FROM facets
+ORDER BY qid, n_docs DESC, doc_lang
+''' if facet else '''ranked AS (
   SELECT s.qid, s.doc, s.score,
          row_number() OVER (PARTITION BY s.qid
-                            ORDER BY s.score DESC, {tb}) - 1 AS rank
+                            ORDER BY s.score DESC, ''' + tb + ''') - 1 AS rank
   FROM scored s JOIN ids i2 ON i2.doc = s.doc JOIN nq ON nq.qid = s.qid
-  WHERE {match_pred}
+  WHERE ''' + match_pred + '''
 )
 SELECT r.qid::INTEGER AS qid, r.rank::INTEGER AS rank, i.doc_key,
        round(r.score, 4) AS score
 FROM ranked r JOIN ids i ON i.doc = r.doc
 WHERE r.rank < 10
 ORDER BY qid, rank
-"""
+'''}"""
 
 
 def _code_phrase_sql(tiebreak: str = "doc") -> str:

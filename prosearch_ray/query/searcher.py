@@ -1510,6 +1510,48 @@ class IndexSearcher:
         return {int(d): by_key.get(str(self.doc_keys[d]), "")
                 for d in doc_ids}
 
+    def facet_counts(self, query: str, column: str, filter=None
+                     ) -> List[Tuple[object, int]]:
+        """Per-facet-value counts of ALL live docs matching the conjunctive
+        query (tantivy facet-field counting, new.rs:83-95 facet type):
+        candidate set exactly as ``search`` (AND of terms, tombstones and
+        the optional typed ``filter`` applied), then one bincount over the
+        fast-field column.  Returns [(value, count)] ordered by
+        (count desc, value asc); docs with no sidecar row don't count."""
+        from prosearch_ray.index import fastfields as ffmod
+
+        plan = scoring.query_plan(query, self.boost_terms)
+        if not plan:
+            return []
+        postings = self.fetch_postings([t for t, _ in plan])
+        if any(t not in postings for t, _ in plan):
+            return []
+        if self._fastfields is None:
+            ff = ffmod.load_fast_fields(self.index_dir, self.n_docs)
+            if ff is None:
+                raise ValueError(
+                    f"index {self.index_dir} has no fastfields sidecar")
+            self._fastfields = ff
+        if column not in self._fastfields:
+            raise KeyError(f"no fast field {column!r}")
+        presence = np.zeros(self.n_docs, dtype=np.uint16)
+        for term, _ in plan:
+            presence[postings[term].doc_ids] += 1
+        if len(self.tombstones):
+            presence[self.tombstones] = 0
+        cand = np.nonzero(presence == len(plan))[0]
+        mask = self._fastfields["_valid"]
+        if filter:
+            mask = mask & self._filter_mask(filter)
+        cand = cand[mask[cand]]
+        if not len(cand):
+            return []
+        vals = self._fastfields[column][cand]
+        uniq, counts = np.unique(vals, return_counts=True)
+        order = np.lexsort((uniq, -counts))
+        return [(uniq[i].item() if hasattr(uniq[i], "item") else uniq[i],
+                 int(counts[i])) for i in order]
+
     def search_with_snippets(self, query: str, k: int = scoring.DEFAULT_K,
                              filter=None) -> List[dict]:
         """Full SERP hits: doc_key + title + snippet, body dropped from the

@@ -58,6 +58,9 @@ class _ShardWorker:
         ids, scs = self.s.search(query, int(k), filter=filter)
         return self._keys(ids), [float(x) for x in scs], int(self.s.last_count)
 
+    def facet_counts(self, query: str, column: str, filter=None):
+        return self.s.facet_counts(query, column, filter=filter)
+
     def snippets_for(self, doc_keys: List[str], query: str):
         """Stored-doc fetch + snippet for keys THIS shard owns — called only
         with the merged top-k winners, so at most k docs cross the wire per
@@ -203,6 +206,19 @@ class ShardedSearcher:
             out.append(self._merge([(keys, scs) for keys, scs, _ in res],
                                    int(k)))
         return out
+
+    def facet_counts(self, query: str, column: str, filter=None
+                     ) -> List[Tuple[object, int]]:
+        """Scatter-gather facet counting: per-shard bincounts merged by
+        value (counts are additive across doc shards), same
+        (count desc, value asc) order as the unsharded method."""
+        res = ray.get([a.facet_counts.remote(query, column, filter)
+                       for a in self.actors])
+        merged: dict = {}
+        for part in res:
+            for val, n in part:
+                merged[val] = merged.get(val, 0) + int(n)
+        return sorted(merged.items(), key=lambda r: (-r[1], r[0]))
 
     def search_with_snippets(self, query: str, k: int = scoring.DEFAULT_K
                              ) -> List[dict]:

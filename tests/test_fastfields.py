@@ -179,3 +179,27 @@ def test_sharded_filter_matches_unsharded(ray_session, tmp_path):
             assert m.last_count == s.last_count > 0
     finally:
         m.shutdown()
+
+
+def test_facet_counts(ff_index):
+    """Facet counting: counts over ALL matching docs per fast-field value,
+    consistent with brute-force; typed filter composes."""
+    from prosearch_ray.index.fastfields import load_fast_fields
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    index_dir, _ = ff_index
+    s = IndexSearcher(index_dir)
+    ff = load_fast_fields(index_dir, s.n_docs)
+    ids, _ = s.search("merge hash", 10 ** 6)
+    want: dict = {}
+    for d in ids:
+        if not ff["_valid"][d]:  # delta-added doc: no sidecar row
+            continue
+        want[ff["lang"][d]] = want.get(ff["lang"][d], 0) + 1
+    got = s.facet_counts("merge hash", "lang")
+    assert dict(got) == want
+    assert [n for _, n in got] == sorted((n for n in want.values()),
+                                         reverse=True)
+    flt = s.facet_counts("merge hash", "lang",
+                         filter=[("lang", "in", ("py", "rs"))])
+    assert dict(flt) == {k: v for k, v in want.items() if k in ("py", "rs")}
