@@ -11,13 +11,15 @@ import time
 from prosearch_ray.index import scoring
 
 
-def serp(searcher, q: str, nhits: int = scoring.DEFAULT_K) -> dict:
+def serp(searcher, q: str, nhits: int = scoring.DEFAULT_K,
+         filter=None) -> dict:
     """``searcher`` is any object with the ``search_with_snippets`` +
     ``last_count`` contract — ``IndexSearcher`` or the scatter-gather
     ``ShardedSearcher`` (sharded SERPs are merged-top-k identical to the
-    unsharded surface)."""
+    unsharded surface).  ``filter``: optional typed fast-field predicates
+    (index/fastfields.py) ANDed with the query."""
     t0 = time.perf_counter()
-    hits = searcher.search_with_snippets(q, nhits)
+    hits = searcher.search_with_snippets(q, nhits, filter=filter)
     dt_us = int((time.perf_counter() - t0) * 1e6)
     return {
         "q": q,

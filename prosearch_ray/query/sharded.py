@@ -220,8 +220,8 @@ class ShardedSearcher:
                 merged[val] = merged.get(val, 0) + int(n)
         return sorted(merged.items(), key=lambda r: (-r[1], r[0]))
 
-    def search_with_snippets(self, query: str, k: int = scoring.DEFAULT_K
-                             ) -> List[dict]:
+    def search_with_snippets(self, query: str, k: int = scoring.DEFAULT_K,
+                             filter=None) -> List[dict]:
         """Full SERP hits over the sharded index — the unsharded
         ``IndexSearcher.search_with_snippets`` contract (doc_key + title +
         score + snippet, body dropped).  Two-phase: scatter-gather the
@@ -229,7 +229,8 @@ class ShardedSearcher:
         merged top-k, each from its owning shard (no shard ships more than
         its winners' contents).  Shard-local doc ids are meaningless
         globally, so hits carry no ``doc_id``."""
-        res = ray.get([a.search.remote(query, k) for a in self.actors])
+        res = ray.get([a.search.remote(query, k, filter)
+                       for a in self.actors])
         self.last_count = sum(c for _, _, c in res)
         rows = []
         for si, (keys, scs, _) in enumerate(res):

@@ -65,10 +65,20 @@ class IndexService:
             self._searcher = None
 
     # -- routes ------------------------------------------------------------
-    def search(self, q: str, nhits: int = 10) -> dict:
-        """/api handler body: the reference-shaped SERP JSON."""
+    def search(self, q: str, nhits: int = 10, filter=None,
+               facet: Optional[str] = None) -> dict:
+        """/api handler body: the reference-shaped SERP JSON, optionally
+        with a typed fast-field ``filter`` (predicates ANDed with the
+        query) and a ``facet`` column whose per-value match counts are
+        attached under ``facets`` — the engine's extension of the /api
+        surface (requires a fastfields sidecar on the index)."""
         with self._lock:
-            return serp(self._searcher, q, nhits)
+            out = serp(self._searcher, q, nhits, filter=filter)
+            if facet:
+                out["facets"] = {facet: [
+                    [v, n] for v, n in
+                    self._searcher.facet_counts(q, facet, filter=filter)]}
+            return out
 
     def delete(self, url: str) -> int:
         """/delete handler body: tombstone every live doc with this doc
@@ -149,8 +159,25 @@ def _make_handler(service: IndexService):
                         nhits = int(qs.get("nhits", ["10"])[0])
                     except ValueError:
                         pass
-                    self._reply(200, json.dumps(
-                        service.search(qs["q"][0], nhits)))
+                    flt = None
+                    if "filter" in qs:
+                        try:
+                            flt = [(str(c), str(op), tuple(v) if
+                                    isinstance(v, list) else v)
+                                   for c, op, v in json.loads(
+                                       qs["filter"][0])]
+                        except (ValueError, TypeError):
+                            self._reply(400, "Bad filter: expecting JSON "
+                                             '[[column, op, value], ...]')
+                            return
+                    facet = qs.get("facet", [None])[0]
+                    try:
+                        out = service.search(qs["q"][0], nhits, filter=flt,
+                                             facet=facet)
+                    except (KeyError, ValueError) as e:
+                        self._reply(400, str(e))
+                        return
+                    self._reply(200, json.dumps(out))
                 elif path == "/delete":
                     if "url" not in qs:
                         self._reply(400, "Parameter url is missing")

@@ -152,3 +152,42 @@ def test_sharded_serve_roundtrip(ray_session, tmp_path):
         server.shutdown()
         thread.join(timeout=10)
         service.close()
+
+
+def test_api_filter_and_facets(ray_session, tmp_path):
+    """/api with a typed fast-field filter + facet counts (the engine's
+    extension of the serve surface; requires a sidecar on the index)."""
+    import ray.data as rd
+
+    from prosearch_ray.fixtures import write_corpus
+    from prosearch_ray.index.build import build_index
+    from prosearch_ray.index.fastfields import build_fast_fields
+    from prosearch_ray.serve import make_server
+
+    d = write_corpus(str(tmp_path / "corpus"), n_docs=300)
+    index_dir = str(tmp_path / "idx")
+    build_index(d + "/corpus", index_dir, docs_per_bucket=64)
+    build_fast_fields(index_dir, d + "/corpus", columns=["lang"])
+    server, service = make_server(index_dir, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        flt = urllib.parse.quote(json.dumps([["lang", "in", ["py", "rs"]]]))
+        code, body = _get(f"{base}/api?q=the&nhits=5&filter={flt}&facet=lang")
+        assert code == 200
+        out = json.loads(body)
+        assert out["count"] > 0
+        facets = dict(tuple(x) for x in out["facets"]["lang"])
+        assert set(facets) <= {"py", "rs"}
+        assert sum(facets.values()) == out["count"]
+        code, _ = _get(f"{base}/api?q=the&nhits=5")
+        unfiltered = json.loads(_get(f"{base}/api?q=the&nhits=5")[1])
+        assert unfiltered["count"] > out["count"]
+        # malformed filter / unknown facet column -> 400
+        assert _get(f"{base}/api?q=the&filter=notjson")[0] == 400
+        assert _get(f"{base}/api?q=the&facet=nope")[0] == 400
+    finally:
+        server.shutdown()
+        thread.join(timeout=10)
+        service.close()
