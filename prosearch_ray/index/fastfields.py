@@ -224,6 +224,43 @@ def build_fast_fields_sharded(root: str, source, columns: Sequence[str],
             "num_shards": len(dirs)}
 
 
+def update_fast_fields(index_dir: str, source,
+                       n_buckets: int = _JOIN_BUCKETS) -> dict:
+    """Fold typed values for DELTA-added docs into an existing sidecar
+    (the maintenance pass after ``delta.add_documents``): joins the delta
+    source against docmeta, appends rows ONLY for doc_ids not already
+    covered (a re-added doc_key's OLD doc_id keeps its stale row — it is
+    tombstoned and can never match), and bumps ``_meta.json``.  Returns
+    {"added"}."""
+    out_dir = os.path.join(index_dir, FASTFIELD_DIR)
+    meta_path = os.path.join(out_dir, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    columns = meta["columns"]
+    src = _read_source(source, columns)
+    joined, _ = _join_fast_fields(
+        [(0, os.path.join(index_dir, "docmeta"))], src, columns, n_buckets)
+    tbl = pa.concat_tables(list(joined.drop_columns(["shard"]).iter_batches(
+        batch_format="pyarrow")))
+    import pyarrow.dataset as pads
+
+    parts = [os.path.join(out_dir, f) for f in sorted(os.listdir(out_dir))
+             if f.endswith(".parquet")]
+    covered = pads.dataset(parts).to_table(
+        columns=["doc_id"]).column("doc_id").to_numpy()
+    fresh = ~np.isin(tbl.column("doc_id").to_numpy(), covered)
+    tbl = tbl.filter(pa.array(fresh))
+    if tbl.num_rows:
+        n = len(parts)
+        tmp = os.path.join(out_dir, f".delta-{n:05d}.parquet.tmp")
+        pq.write_table(tbl, tmp)
+        os.rename(tmp, os.path.join(out_dir, f"part-delta-{n:05d}.parquet"))
+        meta["n_rows"] = int(meta["n_rows"]) + int(tbl.num_rows)
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+    return {"added": int(tbl.num_rows)}
+
+
 def load_fast_fields(index_dir: str, n_docs: int
                      ) -> Optional[Dict[str, np.ndarray]]:
     """doc_id-indexed column arrays + ``_valid`` mask (False for docs with

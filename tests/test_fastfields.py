@@ -203,3 +203,34 @@ def test_facet_counts(ff_index):
     flt = s.facet_counts("merge hash", "lang",
                          filter=[("lang", "in", ("py", "rs"))])
     assert dict(flt) == {k: v for k, v in want.items() if k in ("py", "rs")}
+
+
+def test_update_fast_fields_covers_delta(ff_index):
+    """After the sidecar maintenance pass, delta-added docs match typed
+    predicates (runs after test_filtered_excludes_delta_docs added the
+    delta doc to this module's shared index)."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from prosearch_ray.index.fastfields import update_fast_fields
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    index_dir, _ = ff_index
+    delta = pa.table({
+        "repo": ["fforg/ffrepo"], "path": ["src/ff_delta.py"],
+        "commit": ["a" * 40], "lang": ["py"],
+        "content": ["zzffdelta merge hash stream"],
+    })
+    delta = delta.append_column(
+        "n_chars", pc.cast(pc.utf8_length(delta.column("content")),
+                           pa.int64()))
+    rep = update_fast_fields(index_dir, rd.from_arrow(delta))
+    assert rep["added"] == 1
+    s = IndexSearcher(index_dir)
+    ids, _ = s.search("zzffdelta", 10, filter=[("lang", "==", "py")])
+    assert len(ids) == 1 and s.last_count == 1
+    ids, _ = s.search("zzffdelta", 10, filter=[("lang", "==", "rs")])
+    assert len(ids) == 0
+    # idempotent: a second pass adds nothing
+    assert update_fast_fields(index_dir, rd.from_arrow(delta))["added"] == 0
