@@ -1011,8 +1011,8 @@ class IndexSearcher:
                 out_cached[t] = arr
         return out_cached
 
-    def search_phrase(self, query: str, k: int = scoring.DEFAULT_K
-                      ) -> Tuple[np.ndarray, np.ndarray]:
+    def search_phrase(self, query: str, k: int = scoring.DEFAULT_K,
+                      filter=None) -> Tuple[np.ndarray, np.ndarray]:
         """Exact phrase search over the BODY field (the reference stores body
         with record: position, meta.json:26; title is record: basic and has
         no positions, so phrases cannot match it — same as tantivy).
@@ -1033,8 +1033,16 @@ class IndexSearcher:
         if r is None:
             return empty
         ids, counts = r
+        # phrase idf uses the UNFILTERED df_p — a typed filter masks
+        # candidates without touching BM25 statistics (same contract as
+        # search(filter=...))
         df_p = len(ids)
-        self.last_count = df_p
+        if filter:
+            keep = self._filter_mask(filter)[ids]
+            ids, counts = ids[keep], counts[keep]
+            if not len(ids):
+                return empty
+        self.last_count = len(ids)
         return self._phrase_topk(ids, counts, df_p, k)
 
     def _phrase_candidates(self, tokens
@@ -1423,8 +1431,8 @@ class IndexSearcher:
     def search_raw(self, query: str, k: int = scoring.DEFAULT_K,
                    phrase_df_overrides: Optional[dict] = None,
                    collect_phrase_dfs: Optional[dict] = None,
-                   phrase_cache: Optional[dict] = None
-                   ) -> Tuple[np.ndarray, np.ndarray]:
+                   phrase_cache: Optional[dict] = None,
+                   filter=None) -> Tuple[np.ndarray, np.ndarray]:
         """Raw-syntax search: +must / -must_not / "phrase" / bare-OR, scored
         by summed clause BM25 (boost set not applied — that is the serve
         path's rewrite).  Returns (doc_ids, scores) rank-ordered; the live
@@ -1487,6 +1495,11 @@ class IndexSearcher:
             if len(ids):
                 keep = ~np.isin(cand, ids, assume_unique=True)
                 cand, scores = cand[keep], scores[keep]
+        if filter:
+            # typed mask after clause algebra: per-clause BM25 stayed
+            # corpus-wide, the filter only drops candidates
+            keep = self._filter_mask(filter)[cand]
+            cand, scores = cand[keep], scores[keep]
         if len(cand) == 0:
             return empty
         self.last_count = len(cand)

@@ -98,13 +98,13 @@ class _ShardWorker:
         self._raw_cache = (query, cache)
         return dfs
 
-    def search_raw(self, query: str, k: int, overrides=None):
+    def search_raw(self, query: str, k: int, overrides=None, filter=None):
         cq, cache = getattr(self, "_raw_cache", (None, None))
         if cq != query:
             cache = None  # actor restarted / different query: evaluate fresh
         ids, scs = self.s.search_raw(query, int(k),
                                      phrase_df_overrides=overrides,
-                                     phrase_cache=cache)
+                                     phrase_cache=cache, filter=filter)
         return self._keys(ids), [float(x) for x in scs], int(self.s.last_count)
 
     def phrase_candidates(self, query: str) -> int:
@@ -117,19 +117,27 @@ class _ShardWorker:
         self._phrase_cache = (query, r)
         return 0 if r is None else len(r[0])
 
-    def phrase_topk(self, query: str, df_p_global: int, k: int):
+    def phrase_topk(self, query: str, df_p_global: int, k: int,
+                    filter=None):
         """Phase 2: score the cached candidates under the corpus-wide
-        df_p."""
+        df_p; a typed filter masks this shard's candidates first (idf keeps
+        the unfiltered global df_p — the unsharded contract).  Returns
+        (keys, scores, n_local_matches)."""
         cq, r = self._phrase_cache
         if cq != query:  # actor restarted between phases — re-evaluate
             self.phrase_candidates(query)
             _, r = self._phrase_cache
         if r is None:
-            return [], []
+            return [], [], 0
         ids, counts = r
+        if filter:
+            keep = self.s._filter_mask(filter)[ids]
+            ids, counts = ids[keep], counts[keep]
+            if not len(ids):
+                return [], [], 0
         top_ids, scs = self.s._phrase_topk(ids, counts, int(df_p_global),
                                            int(k))
-        return self._keys(top_ids), [float(x) for x in scs]
+        return self._keys(top_ids), [float(x) for x in scs], int(len(ids))
 
 
 class ShardedSearcher:
@@ -248,8 +256,8 @@ class ShardedSearcher:
         return [{"doc_key": key, "title": key, "score": float(sc),
                  "snip": snips.get(key, "")} for key, sc, _ in rows]
 
-    def search_raw(self, query: str, k: int = scoring.DEFAULT_K
-                   ) -> Tuple[List[str], List[float]]:
+    def search_raw(self, query: str, k: int = scoring.DEFAULT_K,
+                   filter=None) -> Tuple[List[str], List[float]]:
         """Raw-syntax (+must / -must_not / "phrase" / bare-OR) scatter-gather
         search, bit-identical to the unsharded ``IndexSearcher.search_raw``:
         term clauses already score under the corpus-wide stats every shard
@@ -267,22 +275,23 @@ class ShardedSearcher:
                               for a in self.actors]):
                 for text, c in d.items():
                     overrides[text] = overrides.get(text, 0) + int(c)
-        res = ray.get([a.search_raw.remote(query, k, overrides)
+        res = ray.get([a.search_raw.remote(query, k, overrides, filter)
                        for a in self.actors])
         self.last_count = sum(c for _, _, c in res)
         return self._merge([(keys, scs) for keys, scs, _ in res], k)
 
-    def search_phrase(self, query: str, k: int = scoring.DEFAULT_K
-                      ) -> Tuple[List[str], List[float]]:
+    def search_phrase(self, query: str, k: int = scoring.DEFAULT_K,
+                      filter=None) -> Tuple[List[str], List[float]]:
         counts = ray.get([a.phrase_candidates.remote(query)
                           for a in self.actors])
-        df_p = int(sum(counts))
-        self.last_count = df_p
+        df_p = int(sum(counts))  # unfiltered, the idf input
         if df_p == 0:
+            self.last_count = 0
             return [], []
-        res = ray.get([a.phrase_topk.remote(query, df_p, k)
+        res = ray.get([a.phrase_topk.remote(query, df_p, k, filter)
                        for a in self.actors])
-        return self._merge(res, k)
+        self.last_count = sum(n for _, _, n in res)
+        return self._merge([(keys, scs) for keys, scs, _ in res], k)
 
     def shutdown(self) -> None:
         for a in self.actors:

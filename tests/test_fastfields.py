@@ -234,3 +234,76 @@ def test_update_fast_fields_covers_delta(ff_index):
     assert len(ids) == 0
     # idempotent: a second pass adds nothing
     assert update_fast_fields(index_dir, rd.from_arrow(delta))["added"] == 0
+
+
+def test_raw_and_phrase_filters(ff_index):
+    """Typed filters compose with raw-syntax and phrase search: survivors'
+    scores are bit-identical to their unfiltered scores (clause BM25 and
+    phrase idf keep corpus-wide statistics)."""
+    from prosearch_ray.index.fastfields import eval_filter, load_fast_fields
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    index_dir, _ = ff_index
+    s = IndexSearcher(index_dir)
+    pred = [("lang", "in", ("py", "rs"))]
+    mask = eval_filter(load_fast_fields(index_dir, s.n_docs), pred)
+    for call in [lambda f: s.search_raw('+merge hash -batch', 10 ** 6,
+                                        filter=f),
+                 lambda f: s.search_raw('"merge hash" table', 10 ** 6,
+                                        filter=f),
+                 lambda f: s.search_phrase("the merge", 10 ** 6, filter=f)]:
+        full_ids, full_scores = call(None)
+        if not len(full_ids):
+            continue
+        by_id = dict(zip(full_ids.tolist(), full_scores.tolist()))
+        keep = mask[full_ids]
+        want_ids = full_ids[keep]
+        got_ids, got_scores = call(pred)
+        assert sorted(got_ids.tolist()) == sorted(want_ids.tolist())
+        assert all(abs(by_id[int(i)] - float(x)) < 1e-12
+                   for i, x in zip(got_ids, got_scores))
+        assert s.last_count == int(keep.sum())
+        assert 0 < s.last_count < len(full_ids)  # the filter binds
+
+
+def test_sharded_raw_phrase_filters_match_unsharded(ray_session, tmp_path):
+    from prosearch_ray.fixtures import write_corpus
+    from prosearch_ray.index.build import build_index
+    from prosearch_ray.index.fastfields import (build_fast_fields,
+                                                build_fast_fields_sharded)
+    from prosearch_ray.index.sharded import build_sharded_index
+    from prosearch_ray.query.searcher import IndexSearcher
+    from prosearch_ray.query.sharded import ShardedSearcher
+
+    d = write_corpus(str(tmp_path / "corpus"), n_docs=400)
+    single = str(tmp_path / "single")
+    root = str(tmp_path / "shards")
+    build_index(d + "/corpus", single, docs_per_bucket=64)
+    build_sharded_index(d + "/corpus", root, num_shards=2,
+                        docs_per_bucket=64)
+    build_fast_fields(single, d + "/corpus", columns=["lang"])
+    build_fast_fields_sharded(root, d + "/corpus", columns=["lang"])
+    s = IndexSearcher(single)
+    m = ShardedSearcher(root)
+    pred = [("lang", "in", ("py", "rs"))]
+    try:
+        for call_s, call_m in [
+            (lambda: s.search_raw('+merge "hash value" -batch', 10,
+                                  filter=pred),
+             lambda: m.search_raw('+merge "hash value" -batch', 10,
+                                  filter=pred)),
+            (lambda: s.search_phrase("hash value", 10, filter=pred),
+             lambda: m.search_phrase("hash value", 10, filter=pred)),
+        ]:
+            ids, scs = call_s()
+            want = sorted(
+                ((str(s.doc_keys[int(i)]), float(x))
+                 for i, x in zip(ids, scs)), key=lambda r: (-r[1], r[0]))
+            count_s = s.last_count
+            keys, mscs = call_m()
+            assert [k for k, _ in want] == list(keys)
+            assert np.allclose([x for _, x in want], mscs,
+                               rtol=0, atol=1e-12)
+            assert m.last_count == count_s
+    finally:
+        m.shutdown()
