@@ -518,6 +518,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # synthesis rule, so the oracle catches any mis-parsed pixel)
         "media_decode": multimodal.media_decode,
         "media_transform": multimodal.media_transform,
+        # C4-style span-level exact dedup (round-4 new; never graded yet)
+        "span_dedup": dedup.span_dedup,
         # typed fast-field filter over the full engine (round-4 new)
         "code_search_filtered": code_search_filtered,
         "code_search_filtered_sharded": code_search_filtered_sharded,
@@ -802,6 +804,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS sha, min(doc_id)::BIGINT AS keeper,
                    count(*)::BIGINT AS n_copies
             FROM documents GROUP BY md5(text)
+        """,
+        "span_dedup": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+                          FROM documents),
+            spans AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS span_idx,
+                       array_to_string(ts[(i*5+1):(i*5+5)], ' ') AS span
+                FROM toks,
+                     UNNEST(range(CAST(ceil(len(ts)/5.0) AS BIGINT))) AS t(i)),
+            ranked AS (
+                SELECT doc_id, span_idx, span,
+                       row_number() OVER (PARTITION BY span
+                                          ORDER BY doc_id, span_idx) AS rn
+                FROM spans)
+            SELECT doc_id, count(*) AS n_spans,
+                   count(*) FILTER (WHERE rn > 1) AS n_removed,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+                                       ORDER BY span_idx), '') AS text_clean
+            FROM ranked GROUP BY doc_id ORDER BY doc_id
         """,
         "jaccard_pairs": f"""
             WITH toks AS (SELECT doc_id, {TOK_SQL} t FROM documents),

@@ -1138,3 +1138,144 @@ def dedup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD,
         sf_dir, threshold=threshold, driver_max_pairs=driver_max_pairs,
         bcast_max=bcast_max).iter_batches(batch_format="pyarrow")))
     return out.sort_by("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# C4-style span-level exact dedup (sub-document granularity)
+
+SPAN_K = 5        # tokens per non-overlapping span
+SPAN_BUCKETS = 64  # bounded exchange fan-out
+
+
+def _doc_spans(col, k: int):
+    """Non-overlapping k-token spans per doc, mirroring the SQL
+    ``string_split(text, ' ')`` + 1-based array-slice semantics exactly
+    (empty tokens kept, short tail span kept, every doc has >= 1 span):
+    returns ``(spans, doc_of, span_idx)`` where spans is a flat Arrow
+    string array and doc_of / span_idx are batch-local int64 arrays."""
+    split = pc.split_pattern(col, " ")
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    offs = split.offsets.to_numpy().astype(np.int64)
+    counts = np.diff(offs)
+    n_docs = len(counts)
+    if n_docs == 0:
+        return (pa.array([], pa.string()), np.array([], np.int64),
+                np.array([], np.int64))
+    ns = (counts + k - 1) // k
+    total = int(ns.sum())
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), ns)
+    first = np.concatenate(([0], np.cumsum(ns)[:-1]))
+    span_idx = np.arange(total, dtype=np.int64) - np.repeat(first, ns)
+    span_start = offs[:-1][doc_of] + span_idx * k
+    span_offsets = np.append(span_start, offs[-1]).astype(np.int32)
+    spans = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(span_offsets, pa.int32()),
+                                 split.values), " ")
+    return spans, doc_of, span_idx
+
+
+def span_dedup(sf_dir: str, k: int = SPAN_K,
+               n_buckets: int = SPAN_BUCKETS) -> "rd.Dataset":
+    """C4/RefinedWeb-style span-level exact dedup: the corpus is tiled into
+    non-overlapping k-token spans and every occurrence of a span except the
+    globally first (min ``(doc_id, span_idx)``) is removed; each doc is
+    re-emitted with its surviving spans (``n_spans``, ``n_removed``,
+    ``text_clean``).  Extends the reference's whole-document checksum dedup
+    (CrawlerRunner.java:134) below document granularity.
+
+    Scale shape: two bounded-bucket exchanges, both with a FIXED group
+    count — (1) span occurrences meet in ``hash(span) % n_buckets`` groups
+    where keepers resolve vectorized (dictionary-encode + lexsort; only
+    LOSER ``(doc_id, span_idx)`` rows leave the exchange), (2) losers meet
+    their documents in ``hash(doc_id) % n_buckets`` groups and each doc is
+    rebuilt with one vectorized list-join.  No corpus-sized broadcast, no
+    driver-side state."""
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    nb = np.uint64(n_buckets)
+
+    def occ_rows(t: pa.Table) -> pa.Table:
+        spans, doc_of, span_idx = _doc_spans(t.column("text"), k)
+        h = _hash_shingles(spans)
+        ids = t.column("doc_id").to_numpy().astype(np.int64)[doc_of]
+        return pa.table({
+            "bkt": pa.array((_mix64(h) % nb).astype(np.int64), pa.int64()),
+            "span": spans,
+            "doc_id": pa.array(ids, pa.int64()),
+            "span_idx": pa.array(span_idx, pa.int64()),
+        })
+
+    def losers(g: pa.Table) -> pa.Table:
+        denc = g.column("span").dictionary_encode()
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = g.column("doc_id").to_numpy()
+        sidx = g.column("span_idx").to_numpy()
+        order = np.lexsort((sidx, ids, codes))
+        oc = codes[order]
+        keep_first = np.ones(len(oc), bool)
+        keep_first[1:] = oc[1:] != oc[:-1]
+        lose = order[~keep_first]
+        return pa.table({
+            "doc_id": pa.array(ids[lose], pa.int64()),
+            "span_idx": pa.array(sidx[lose], pa.int64()),
+        })
+
+    loser_ds = docs.map_batches(occ_rows, batch_format="pyarrow").groupby(
+        "bkt").map_groups(losers, batch_format="pyarrow")
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array((_mix64(ids) % nb).astype(np.int64), pa.int64()),
+            "kind": pa.array(np.ones(len(ids), np.int8), pa.int8()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": t.column("text"),
+            "span_idx": pa.array(np.full(len(ids), -1, np.int64), pa.int64()),
+        })
+
+    def lose_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array((_mix64(ids) % nb).astype(np.int64), pa.int64()),
+            "kind": pa.array(np.zeros(len(ids), np.int8), pa.int8()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.nulls(len(ids), pa.string()),
+            "span_idx": t.column("span_idx"),
+        })
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        kind = g.column("kind").to_numpy()
+        dm = kind == 1
+        dt = g.filter(pa.array(dm))
+        ids = dt.column("doc_id").to_numpy().astype(np.int64)
+        spans, doc_of, span_idx = _doc_spans(dt.column("text"), k)
+        l_ids = g.column("doc_id").to_numpy()[~dm].astype(np.int64)
+        l_sidx = g.column("span_idx").to_numpy()[~dm]
+        # doc_id is unique per bucket (documents table key), so a dense
+        # local index packs (doc, span_idx) into one int64 key
+        uids = np.sort(ids)
+        span_pk = (np.searchsorted(uids, ids[doc_of]) << np.int64(32)) | span_idx
+        lose_pk = (np.searchsorted(uids, l_ids) << np.int64(32)) | l_sidx
+        removed = np.isin(span_pk, lose_pk)
+        n_docs = len(ids)
+        n_spans = np.bincount(doc_of, minlength=n_docs)
+        n_removed = np.bincount(doc_of[removed], minlength=n_docs)
+        kept = spans.filter(pa.array(~removed))
+        if isinstance(kept, pa.ChunkedArray):
+            kept = kept.combine_chunks()
+        kept_counts = n_spans - n_removed
+        offsets = np.concatenate(([0], np.cumsum(kept_counts))).astype(np.int32)
+        text_clean = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept), " ")
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_spans": pa.array(n_spans.astype(np.int64), pa.int64()),
+            "n_removed": pa.array(n_removed.astype(np.int64), pa.int64()),
+            "text_clean": text_clean,
+        })
+
+    both = docs.map_batches(doc_rows, batch_format="pyarrow").union(
+        loser_ds.map_batches(lose_rows, batch_format="pyarrow"))
+    return both.groupby("bkt").map_groups(rebuild, batch_format="pyarrow")

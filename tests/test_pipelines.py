@@ -583,3 +583,40 @@ def test_join_orders_customers_shuffle_matches_broadcast():
     assert list(bc.columns) == list(sj.columns)
     assert bc.equals(sj)
     assert len(bc) > 0
+
+
+def test_span_dedup_matches_bruteforce():
+    """Distributed span dedup == the single-process keep-first sweep; text
+    reassembly preserves span order and removed spans really did occur
+    earlier in (doc_id, span_idx) order."""
+    import pyarrow.parquet as pq
+
+    from prosearch_ray.pipelines.dedup import span_dedup
+
+    k = 5
+    t = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    rows = sorted(zip(t.column("doc_id").to_pylist(),
+                      t.column("text").to_pylist()))
+    seen = set()
+    expect = {}
+    for doc_id, text in rows:
+        ts = text.split(" ")
+        spans = [" ".join(ts[i:i + k]) for i in range(0, len(ts), k)]
+        kept = []
+        n_removed = 0
+        for s in spans:
+            if s in seen:
+                n_removed += 1
+            else:
+                seen.add(s)
+                kept.append(s)
+        expect[doc_id] = (len(spans), n_removed, " ".join(kept))
+
+    got = span_dedup(SF, k=k).to_pandas().set_index("doc_id")
+    assert len(got) == len(expect)
+    for doc_id, (n_spans, n_removed, clean) in expect.items():
+        r = got.loc[doc_id]
+        assert int(r["n_spans"]) == n_spans
+        assert int(r["n_removed"]) == n_removed, doc_id
+        assert r["text_clean"] == clean
+    assert int(got["n_removed"].sum()) > 0  # fixture corpus has span dups
