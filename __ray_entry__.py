@@ -520,6 +520,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_transform": multimodal.media_transform,
         # C4-style span-level exact dedup (round-4 new; never graded yet)
         "span_dedup": dedup.span_dedup,
+        # whitespace + BPE-ish-regex token budgets (round-4 new)
+        "token_count_bpe": textstats.token_count_bpe,
         # typed fast-field filter over the full engine (round-4 new)
         "code_search_filtered": code_search_filtered,
         "code_search_filtered_sharded": code_search_filtered_sharded,
@@ -804,6 +806,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS sha, min(doc_id)::BIGINT AS keeper,
                    count(*)::BIGINT AS n_copies
             FROM documents GROUP BY md5(text)
+        """,
+        "token_count_bpe": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[^ ]+')) AS n_ws,
+                   len(regexp_extract_all(text,
+                       ' ?[a-zA-Z]{1,4}| ?[0-9]{1,4}| ?[^a-zA-Z0-9 ]{1,4}'))
+                       AS n_bpe,
+                   length(text) AS n_chars
+            FROM documents ORDER BY doc_id
         """,
         "span_dedup": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts

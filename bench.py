@@ -111,9 +111,13 @@ def run_bench(sf_dir: str, ncpu: int) -> dict:
         # them FIRST so the per-actor python+import cold start overlaps
         # the build
         workers = ShardedSearcher.prespawn(num_shards, num_cpus_per_actor=0)
+        build_kw = {}
+        if os.environ.get("GRAFT_SHARD_PARALLELISM"):
+            build_kw["shard_parallelism"] = int(
+                os.environ["GRAFT_SHARD_PARALLELISM"])
         report = build_sharded_index(corpus_dir, index_dir,
                                      num_shards=num_shards,
-                                     docs_per_bucket=1024)
+                                     docs_per_bucket=1024, **build_kw)
         build_sec = time.perf_counter() - t0
         qrows = pq_mod.read_table(
             os.path.join(corpus_root, "queries.parquet")).to_pylist()

@@ -255,3 +255,34 @@ def fingerprint(sf_dir: str, kgram: int = 4, window: int = 5) -> "rd.Dataset":
         })
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+# BPE-ish pre-tokenizer regex (GPT-2 pre-tokenizer family, RE2-compatible —
+# no lookahead so pyarrow (RE2) and DuckDB (RE2) count identically): a piece
+# is an optional leading space followed by a letter / digit / punctuation run
+# CAPPED at 4 chars — the bounded-piece-length proxy for a learned BPE
+# vocabulary (long words split into several pieces, like real BPE output).
+BPE_PATTERN = r" ?[a-zA-Z]{1,4}| ?[0-9]{1,4}| ?[^a-zA-Z0-9 ]{1,4}"
+_WS_PATTERN = r"[^ ]+"
+
+
+def token_count_bpe(sf_dir: str) -> "rd.Dataset":
+    """Per-doc token counts under BOTH counting conventions a training-data
+    budget needs: whitespace tokens (``n_ws``) and BPE-ish pre-tokenizer
+    pieces (``n_bpe``, GPT-2-style regex) plus ``n_chars``.  One vectorized
+    ``pyarrow.compute.count_substring_regex`` pass per convention — no
+    shuffle, no Python rows."""
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        n_ws = pc.count_substring_regex(txt, _WS_PATTERN)
+        n_bpe = pc.count_substring_regex(txt, BPE_PATTERN)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_ws": pc.cast(n_ws, pa.int64()),
+            "n_bpe": pc.cast(n_bpe, pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(txt), pa.int64()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")

@@ -620,3 +620,24 @@ def test_span_dedup_matches_bruteforce():
         assert int(r["n_removed"]) == n_removed, doc_id
         assert r["text_clean"] == clean
     assert int(got["n_removed"].sum()) > 0  # fixture corpus has span dups
+
+
+def test_token_count_bpe_conventions():
+    """BPE-ish piece count >= whitespace count (pieces are capped at 4
+    chars); both match a per-doc Python re reference."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from prosearch_ray.pipelines.textstats import BPE_PATTERN, token_count_bpe
+
+    got = token_count_bpe(SF).to_pandas().set_index("doc_id")
+    t = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    pat = re.compile(BPE_PATTERN)
+    for doc_id, text in list(zip(t.column("doc_id").to_pylist(),
+                                 t.column("text").to_pylist()))[:50]:
+        r = got.loc[doc_id]
+        assert int(r["n_ws"]) == len(text.split())
+        assert int(r["n_bpe"]) == len(pat.findall(text))
+        assert int(r["n_bpe"]) >= int(r["n_ws"])
+        assert int(r["n_chars"]) == len(text)
