@@ -522,6 +522,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup": dedup.span_dedup,
         # whitespace + BPE-ish-regex token budgets (round-4 new)
         "token_count_bpe": textstats.token_count_bpe,
+        # CCNet-style LM quality score; vocab_top_k=None is the exact
+        # full-vocab ORACLE config (the default top-k cutoff path is
+        # recall-checked in pytest)
+        "lm_perplexity": lambda sf_dir: curate.lm_perplexity(
+            sf_dir, vocab_top_k=None),
         # typed fast-field filter over the full engine (round-4 new)
         "code_search_filtered": code_search_filtered,
         "code_search_filtered_sharded": code_search_filtered_sharded,
@@ -806,6 +811,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS sha, min(doc_id)::BIGINT AS keeper,
                    count(*)::BIGINT AS n_copies
             FROM documents GROUP BY md5(text)
+        """,
+        "lm_perplexity": f"""
+            WITH toks AS (SELECT doc_id, unnest({TOK_SQL}) AS term
+                          FROM documents),
+            cnt AS (SELECT term, count(*)::DOUBLE AS c FROM toks GROUP BY term),
+            tot AS (SELECT sum(c) AS T, count(*)::DOUBLE AS V FROM cnt)
+            SELECT t.doc_id, count(*) AS n_tokens,
+                   round(-avg(ln((c + 1) / (T + V))), 4) AS avg_nll
+            FROM toks t JOIN cnt USING (term), tot
+            GROUP BY t.doc_id ORDER BY t.doc_id
         """,
         "token_count_bpe": """
             SELECT doc_id,

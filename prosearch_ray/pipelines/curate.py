@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -316,3 +317,109 @@ def stratified_sample(sf_dir: str, rates=None) -> "rd.Dataset":
 
     docs = read(sf_dir, "documents", columns=["doc_id", "lang"])
     return docs.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style language-model quality scoring
+
+LM_VOCAB_TOP_K = 50_000  # scale-path broadcast cap (terms kept in the LM)
+
+
+def lm_perplexity(sf_dir: str, vocab_top_k: int | None = LM_VOCAB_TOP_K
+                  ) -> "rd.Dataset":
+    """CCNet-style LM quality score: a Laplace-smoothed unigram LM is fit on
+    the corpus itself and every doc gets its average negative log-likelihood
+    (low = fluent/common, high = rare/garbled — the CCNet perplexity-filter
+    signal, with the corpus unigram LM standing in for the external KenLM).
+
+    p(t) = (c(t) + 1) / (T + V) with c = corpus term count, T = total
+    tokens, V = distinct terms; ``avg_nll = round(-mean(ln p), 4)``.
+
+    Scale shape: pass 1 is map-side partial term counts -> one
+    vocabulary-keyed groupby -> tiny (T, V) rollup; the LM broadcast is
+    bounded by ``vocab_top_k`` (distributed per-block top-k + tiny merge,
+    the term_df pattern; terms outside the cap score as c = 0 with T and V
+    unchanged).  Pass 2 is a pure vectorized probe (``index_in`` against
+    the broadcast term table + bincount-weighted per-doc sums) — no
+    shuffle, no Python rows.  ``vocab_top_k=None`` broadcasts the full
+    vocabulary (exact; the SQL-oracle config — only sane below ~1M terms).
+    """
+    from ray.data.aggregate import Sum
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from prosearch_ray.pipelines.trainprep import _split_tokens
+
+        flat, _, _ = _split_tokens(t.column("text"))
+        denc = flat.dictionary_encode()
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        cnt = np.bincount(denc.indices.to_numpy(zero_copy_only=False),
+                          minlength=len(denc.dictionary))
+        return pa.table({"term": denc.dictionary,
+                         "c_part": pa.array(cnt, pa.int64())})
+
+    agg = docs.map_batches(partial, batch_format="pyarrow").groupby(
+        "term").aggregate(Sum("c_part", alias_name="c")).materialize()
+
+    # tiny (T, V) rollup: one row per aggregated block
+    def tv_part(t: pa.Table) -> pa.Table:
+        c = pc.cast(t.column("c"), pa.int64())
+        return pa.table({
+            "T_part": pa.array([int(pc.sum(c).as_py() or 0)], pa.int64()),
+            "V_part": pa.array([t.num_rows], pa.int64())})
+
+    tv = pa.concat_tables(list(agg.map_batches(
+        tv_part, batch_format="pyarrow").iter_batches(batch_format="pyarrow")))
+    T = int(pc.sum(tv.column("T_part")).as_py() or 0)
+    V = int(pc.sum(tv.column("V_part")).as_py() or 0)
+
+    if vocab_top_k is None:
+        lm = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    else:
+        k = int(vocab_top_k)
+
+        def local_topk(t: pa.Table) -> pa.Table:
+            if t.num_rows <= k:
+                return t
+            idx = pc.sort_indices(t, sort_keys=[("c", "descending"),
+                                                ("term", "ascending")])
+            return t.take(idx[:k])
+
+        cand = pa.concat_tables(list(agg.map_batches(
+            local_topk,
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow")))
+        if cand.num_rows > k:
+            idx = pc.sort_indices(cand, sort_keys=[("c", "descending"),
+                                                   ("term", "ascending")])
+            cand = cand.take(idx[:k])
+        lm = cand
+
+    ref = bput((lm.column("term").combine_chunks(),
+                pc.cast(lm.column("c"), pa.int64()).combine_chunks()
+                .to_numpy().astype(np.float64)))
+    denom = float(T + V)
+
+    def score(t: pa.Table) -> pa.Table:
+        from prosearch_ray.pipelines.trainprep import _split_tokens
+
+        terms, counts = bget(ref)
+        flat, doc_of, n_docs = _split_tokens(t.column("text"))
+        idx = pc.index_in(flat, value_set=terms)
+        # index_in yields nulls for misses; fill with -1 then mask
+        filled = pc.fill_null(idx, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        c = np.where(filled >= 0, counts[np.maximum(filled, 0)], 0.0)
+        lp = np.log((c + 1.0) / denom)
+        sums = np.bincount(doc_of, weights=lp, minlength=n_docs)
+        n = np.bincount(doc_of, minlength=n_docs)
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        keep = n > 0
+        avg_nll = sql_round(-(sums[keep] / n[keep]), 4)
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "n_tokens": pa.array(n[keep].astype(np.int64), pa.int64()),
+            "avg_nll": pa.array(avg_nll, pa.float64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -641,3 +641,40 @@ def test_token_count_bpe_conventions():
         assert int(r["n_bpe"]) == len(pat.findall(text))
         assert int(r["n_bpe"]) >= int(r["n_ws"])
         assert int(r["n_chars"]) == len(text)
+
+
+def test_lm_perplexity_cutoff_path():
+    """The bounded-broadcast top-k LM: docs whose tokens all sit inside the
+    kept vocabulary score IDENTICALLY to the exact full-vocab LM (T and V
+    are full-corpus on both paths); all other docs score strictly higher
+    (dropped terms degrade to c=0)."""
+    import pyarrow.parquet as pq
+
+    from prosearch_ray.pipelines.curate import lm_perplexity
+    from prosearch_ray.pipelines.trainprep import _split_tokens
+
+    exact = lm_perplexity(SF, vocab_top_k=None).to_pandas().set_index("doc_id")
+    k = 40
+    cut = lm_perplexity(SF, vocab_top_k=k).to_pandas().set_index("doc_id")
+    assert len(exact) == len(cut)
+
+    # top-k vocab recomputed single-process
+    import collections
+    t = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    flat, doc_of, _ = _split_tokens(t.column("text"))
+    cnt = collections.Counter(flat.to_pylist())
+    kept = {w for w, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:k]}
+
+    ids = t.column("doc_id").to_pylist()
+    toks_of = {}
+    fl = flat.to_pylist()
+    for tok, d in zip(fl, doc_of):
+        toks_of.setdefault(ids[d], set()).add(tok)
+    n_equal = 0
+    for doc_id, toks in toks_of.items():
+        if toks <= kept:
+            assert cut.loc[doc_id, "avg_nll"] == exact.loc[doc_id, "avg_nll"]
+            n_equal += 1
+        else:
+            assert cut.loc[doc_id, "avg_nll"] >= exact.loc[doc_id, "avg_nll"]
+    assert n_equal > 0  # the fixture corpus has all-common-token docs
