@@ -527,6 +527,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # recall-checked in pytest)
         "lm_perplexity": lambda sf_dir: curate.lm_perplexity(
             sf_dir, vocab_top_k=None),
+        # exact-n deterministic per-source sample (round-4 new)
+        "reservoir_sample": curate.reservoir_sample,
         # typed fast-field filter over the full engine (round-4 new)
         "code_search_filtered": code_search_filtered,
         "code_search_filtered_sharded": code_search_filtered_sharded,
@@ -811,6 +813,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS sha, min(doc_id)::BIGINT AS keeper,
                    count(*)::BIGINT AS n_copies
             FROM documents GROUP BY md5(text)
+        """,
+        "reservoir_sample": """
+            WITH h AS (SELECT doc_id, source,
+                              md5_number_lower(CAST(doc_id AS VARCHAR)) AS hv
+                       FROM documents),
+            r AS (SELECT doc_id, source,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY hv, doc_id) AS rn
+                  FROM h)
+            SELECT source, doc_id, rn FROM r WHERE rn <= 20
+            ORDER BY source, doc_id
         """,
         "lm_perplexity": f"""
             WITH toks AS (SELECT doc_id, unnest({TOK_SQL}) AS term

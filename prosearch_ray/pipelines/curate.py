@@ -423,3 +423,65 @@ def lm_perplexity(sf_dir: str, vocab_top_k: int | None = LM_VOCAB_TOP_K
         })
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+RESERVOIR_N = 20  # docs kept per source
+
+
+def reservoir_sample(sf_dir: str, n: int = RESERVOIR_N) -> pa.Table:
+    """Exact-n deterministic per-source sample — the balanced-mix
+    counterpart of ``stratified_sample`` (rates give *proportions*; a
+    training mix often needs *exactly n* docs per source regardless of
+    source size).  A doc is kept iff it ranks in its source's first ``n``
+    by ``md5_number_lower(doc_id)`` (the repo's DuckDB-checkable hash
+    order — a uniform deterministic permutation, so the sample is an
+    unbiased without-replacement draw).
+
+    Scale shape: per-block local top-n per source (sources are bounded;
+    hash ranks need no global order), then a tiny driver merge of
+    ``<= n x n_sources`` rows per block — the ``topk_orders`` pattern.
+    No shuffle, no corpus-sized state."""
+    import hashlib
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def local(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        hv = [int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:],
+                             "little") for i in ids]
+        # split the 64-bit hash into exact int64 halves (float64 would
+        # round away low bits and could mis-order vs the exact SQL compare)
+        hi = np.array([h >> 32 for h in hv], dtype=np.int64)
+        lo = np.array([h & 0xFFFFFFFF for h in hv], dtype=np.int64)
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        ids64 = np.asarray(ids, dtype=np.int64)
+        order = np.lexsort((ids64, lo, hi, src))
+        s_s = src[order]
+        starts = np.flatnonzero(np.concatenate(([True], s_s[1:] != s_s[:-1])))
+        sizes = np.diff(np.append(starts, len(s_s)))
+        rnk = np.arange(len(s_s)) - np.repeat(starts, sizes)
+        idx = order[rnk < n]
+        return pa.table({
+            "source": pa.array(src[idx].tolist(), pa.string()),
+            "doc_id": pa.array(ids64[idx], pa.int64()),
+            "h_hi": pa.array(hi[idx], pa.int64()),
+            "h_lo": pa.array(lo[idx], pa.int64()),
+        })
+
+    cand = pa.concat_tables(list(docs.map_batches(
+        local, batch_format="pyarrow").iter_batches(batch_format="pyarrow")))
+    src = cand.column("source").to_numpy(zero_copy_only=False)
+    ids = cand.column("doc_id").to_numpy()
+    order = np.lexsort((ids, cand.column("h_lo").to_numpy(),
+                        cand.column("h_hi").to_numpy(), src))
+    s_s = src[order]
+    starts = np.flatnonzero(np.concatenate(([True], s_s[1:] != s_s[:-1])))
+    sizes = np.diff(np.append(starts, len(s_s)))
+    rnk = np.arange(len(s_s)) - np.repeat(starts, sizes)
+    idx = order[rnk < n]
+    out = pa.table({
+        "source": pa.array(src[idx].tolist(), pa.string()),
+        "doc_id": pa.array(ids[idx], pa.int64()),
+        "rn": pa.array((rnk[rnk < n] + 1).astype(np.int64), pa.int64()),
+    })
+    return out.sort_by([("source", "ascending"), ("doc_id", "ascending")])

@@ -678,3 +678,39 @@ def test_lm_perplexity_cutoff_path():
         else:
             assert cut.loc[doc_id, "avg_nll"] >= exact.loc[doc_id, "avg_nll"]
     assert n_equal > 0  # the fixture corpus has all-common-token docs
+
+
+def test_reservoir_sample_exact_n_and_unbiased_order():
+    """Per-source exact-n sample: (1) every source with >= n docs yields
+    exactly n rows, smaller sources yield all docs; (2) the kept set is
+    precisely the first n by (md5_number_lower(doc_id), doc_id) computed
+    single-process; (3) block-local top-n + merge is invariant to
+    repartitioning."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from prosearch_ray.pipelines.curate import reservoir_sample
+
+    n = 7
+    out = reservoir_sample(SF, n=n).to_pandas()
+
+    t = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "source"])
+    by_src = {}
+    for did, src in zip(t.column("doc_id").to_pylist(),
+                        t.column("source").to_pylist()):
+        hv = int.from_bytes(hashlib.md5(str(did).encode()).digest()[8:],
+                            "little")
+        by_src.setdefault(src, []).append((hv, did))
+
+    expect = {}
+    for src, rows in by_src.items():
+        rows.sort()
+        expect[src] = {did: rn + 1 for rn, (_, did) in enumerate(rows[:n])}
+
+    got = {}
+    for r in out.itertuples():
+        got.setdefault(r.source, {})[r.doc_id] = r.rn
+    assert got == expect
+    for src, rows in by_src.items():
+        assert len(got[src]) == min(n, len(rows))
