@@ -447,3 +447,226 @@ def pmi_bigrams(sf_dir: str, min_count: int = PMI_MIN_COUNT) -> pa.Table:
         "n_b": pa.array(c_b.astype(np.int64), pa.int64()),
         "pmi": pa.array(pmi, pa.float64()),
     })
+
+
+KEYWORD_K = 3             # keywords reported per document
+KW_BCAST_MAX = 1_000_000  # distinct terms; above this the df table cannot
+                          # broadcast and the bucketed join path runs
+KW_BUCKETS = 64           # bounded-exchange fan-out for the scale path
+
+
+def keyword_extract(sf_dir: str, k: int = KEYWORD_K,
+                    bcast_max: int = KW_BCAST_MAX,
+                    n_buckets: int = KW_BUCKETS) -> "rd.Dataset":
+    """Per-document top-k TF-IDF keywords — the corpus-tagging step a
+    training/retrieval pipeline runs to label documents with their most
+    characteristic terms:
+
+        score(d, t) = round(tf(d,t) * ln(1 + N / (1 + df(t))), 4)
+
+    (the ``doc_vectors`` idf, over the REAL term vocabulary instead of
+    hashed buckets), ranked per doc by (score desc, term asc).
+
+    Scale shape: tf per (doc, term) completes WITHIN each batch (a doc
+    lives in one batch); df is one vocabulary-keyed groupby of map-side
+    distinct-(doc,term) partials.  Below ``bcast_max`` distinct terms the
+    (term, df) table broadcasts once and scoring + per-doc top-k finish in
+    the same single pass (no shuffle at all).  Above it, the exact same
+    rows come out of two bounded exchanges: tf rows and df rows co-group
+    on a deterministic term-hash bucket (``_mix64`` of md5(term), never
+    per-term groups), scores resolve vectorized per bucket, and per-doc
+    top-k resolves in ``_mix64(doc_id) % n_buckets`` groups.  pytest pins
+    both paths equal (``tests/test_pipelines.py``)."""
+    import hashlib
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        flat, doc_of, _ = _split_tokens(t.column("text"))
+        enc = flat.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        nd = len(enc.dictionary)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(doc_of * nd + codes) if nd else np.array([], np.int64)
+        cnt = np.bincount((uniq % nd).astype(np.int64), minlength=nd) if nd \
+            else np.array([], np.int64)
+        return pa.table({"term": enc.dictionary,
+                         "df_part": pa.array(cnt, pa.int64())})
+
+    agg = docs.map_batches(df_partial, batch_format="pyarrow").groupby(
+        "term").aggregate(Sum("df_part", alias_name="df")).materialize()
+    n_docs = docs.count()
+    n_terms = agg.count()
+
+    def _tf_rows(t: pa.Table):
+        """(doc index, batch-dict code, tf, dict terms, doc ids) of one
+        batch — tf complete because each doc is whole within the batch."""
+        flat, doc_of, _ = _split_tokens(t.column("text"))
+        enc = flat.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        nd = len(enc.dictionary)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, tf = np.unique(doc_of * nd + codes, return_counts=True) if nd \
+            else (np.array([], np.int64), np.array([], np.int64))
+        return (keys // nd if nd else keys), \
+            (keys % nd if nd else keys), tf.astype(np.int64), \
+            enc.dictionary, t.column("doc_id").to_numpy().astype(np.int64)
+
+    def _topk_segments(d_i: np.ndarray, score: np.ndarray,
+                       term_rank: np.ndarray):
+        """Indices of the per-doc top-k rows by (score desc, term asc) plus
+        their 1-based ranks; d_i must be doc-identifying ints."""
+        order = np.lexsort((term_rank, -score, d_i))
+        d_s = d_i[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], d_s[1:] != d_s[:-1])))
+        sizes = np.diff(np.append(starts, len(d_s)))
+        rnk = np.arange(len(d_s)) - np.repeat(starts, sizes)
+        keep = rnk < k
+        return order[keep], (rnk[keep] + 1).astype(np.int64)
+
+    def _string_rank(terms: pa.Array) -> np.ndarray:
+        order = pc.sort_indices(terms).to_numpy(zero_copy_only=False)
+        rank = np.empty(len(terms), np.int64)
+        rank[order] = np.arange(len(terms), dtype=np.int64)
+        return rank
+
+    if n_terms <= bcast_max:
+        dft = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+        ref = bput((dft.column("term").combine_chunks(),
+                    pc.cast(dft.column("df"), pa.int64()).combine_chunks()
+                    .to_numpy().astype(np.int64)))
+
+        def score_topk(t: pa.Table) -> pa.Table:
+            from prosearch_ray.pipelines.common import sql_round
+
+            terms, dfv = bget(ref)
+            d_i, c_i, tf, dict_terms, ids = _tf_rows(t)
+            if not len(d_i):
+                return pa.table({
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                    "rk": pa.array([], pa.int64())})
+            gidx = pc.index_in(dict_terms, value_set=terms)
+            gi = gidx.to_numpy(zero_copy_only=False).astype(np.int64)
+            df_dict = dfv[gi]
+            # exactly the SQL expression ln(1 + N/(1+df)) — doc_vectors' op
+            # order, bit-identical to DuckDB before rounding
+            idf_dict = np.log(1.0 + float(n_docs)
+                              / (1.0 + df_dict.astype(np.float64)))
+            score = sql_round(tf * idf_dict[c_i], 4)
+            keep, rk = _topk_segments(d_i, score, _string_rank(dict_terms)[c_i])
+            return pa.table({
+                "doc_id": pa.array(ids[d_i[keep]], pa.int64()),
+                "term": pc.take(dict_terms, pa.array(c_i[keep])),
+                "tf": pa.array(tf[keep], pa.int64()),
+                "df": pa.array(df_dict[c_i[keep]], pa.int64()),
+                "score": pa.array(score[keep], pa.float64()),
+                "rk": pa.array(rk, pa.int64()),
+            })
+
+        return docs.map_batches(score_topk, batch_format="pyarrow")
+
+    # ---- scale path: two bounded exchanges, no vocabulary broadcast ----
+    from prosearch_ray.pipelines.dedup import _mix64
+
+    def _term_bucket(terms: pa.Array) -> np.ndarray:
+        hv = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+             for s in terms.to_pylist()),
+            dtype=np.uint64, count=len(terms))
+        return (_mix64(hv) % np.uint64(n_buckets)).astype(np.int64)
+
+    def tf_tagged(t: pa.Table) -> pa.Table:
+        d_i, c_i, tf, dict_terms, ids = _tf_rows(t)
+        tb = _term_bucket(dict_terms)
+        return pa.table({
+            "b": pa.array(tb[c_i] if len(c_i) else np.array([], np.int64),
+                          pa.int64()),
+            "kind": pa.array(np.zeros(len(d_i), np.int64), pa.int64()),
+            "doc_id": pa.array(ids[d_i] if len(d_i)
+                               else np.array([], np.int64), pa.int64()),
+            "term": pc.take(dict_terms, pa.array(c_i)),
+            "n": pa.array(tf, pa.int64()),
+        })
+
+    def df_tagged(t: pa.Table) -> pa.Table:
+        terms = t.column("term").combine_chunks()
+        return pa.table({
+            "b": pa.array(_term_bucket(terms), pa.int64()),
+            "kind": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            "doc_id": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+            "term": terms,
+            "n": pc.cast(t.column("df"), pa.int64()),
+        })
+
+    tagged = docs.map_batches(tf_tagged, batch_format="pyarrow").union(
+        agg.map_batches(df_tagged, batch_format="pyarrow"))
+
+    def resolve_bucket(g: pa.Table) -> pa.Table:
+        from prosearch_ray.pipelines.common import sql_round
+
+        kind = g.column("kind").to_numpy()
+        is_df = kind == 1
+        dfm = g.filter(pa.array(is_df))
+        tfm = g.filter(pa.array(~is_df))
+        if not tfm.num_rows:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64())})
+        df_terms = dfm.column("term").combine_chunks()
+        dfv = dfm.column("n").to_numpy()
+        gi = pc.index_in(tfm.column("term").combine_chunks(),
+                         value_set=df_terms)
+        gi = gi.to_numpy(zero_copy_only=False).astype(np.int64)
+        dfr = dfv[gi]
+        tf = tfm.column("n").to_numpy()
+        idf = np.log(1.0 + float(n_docs) / (1.0 + dfr.astype(np.float64)))
+        return pa.table({
+            "doc_id": tfm.column("doc_id"),
+            "term": tfm.column("term"),
+            "tf": pa.array(tf, pa.int64()),
+            "df": pa.array(dfr, pa.int64()),
+            "score": pa.array(sql_round(tf * idf, 4), pa.float64()),
+        })
+
+    scored = tagged.groupby("b").map_groups(
+        resolve_bucket, batch_format="pyarrow")
+
+    def doc_bucket(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.uint64)
+        return t.append_column(
+            "db", pa.array((_mix64(ids) % np.uint64(n_buckets))
+                           .astype(np.int64), pa.int64()))
+
+    def topk_bucket(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+                "rk": pa.array([], pa.int64())})
+        terms = g.column("term").combine_chunks()
+        enc = terms.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        c_i = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        keep, rk = _topk_segments(
+            g.column("doc_id").to_numpy().astype(np.int64),
+            g.column("score").to_numpy(),
+            _string_rank(enc.dictionary)[c_i])
+        out = g.take(pa.array(keep)).drop_columns("db")
+        return out.append_column("rk", pa.array(rk, pa.int64()))
+
+    return scored.map_batches(doc_bucket, batch_format="pyarrow").groupby(
+        "db").map_groups(topk_bucket, batch_format="pyarrow")

@@ -714,3 +714,51 @@ def test_reservoir_sample_exact_n_and_unbiased_order():
     assert got == expect
     for src, rows in by_src.items():
         assert len(got[src]) == min(n, len(rows))
+
+
+def test_keyword_extract_bruteforce_and_bucketed_path():
+    """(1) Broadcast-path keywords match a single-process brute force
+    (tf*idf, score desc / term asc, top-3); (2) the above-threshold
+    bucketed-join path (bcast_max=0) produces the identical row set."""
+    import collections
+    import math
+
+    import pyarrow.parquet as pq
+
+    from prosearch_ray.pipelines.common import sql_round
+    from prosearch_ray.pipelines.trainprep import keyword_extract
+
+    k = 3
+    got = keyword_extract(SF).to_pandas().sort_values(
+        ["doc_id", "rk"]).reset_index(drop=True)
+
+    t = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    import re
+    tf = {}
+    df = collections.Counter()
+    ids = t.column("doc_id").to_pylist()
+    for did, txt in zip(ids, t.column("text").to_pylist()):
+        toks = [w for w in re.split(r"[^a-z0-9]+", txt.lower()) if w]
+        c = collections.Counter(toks)
+        tf[did] = c
+        df.update(c.keys())
+    n_docs = float(len(ids))
+
+    expect = []
+    for did in sorted(tf):
+        rows = []
+        for term, f in tf[did].items():
+            score = float(sql_round(
+                f * math.log(1.0 + n_docs / (1.0 + df[term])), 4))
+            rows.append((-score, term, f, df[term]))
+        rows.sort()
+        for rk, (ns, term, f, d) in enumerate(rows[:k], 1):
+            expect.append((did, term, f, d, -ns, rk))
+
+    assert [tuple(r) for r in got[
+        ["doc_id", "term", "tf", "df", "score", "rk"]].itertuples(index=False)
+    ] == expect
+
+    forced = keyword_extract(SF, bcast_max=0).to_pandas().sort_values(
+        ["doc_id", "rk"]).reset_index(drop=True)
+    assert forced.equals(got)
