@@ -278,6 +278,55 @@ def _fold_dict_part_fn(spill_dir: str, staged_dir: str):
     return fn
 
 
+def _spill_dict_groups(dict_files, spill: str, num_parts: int) -> None:
+    """Map side of the distributed global-dict merge: read GROUPS of shard
+    dict files with one C++ multi-file pads scan per task — a 40-shard root
+    holds tens of thousands of tiny per-shard part files and Ray's per-file
+    read tasks dominated the phase (measured 27 s read vs 5.5 s grouped at
+    37M rows / 28.7k files).  Groups are deterministic slices of the sorted
+    file list (the caller's config fingerprint pins the inputs); each group
+    writes its per-part spill slices atomically under a g=NNNNN name and
+    drops a done marker, so a killed merge resumes group-level without
+    re-reading finished groups."""
+    from prosearch_ray.index import layout
+    from prosearch_ray.index.build import _atomic_write_json, _atomic_write_table
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    ngroups = int(max(4 * ncpu, min(256, len(dict_files))))
+    groups = [{"g": g, "files": dict_files[g::ngroups]}
+              for g in range(ngroups) if dict_files[g::ngroups]]
+    gdone = os.path.join(spill, "_done")
+    os.makedirs(gdone, exist_ok=True)
+
+    def spill_group(it: dict) -> dict:
+        g = int(it["g"])
+        marker = os.path.join(gdone, f"g={g:05d}.json")
+        if os.path.exists(marker):
+            return {"g": g, "skipped": True}
+        t = pads.dataset(list(it["files"])).to_table(
+            columns=["term", "df", "df_title", "df_body"])
+        t = layout.add_part_column(num_parts)(t)
+        parts = t.column("part").to_numpy()
+        order = np.argsort(parts, kind="stable")
+        st = t.take(pa.array(order, pa.int64()))
+        ps = parts[order]
+        bounds = np.flatnonzero(np.diff(ps)) + 1
+        starts = np.concatenate(([0], bounds)) if len(ps) else \
+            np.array([], np.int64)
+        ends = np.concatenate((bounds, [len(ps)])) if len(ps) else \
+            np.array([], np.int64)
+        for s, e in zip(starts, ends):
+            pdir = os.path.join(spill, f"part={int(ps[s])}")
+            os.makedirs(pdir, exist_ok=True)
+            _atomic_write_table(st.slice(s, e - s).drop_columns("part"),
+                                os.path.join(pdir, f"g={g:05d}.parquet"))
+        _atomic_write_json({"g": g}, marker)
+        return {"g": g, "skipped": False}
+
+    rd.from_items(groups).map(spill_group).materialize()
+
+
 def _merge_global_dict(root: str, dict_files,
                        driver_threshold: int = DICT_DRIVER_ROWS) -> int:
     """Merge the shard dictionaries into term-partitioned
@@ -298,11 +347,20 @@ def _merge_global_dict(root: str, dict_files,
     gd_final = os.path.join(root, "global_dict")
     staged = os.path.join(root, "global_dict_staged")
     spill = os.path.join(root, "dict_spill")
-    total_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in dict_files)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=16) as ex:  # tens of thousands of
+        # per-shard part files at high shard counts — serial footer reads
+        # measured 2.4 s at 28.7k files
+        total_rows = sum(ex.map(
+            lambda f: pq.ParquetFile(f).metadata.num_rows, dict_files))
     num_parts = max(1, -(-total_rows // DICT_ROWS_PER_PART))
 
     config = {"fp": _dict_inputs_fingerprint(dict_files),
-              "num_parts": num_parts}
+              "num_parts": num_parts,
+              # spill layout tag: a spill written by the pre-grouped code
+              # (hive write_partitioned) must not be folded together with
+              # grouped g=NNN slices — mismatch forces a clean re-merge
+              "layout": "grouped-v2"}
     cfg_path = os.path.join(staged, "_config.json")
     stale = True
     if os.path.exists(cfg_path):
@@ -334,11 +392,7 @@ def _merge_global_dict(root: str, dict_files,
                     os.path.join(staged, f"part={p:05d}.parquet"))
         n_terms = merged.num_rows
     else:
-        ds = rd.read_parquet(dict_files,
-                             columns=["term", "df", "df_title", "df_body"])
-        write_partitioned(
-            ds.map_batches(layout.add_part_column(num_parts),
-                           batch_format="pyarrow"), spill, "part")
+        _spill_dict_groups(dict_files, spill, num_parts)
         rows = rd.from_items([{"p": p} for p in range(num_parts)]).map(
             _fold_dict_part_fn(spill, staged)).take_all()
         n_terms = sum(int(r["n_terms"]) for r in rows)

@@ -560,11 +560,12 @@ def test_global_dict_merge_resumes(both_indexes, tmp_path):
     spill = os.path.join(root3, "dict_spill")
     os.makedirs(staged, exist_ok=True)
     _atomic_write_json({"fp": sharded._dict_inputs_fingerprint(files),
-                        "num_parts": num_parts},
+                        "num_parts": num_parts, "layout": "grouped-v2"},
                        os.path.join(staged, "_config.json"))
-    ds = rd.read_parquet(files, columns=["term", "df", "df_title", "df_body"])
-    write_partitioned(ds.map_batches(layout.add_part_column(num_parts),
-                                     batch_format="pyarrow"), spill, "part")
+    # mid-run death state: grouped spill fully written, only part 0 reduced
+    sharded._spill_dict_groups(files, spill, num_parts)
+    sharded._fold_dict_part_fn(spill, staged)({"p": 0})
+    assert os.path.exists(os.path.join(staged, "part=00000.parquet"))
 
     g = sharded.refresh_global(root3, dict_driver_threshold=1)
     t_resumed = pads.dataset(os.path.join(root3, "global_dict")).to_table(
