@@ -775,6 +775,10 @@ def _fused_corpus_spill(source: str, root: str, num_shards: int,
         losers = sorted(_cross_shard_losers(key_files))
         _atomic_write_table(
             pa.table({"doc_key": pa.array(losers, pa.string())}), losers_path)
+        # keys sidecars exist only to derive the loser set; once it is
+        # durable they are dead weight (~2 GB at 16M docs) — a stale
+        # config rebuilds fdir wholesale, regenerating them
+        shutil.rmtree(os.path.join(fdir, "keys"), ignore_errors=True)
     digest = hashlib.md5("\x00".join(losers).encode()).hexdigest()
 
     meta = {"num_buckets": num_buckets, "n_groups": n_groups,
