@@ -227,7 +227,15 @@ def boilerplate_flags(sf_dir: str, n: int = BOILER_N,
     corpus — and broadcasts once through the object store.  Pass 2 is a
     pure streaming ``map_batches`` probe (vectorized ``is_in`` + bincount),
     no shuffle.  Both the gram semantics and the rounding are DuckDB-exact,
-    so the driver value-checks the whole composition."""
+    so the driver value-checks the whole composition.
+
+    The two passes each scan + re-tokenize the corpus; fusing them (the
+    minhash-style cached intermediate) was measured and REJECTED: the
+    reusable intermediate here is the full gram stream, which is LARGER
+    than the (column-pruned) corpus read it would save — minhash's cache
+    works because distinct per-doc shingle hashes are far smaller than the
+    text.  Tokenize is vectorized Arrow (2.35 s for both passes at sf0.1 /
+    32 CPUs), so the second scan is I/O-shaped and streams."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
