@@ -140,23 +140,42 @@ class _ShardWorker:
         return self._keys(top_ids), [float(x) for x in scs], int(len(ids))
 
 
+def _auto_cpus_per_actor(n_actors: int) -> float:
+    """1 CPU per shard actor when the node can hold them all (leaving one
+    core for the driver), else 0 (co-scheduled).  Falls back to
+    ``os.cpu_count()`` when Ray is not yet initialized."""
+    import os as _os
+
+    if ray.is_initialized():
+        avail = int(ray.cluster_resources().get("CPU", 0))
+    else:
+        avail = int(_os.cpu_count() or 0)
+    return 1 if n_actors <= max(0, avail - 1) else 0
+
+
 class ShardedSearcher:
     """Fan a query to every shard actor and merge.  ``last_count`` carries
     the corpus-wide live match count, like ``IndexSearcher``."""
 
     def __init__(self, root: str,
                  boost_terms: frozenset = scoring.DEFAULT_BOOST_TERMS,
-                 num_cpus_per_actor: float = 1,
+                 num_cpus_per_actor: Optional[float] = None,
                  prespawned: Optional[list] = None):
         """``num_cpus_per_actor=0`` lets S shard actors co-schedule on
         fewer than S cores (useful when an external pin — taskset, a small
-        scaling level — bounds real CPU use); the default reserves one core
-        per shard worker.  ``prespawned`` takes actor handles from
+        scaling level — bounds real CPU use); ``1`` reserves one core per
+        shard worker.  The default (``None``) picks automatically: 1 when
+        every shard actor can hold a core, else 0 — S actors each pinning
+        ``num_cpus=1`` on a node with fewer than S cores can NEVER all
+        schedule, and the first ``ray.get`` blocks forever (hit at 40
+        shards on 32 cores).  ``prespawned`` takes actor handles from
         ``prespawn()`` (process + imports already warm) and only opens the
         indexes."""
         dirs = shard_dirs(root)
         if not dirs:
             raise FileNotFoundError(f"no shard=* index dirs under {root}")
+        if num_cpus_per_actor is None:
+            num_cpus_per_actor = _auto_cpus_per_actor(len(dirs))
         if prespawned is not None:
             if len(prespawned) < len(dirs):
                 raise ValueError(
@@ -171,12 +190,15 @@ class ShardedSearcher:
         self.last_count = 0
 
     @staticmethod
-    def prespawn(num_shards: int, num_cpus_per_actor: float = 1) -> list:
+    def prespawn(num_shards: int,
+                 num_cpus_per_actor: Optional[float] = None) -> list:
         """Spawn ``num_shards`` worker processes WITHOUT opening an index —
         call before/while the index is still building, then pass the
         handles to ``ShardedSearcher(..., prespawned=...)``: the per-actor
         python+import cold start overlaps the build instead of serializing
-        after it."""
+        after it.  ``None`` auto-sizes like ``__init__``."""
+        if num_cpus_per_actor is None:
+            num_cpus_per_actor = _auto_cpus_per_actor(num_shards)
         actor = ray.remote(num_cpus=num_cpus_per_actor)(_ShardWorker)
         return [actor.remote() for _ in range(num_shards)]
 

@@ -650,3 +650,29 @@ def test_search_raw_matches_unsharded(both_indexes):
         assert n_nonempty >= 5
     finally:
         m.shutdown()
+
+
+def test_more_shards_than_cpus_schedules(ray_session, tmp_path):
+    """S shard actors each pinning num_cpus=1 on a node with fewer than S
+    cores can never all schedule and the first ray.get blocks forever
+    (hit at 40 shards / 32 cores).  The default must auto-drop to
+    co-scheduled actors (num_cpus=0) and answer queries."""
+    import ray
+
+    from prosearch_ray.fixtures import write_corpus
+    from prosearch_ray.index.sharded import build_sharded_index
+    from prosearch_ray.query.sharded import (ShardedSearcher,
+                                             _auto_cpus_per_actor)
+
+    avail = int(ray.cluster_resources().get("CPU", 0))
+    n_shards = avail + 2  # strictly more actors than cores
+    assert _auto_cpus_per_actor(n_shards) == 0
+    assert _auto_cpus_per_actor(1) == 1
+
+    d = write_corpus(str(tmp_path / "c"), n_docs=400)
+    root = str(tmp_path / "shards")
+    build_sharded_index(d + "/corpus", root, num_shards=n_shards,
+                        docs_per_bucket=64)
+    s = ShardedSearcher(root)  # defaults — would deadlock before the fix
+    hits = s.search_with_snippets("merge hash", 5)
+    assert s.last_count > 0 and hits
