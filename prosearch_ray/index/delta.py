@@ -87,31 +87,43 @@ def delete_docs(index_dir: str, doc_keys: Iterable[str]) -> int:
 
 
 def add_documents(index_dir: str, source, *, langs=DEFAULT_LANGS,
-                  n_input_estimate: Optional[int] = None) -> dict:
+                  n_input_estimate: Optional[int] = None,
+                  prenormalized: bool = False) -> dict:
     """Delta build: upsert a corpus of new/changed docs into an existing
     index.  Old versions of re-added doc_keys are tombstoned (delete-then-
     reinsert); new docs are tokenized into fresh delta buckets and the
     term-partitioned postings are re-merged (segments are NOT re-tokenized).
-    """
+
+    ``prenormalized=True`` takes ``source`` as a pa.Table that already went
+    through ``_normalize_batch`` — a sharded caller normalizes the whole
+    delta ONCE and hands each shard its slice, instead of paying one Ray
+    pipeline execution per shard for a few rows each."""
     from prosearch_ray.index.segment import build_segment
 
     stats = _load_stats(index_dir)
     num_buckets = stats["num_buckets"]
     docs_per_bucket = stats["docs_per_bucket"]
 
-    if isinstance(source, str):
-        ds_raw = ray.data.read_parquet(source, columns=CORPUS_COLUMNS)
+    if prenormalized and isinstance(source, pa.Table):
+        if source.num_rows == 0:
+            return {"added": 0, "tombstoned": 0}
+        delta = source
     else:
-        ds_raw = source
+        if isinstance(source, str):
+            ds_raw = ray.data.read_parquet(source, columns=CORPUS_COLUMNS)
+        else:
+            ds_raw = source
 
-    # normalize the delta with the SAME kernel (bucket column unused here)
-    norm = ds_raw.map_batches(_normalize_batch(langs, num_buckets),
-                              batch_format="pyarrow", zero_copy_batch=True)
-    batches = [b for b in norm.iter_batches(batch_format="pyarrow")
-               if b.num_rows]
-    if not batches:
-        return {"added": 0, "tombstoned": 0}
-    delta = pa.concat_tables(batches, promote_options="default")
+        # normalize the delta with the SAME kernel (bucket column unused
+        # here)
+        norm = ds_raw.map_batches(_normalize_batch(langs, num_buckets),
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        batches = [b for b in norm.iter_batches(batch_format="pyarrow")
+                   if b.num_rows]
+        if not batches:
+            return {"added": 0, "tombstoned": 0}
+        delta = pa.concat_tables(batches, promote_options="default")
     # in-delta upsert: keep max (commit, sha) per doc_key
     delta = delta.sort_by([("doc_key", "ascending"), ("commit", "descending"),
                            ("sha_hex", "descending")])
@@ -177,7 +189,21 @@ def add_documents(index_dir: str, source, *, langs=DEFAULT_LANGS,
     # re-merge postings/dict + refresh stats (segments are reused as-is)
     new_buckets = [next_bucket + i for i in range(chunk_idx)]
     report = _refresh_merge_and_stats(index_dir, stats, added, new_buckets)
-    return {"added": added, "tombstoned": tombstoned, **report}
+    # new_buckets lets a sharded caller lift this fold's dict contribution
+    # (the delta segments' (term, df, df_title, df_body) rows) into the
+    # global-dictionary overlay without re-merging the corpus vocabulary
+    return {"added": added, "tombstoned": tombstoned,
+            "new_buckets": new_buckets, **report}
+
+
+INCR_FOLD_THREAD_PARTS = 48  # ≤ this many touched parts → driver threads.
+# Sized for genuinely tiny deltas (a live POST /index doc touches ~a dozen
+# parts): each part fold is GIL-releasing C++, so threads skip the Ray
+# pipeline barrier.  WIDE deltas (a 1k-doc fold with 1k fresh identifiers
+# touches every part — code corpora mint new terms per doc) stay on the
+# Ray path: the work there is a near-full postings rewrite and 32-way Ray
+# tasks beat 16 driver threads on it (measured 39.9 s vs 71.3 s for a
+# 1k-doc fold across 40 shards at the 16M-doc envelope).
 
 
 def _incremental_part_merge(index_dir: str, num_parts: int,
@@ -211,7 +237,6 @@ def _incremental_part_merge(index_dir: str, num_parts: int,
     for s, e in zip(np.concatenate(([0], bounds)),
                     np.concatenate((bounds, [len(ps)]))):
         by_part[int(ps[s])] = st.slice(s, e - s).drop_columns(["part"])
-    ref = bput(by_part)
 
     def fold_consolidated(old_path: str, delta_v4: pa.Table) -> pa.Table:
         """Old consolidated rows first, then the delta's (delta buckets are
@@ -228,11 +253,9 @@ def _incremental_part_merge(index_dir: str, num_parts: int,
         ).drop_columns(["rank"])
         return layout.consolidate_part_rows(merged)
 
-    def fold(it: dict) -> dict:
-        d = bget(ref)
-        part = int(it["part"])
+    def fold_table(part: int, seg: pa.Table) -> dict:
         # delta segment rows, consolidated to one v4 row per term
-        seg = d[part].sort_by([("term", "ascending"), ("bucket", "ascending")])
+        seg = seg.sort_by([("term", "ascending"), ("bucket", "ascending")])
         v4 = fold_consolidated(
             os.path.join(index_dir, "postings", f"part={part:05d}.parquet"),
             layout.consolidate_part_rows(layout.segments_to_part_rows(seg)))
@@ -244,8 +267,27 @@ def _incremental_part_merge(index_dir: str, num_parts: int,
         return {"part": part,
                 "n_terms": int(_write_part_files(index_dir, part, v4))}
 
-    rows = ray.data.from_items(
-        [{"part": p} for p in sorted(by_part)]).map(fold).take_all()
+    if len(by_part) <= INCR_FOLD_THREAD_PARTS:
+        # small delta: the per-part fold is GIL-releasing C++ (parquet read
+        # + Arrow sort + rewrite) — a driver thread pool does it with ZERO
+        # Ray executions, so a sharded caller folding many shards pays no
+        # per-shard pipeline barrier (40 serial barriers measured ~1 s each
+        # at the 16M/40-shard envelope)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(
+                max_workers=min(16, len(by_part))) as ex:
+            rows = list(ex.map(lambda p: fold_table(p, by_part[p]),
+                               sorted(by_part)))
+    else:
+        ref = bput(by_part)
+
+        def fold(it: dict) -> dict:
+            d = bget(ref)
+            part = int(it["part"])
+            return fold_table(part, d[part])
+
+        rows = ray.data.from_items(
+            [{"part": p} for p in sorted(by_part)]).map(fold).take_all()
     parts_map = {str(k): int(v) for k, v in old_parts.items()}
     for r in rows:
         parts_map[str(int(r["part"]))] = int(r["n_terms"])

@@ -151,6 +151,8 @@ class IndexSearcher:
         self._global_dict_handles: Dict[int, tuple] = {}
         self._global_dict_path = None
         self._global_dict_parts = 0  # >0 = partitioned global_dict/ layout
+        self._overlay_files: List[str] = []
+        self._overlay = None
         if global_stats_dir is not None:
             with open(os.path.join(global_stats_dir,
                                    "global_stats.json")) as f:
@@ -168,6 +170,15 @@ class IndexSearcher:
             else:
                 self._global_dict_path = os.path.join(global_stats_dir,
                                                       "global_dict.parquet")
+            # delta overlay segments (index/sharded.py add_documents_sharded):
+            # term-sorted (term, df) contributions of folds not yet merged
+            # into the main dict — point reads SUM main + overlay
+            ov = os.path.join(global_stats_dir, "global_dict_overlay")
+            self._overlay_files = sorted(
+                os.path.join(ov, f) for f in os.listdir(ov)
+                if f.startswith("seg=") and f.endswith(".parquet")
+            ) if os.path.isdir(ov) else []
+            self._overlay = None  # lazy: (terms list, df_title, df_body)
         # score-tie ordering: None = shard-local doc_id (the unsharded
         # contract).  Sharded mode ranks ties by doc_key instead — the
         # driver merge orders by (score desc, doc_key), so the PER-SHARD
@@ -433,7 +444,29 @@ class IndexSearcher:
         else:
             out.update(self._global_df_from_file(
                 -1, self._global_dict_path, terms))
+        if self._overlay_files:
+            o_terms, o_dft, o_dfb = self._load_overlay()
+            for t in terms:
+                i = bisect.bisect_left(o_terms, t)
+                if i < len(o_terms) and o_terms[i] == t:
+                    dft, dfb = out.get(t, (0, 0))
+                    out[t] = (dft + int(o_dft[i]), dfb + int(o_dfb[i]))
         return out
+
+    def _load_overlay(self):
+        """Merged delta-overlay dictionary (tiny — bounded by the sharded
+        fold's overlay_max_segs compaction), loaded once per searcher."""
+        if self._overlay is None:
+            import pyarrow.dataset as _pads
+            t = _pads.dataset(self._overlay_files).to_table(
+                columns=["term", "df_title", "df_body"])
+            m = pa.TableGroupBy(t, "term").aggregate(
+                [("df_title", "sum"), ("df_body", "sum")]).rename_columns(
+                ["term", "df_title", "df_body"]).sort_by("term")
+            self._overlay = (m.column("term").to_pylist(),
+                             m.column("df_title").to_numpy(),
+                             m.column("df_body").to_numpy())
+        return self._overlay
 
     def _global_df_from_file(self, cache_key: int, path: str,
                              terms: List[str]) -> Dict[str, Tuple[int, int]]:

@@ -676,3 +676,72 @@ def test_more_shards_than_cpus_schedules(ray_session, tmp_path):
     s = ShardedSearcher(root)  # defaults — would deadlock before the fix
     hits = s.search_with_snippets("merge hash", 5)
     assert s.last_count > 0 and hits
+
+
+def test_dict_overlay_matches_full_refresh(both_indexes, tmp_path):
+    """The O(delta) overlay path must be score-identical to a full global
+    dict re-merge; a full refresh clears the overlay; overlay_max_segs
+    triggers the fold-in; an interrupted fold (pending marker) heals."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+
+    from prosearch_ray.index import sharded
+    from prosearch_ray.query.sharded import ShardedSearcher
+
+    _, root_src, _, _ = both_indexes
+    root = str(tmp_path / "ovl")
+    shutil.copytree(root_src, root)
+    odir = os.path.join(root, sharded.OVERLAY_DIR)
+
+    def delta(tag):
+        return pa.table({
+            "repo": [f"ovlorg/{tag}"], "path": [f"p/{tag}.py"],
+            "commit": ["a" * 40], "lang": ["py"],
+            "content": [f"ovl{tag}uniq merge hash token parse"]})
+
+    queries = ("merge hash", "ovlauniq", "parse buffer")
+
+    def run(r):
+        m = ShardedSearcher(r)
+        try:
+            return [(q, *m.search(q), m.last_count) for q in queries]
+        finally:
+            m.shutdown()
+
+    # 1) one fold -> one overlay seg; scores == full-refresh scores
+    sharded.add_documents_sharded(root, delta("a"))
+    segs = [f for f in os.listdir(odir) if f.startswith("seg=")]
+    assert len(segs) == 1
+    res_overlay = run(root)
+    sharded.refresh_global(root)       # fold into main dict
+    assert not os.path.isdir(odir) or not any(
+        f.startswith("seg=") for f in os.listdir(odir))
+    res_full = run(root)
+    for (qa, ka, sa, ca), (qb, kb, sb, cb) in zip(res_overlay, res_full):
+        assert (qa, ka, ca) == (qb, kb, cb)
+        assert np.allclose(sa, sb, rtol=0, atol=0)
+
+    # 2) overlay cap folds in: two appends then a cap-triggered full merge
+    sharded.add_documents_sharded(root, delta("b"), overlay_max_segs=2)
+    sharded.add_documents_sharded(root, delta("c"), overlay_max_segs=2)
+    assert len([f for f in os.listdir(odir) if f.startswith("seg=")]) == 2
+    sharded.add_documents_sharded(root, delta("d"), overlay_max_segs=2)
+    segs = [f for f in os.listdir(odir) if f.startswith("seg=")] \
+        if os.path.isdir(odir) else []
+    assert len(segs) == 0  # cap hit -> full merge cleared the overlay
+
+    # 3) healing: a pending marker (simulated crash between shard-dict
+    # mutation and overlay append) forces a full re-derivation
+    os.makedirs(odir, exist_ok=True)
+    from prosearch_ray.index.build import _atomic_write_json
+    _atomic_write_json({"op": "add"}, os.path.join(odir, "_pending.json"))
+    sharded.add_documents_sharded(root, delta("e"))
+    m = ShardedSearcher(root)
+    try:
+        for tag in "abcde":
+            m.search(f"ovl{tag}uniq")
+            assert m.last_count == 1, tag
+    finally:
+        m.shutdown()
