@@ -531,6 +531,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reservoir_sample": curate.reservoir_sample,
         # per-doc top-k TF-IDF keywords (round-4 new)
         "keyword_extract": trainprep.keyword_extract,
+        # bottom-k (KMV) distinct-cardinality sketch (round-4 new)
+        "distinct_sketch": textstats.distinct_sketch,
         # per-language token-budget corpus mixing (round-4 new; ordered in
         # the never-graded front block so a 50-entry driver cap reaches it)
         "budget_mix": trainprep.budget_mix,
@@ -832,6 +834,22 @@ def oracle_sql() -> dict[str, str]:
                   FROM h)
             SELECT source, doc_id, rn FROM r WHERE rn <= 20
             ORDER BY source, doc_id
+        """,
+        "distinct_sketch": f"""
+            WITH toks AS (SELECT source, unnest({TOK_SQL}) AS term
+                          FROM documents),
+            h AS (SELECT DISTINCT source, md5_number_lower(term) AS hv
+                  FROM toks),
+            r AS (SELECT source, hv, row_number() OVER (
+                      PARTITION BY source ORDER BY hv) AS rn FROM h),
+            b AS (SELECT source, count(*)::BIGINT AS k_used,
+                         max(hv) AS kth_hash
+                  FROM r WHERE rn <= 64 GROUP BY source)
+            SELECT source, k_used, kth_hash,
+                   CASE WHEN k_used < 64 THEN k_used::DOUBLE
+                        ELSE round(63 * 18446744073709551616.0 / kth_hash)
+                   END AS est_distinct
+            FROM b ORDER BY source
         """,
         "keyword_extract": f"""
             WITH toks AS (SELECT doc_id, unnest({TOK_SQL}) AS term

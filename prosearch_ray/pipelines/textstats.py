@@ -286,3 +286,96 @@ def token_count_bpe(sf_dir: str) -> "rd.Dataset":
         })
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+SKETCH_K = 64  # bottom-k sketch size (KMV)
+
+
+def distinct_sketch(sf_dir: str, k: int = SKETCH_K) -> pa.Table:
+    """Per-source distinct-token cardinality via a bottom-k (KMV) sketch —
+    the mergeable sketch a 100 TB pipeline uses where an exact
+    ``count(DISTINCT ...)`` would shuffle the full vocabulary: keep the k
+    smallest ``md5_number_lower(term)`` values per source; the k-th
+    smallest hash ``hk`` estimates distinct count as
+    ``round((k-1) * 2^64 / hk)`` (sources with fewer than k distinct terms
+    report exactly).  The hash is the repo's DuckDB-checkable md5
+    convention, so the driver oracle replicates every row INCLUDING the
+    estimate — a deterministic sketch, not a sampled one.
+
+    Scale shape: per-batch bottom-k partials per source (distinct terms
+    dict-encode once, one md5 per distinct term per batch), merged on the
+    driver from ``<= k x n_sources`` rows per block — sketches are unions
+    of hash sets, so merge = dedup + bottom-k, associative and exact.  No
+    shuffle, no vocabulary-sized state anywhere."""
+    import hashlib
+
+    docs = read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, doc_of, n = _split_tokens(t.column("text"))
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        enc = flat.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        nd = len(enc.dictionary)
+        if not nd:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "hv": pa.array([], pa.uint64())})
+        hv_dict = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+             for s in enc.dictionary.to_pylist()),
+            dtype=np.uint64, count=nd)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # distinct (source, term-hash) pairs of this batch
+        pair_src = src[doc_of]
+        order = np.lexsort((hv_dict[codes], pair_src))
+        s_s, h_s = pair_src[order], hv_dict[codes][order]
+        first = np.concatenate(([True], (s_s[1:] != s_s[:-1])
+                                | (h_s[1:] != h_s[:-1])))
+        s_s, h_s = s_s[first], h_s[first]
+        # bottom-k per source: pairs are (source, hash)-sorted already
+        starts = np.flatnonzero(np.concatenate(([True],
+                                                s_s[1:] != s_s[:-1])))
+        sizes = np.diff(np.append(starts, len(s_s)))
+        rnk = np.arange(len(s_s)) - np.repeat(starts, sizes)
+        keep = rnk < k
+        return pa.table({"source": pa.array(s_s[keep].tolist(), pa.string()),
+                         "hv": pa.array(h_s[keep], pa.uint64())})
+
+    cand = pa.concat_tables(list(docs.map_batches(
+        partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow")))
+    src = cand.column("source").to_numpy(zero_copy_only=False)
+    hv = cand.column("hv").to_numpy()
+    order = np.lexsort((hv, src))
+    s_s, h_s = src[order], hv[order]
+    first = np.concatenate(([True], (s_s[1:] != s_s[:-1])
+                            | (h_s[1:] != h_s[:-1])))
+    s_s, h_s = s_s[first], h_s[first]
+    starts = np.flatnonzero(np.concatenate(([True], s_s[1:] != s_s[:-1])))
+    sizes = np.diff(np.append(starts, len(s_s)))
+    rnk = np.arange(len(s_s)) - np.repeat(starts, sizes)
+    keep = rnk < k
+    s_k, h_k, r_k = s_s[keep], h_s[keep], rnk[keep]
+    srcs = s_k[np.flatnonzero(np.concatenate(
+        ([True], s_k[1:] != s_k[:-1])))]
+    out_n, out_hk, out_est = [], [], []
+    for s in srcs:
+        m = s_k == s
+        kk = int(m.sum())
+        hk = int(h_k[m][kk - 1])
+        out_n.append(kk)
+        out_hk.append(hk)
+        if kk < k:
+            est = float(kk)
+        else:
+            # exactly the SQL expression round((k-1) * 2^64 / hk)
+            est = float(sql_round(
+                np.array([(k - 1) * 18446744073709551616.0 / hk]), 0)[0])
+        out_est.append(est)
+    return pa.table({
+        "source": pa.array(srcs.tolist(), pa.string()),
+        "k_used": pa.array(out_n, pa.int64()),
+        "kth_hash": pa.array(out_hk, pa.uint64()),
+        "est_distinct": pa.array(out_est, pa.float64()),
+    }).sort_by("source")

@@ -762,3 +762,46 @@ def test_keyword_extract_bruteforce_and_bucketed_path():
     forced = keyword_extract(SF, bcast_max=0).to_pandas().sort_values(
         ["doc_id", "rk"]).reset_index(drop=True)
     assert forced.equals(got)
+
+
+def test_distinct_sketch_exact_semantics_and_accuracy():
+    """The KMV sketch is deterministic: every row (k-th hash included) must
+    equal a single-process recomputation, small sources report exactly,
+    and the estimate lands within KMV error bounds of the true distinct
+    count (k=64 -> stderr ~ 1/sqrt(62) ~ 13%)."""
+    import hashlib
+    import re
+
+    import pyarrow.parquet as pq
+
+    from prosearch_ray.pipelines.common import sql_round
+    from prosearch_ray.pipelines.textstats import distinct_sketch
+
+    k = 64
+    got = distinct_sketch(SF, k=k).to_pandas().set_index("source")
+
+    t = pq.read_table(SF + "/documents.parquet", columns=["source", "text"])
+    by_src = {}
+    for s, txt in zip(t.column("source").to_pylist(),
+                      t.column("text").to_pylist()):
+        by_src.setdefault(s, set()).update(
+            w for w in re.split(r"[^a-z0-9]+", txt.lower()) if w)
+
+    assert set(got.index) == set(by_src)
+    for s, toks in by_src.items():
+        hs = sorted(int.from_bytes(hashlib.md5(w.encode()).digest()[8:],
+                                   "little") for w in toks)
+        bottom = hs[:k]
+        # scalar column access — a row Series would upcast uint64 to float64
+        assert got.loc[s, "k_used"] == len(bottom)
+        assert int(got.loc[s, "kth_hash"]) == bottom[-1]
+        est = got.loc[s, "est_distinct"]
+        true = len(toks)
+        if true < k:
+            assert est == float(true)
+        else:
+            import numpy as np
+            expect = float(sql_round(np.array(
+                [(k - 1) * 18446744073709551616.0 / bottom[-1]]), 0)[0])
+            assert est == expect
+            assert abs(est - true) / true < 0.5
