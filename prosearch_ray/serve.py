@@ -119,7 +119,10 @@ class IndexService:
             if self.sharded:
                 from prosearch_ray.index.sharded import add_documents_sharded
 
-                add_documents_sharded(self.index_dir, rd.from_arrow(tbl))
+                # pass the Table directly: the router normalizes it on the
+                # driver — wrapping one doc in a Dataset costs two Ray
+                # executions (count + iter) per POST
+                add_documents_sharded(self.index_dir, tbl)
             else:
                 from prosearch_ray.index.delta import add_documents
 
