@@ -698,7 +698,17 @@ def reshard(root: str, out_root: str, new_num_shards: int, *,
     scatter-gather work unchanged; scores stay bit-identical because the
     corpus-wide stats are re-derived over the same live doc set.  The old
     root stays valid until the caller swaps roots (resharding at 100 TB is
-    a background job, not an in-place mutation)."""
+    a background job, not an in-place mutation).
+
+    Shape: each OLD shard re-emits its live docs into a flat corpus
+    directory as an independent resumable job (marker per source shard —
+    a 40-dataset ``union`` fed to one partitioned write planned so poorly
+    at 16M docs that it made no progress in 12 minutes), then an ordinary
+    path-source sharded build runs under the new modulus — the FUSED
+    one-pass exchange, not the Dataset fallback path."""
+    import shutil
+
+    from prosearch_ray.index.build import _atomic_write_json
     from prosearch_ray.index.delta import live_docs
 
     dirs = shard_dirs(root)
@@ -708,13 +718,35 @@ def reshard(root: str, out_root: str, new_num_shards: int, *,
     if docs_per_bucket is None:
         with open(os.path.join(dirs[0], "stats.json")) as f:
             docs_per_bucket = json.load(f)["docs_per_bucket"]
-    parts = [live_docs(d) for d in dirs]
-    live = parts[0][0]
-    for ds, _ in parts[1:]:
-        live = live.union(ds)
-    return build_sharded_index(
-        live, out_root, new_num_shards, docs_per_bucket=docs_per_bucket,
+
+    corpus_dir = os.path.join(out_root, "live_corpus")
+    done_dir = os.path.join(corpus_dir, "_done")
+    os.makedirs(done_dir, exist_ok=True)
+    for i, d in enumerate(dirs):
+        marker = os.path.join(done_dir, f"src={i:03d}.json")
+        if os.path.exists(marker):
+            continue
+        # sweep a dead attempt's files, then re-emit through a temp dir and
+        # promote with a source prefix (atomic-enough: the marker commits)
+        for f in os.listdir(corpus_dir):
+            if f.startswith(f"src{i:03d}_") and f.endswith(".parquet"):
+                os.remove(os.path.join(corpus_dir, f))
+        tmp = os.path.join(corpus_dir, f"_tmp_src={i:03d}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds, _ = live_docs(d)
+        ds.write_parquet(tmp)
+        for f in sorted(os.listdir(tmp)):
+            if f.endswith(".parquet"):
+                os.replace(os.path.join(tmp, f),
+                           os.path.join(corpus_dir, f"src{i:03d}_{f}"))
+        shutil.rmtree(tmp, ignore_errors=True)
+        _atomic_write_json({"src": i}, marker)
+
+    rep = build_sharded_index(
+        corpus_dir, out_root, new_num_shards, docs_per_bucket=docs_per_bucket,
         langs=langs, shard_parallelism=shard_parallelism)
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    return rep
 
 
 def delete_docs_sharded(root: str, doc_keys) -> int:
