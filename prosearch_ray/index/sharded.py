@@ -695,10 +695,14 @@ def reshard(root: str, out_root: str, new_num_shards: int, *,
     sharded build under the new hash modulus into a fresh root.
 
     The new root carries its own ``_sharding.json``, so routing, deltas and
-    scatter-gather work unchanged; scores stay bit-identical because the
-    corpus-wide stats are re-derived over the same live doc set.  The old
-    root stays valid until the caller swaps roots (resharding at 100 TB is
-    a background job, not an in-place mutation).
+    scatter-gather work unchanged.  Scores are bit-identical to the source
+    root when it carries no tombstones (pytest pins that case); a
+    tombstoned root reshards like COMPACT + modulus change — the rebuilt
+    corpus stats count live docs only, while the source root keeps
+    counting deleted docs until compaction (tantivy's deleted-doc
+    accounting), so counts match exactly and scores match the compacted
+    equivalent.  The old root stays valid until the caller swaps roots
+    (resharding at 100 TB is a background job, not an in-place mutation).
 
     Shape: each OLD shard re-emits its live docs into a flat corpus
     directory as an independent resumable job (marker per source shard —
