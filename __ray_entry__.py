@@ -533,6 +533,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_extract": trainprep.keyword_extract,
         # bottom-k (KMV) distinct-cardinality sketch (round-4 new)
         "distinct_sketch": textstats.distinct_sketch,
+        # ordered-funnel analysis over events (round-4 new)
+        "funnel_stages": relational.funnel_stages,
         # per-language token-budget corpus mixing (round-4 new; ordered in
         # the never-graded front block so a 50-entry driver cap reaches it)
         "budget_mix": trainprep.budget_mix,
@@ -834,6 +836,30 @@ def oracle_sql() -> dict[str, str]:
                   FROM h)
             SELECT source, doc_id, rn FROM r WHERE rn <= 20
             ORDER BY source, doc_id
+        """,
+        "funnel_stages": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type
+                       FROM events),
+            s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                   FROM e JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                   FROM e JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                   GROUP BY e.user_id)
+            SELECT s1.user_id,
+                   (1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+                      + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END
+                   )::BIGINT AS stage,
+                   s1.t1 AS t1,
+                   coalesce(s2.t2, -1) AS t2,
+                   coalesce(s3.t3, -1) AS t3
+            FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                    LEFT JOIN s3 ON s1.user_id = s3.user_id
+            ORDER BY s1.user_id
         """,
         "distinct_sketch": f"""
             WITH toks AS (SELECT source, unnest({TOK_SQL}) AS term

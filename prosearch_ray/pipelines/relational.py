@@ -771,3 +771,88 @@ def distinct_daily_users(sf_dir: str) -> pa.Table:
         "n_users": pa.array([by_day[d][0] for d in days], pa.int64()),
         "n_events": pa.array([by_day[d][1] for d in days], pa.int64()),
     })
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_stages(sf_dir: str, steps=FUNNEL_STEPS,
+                  n_buckets: int = 256) -> "rd.Dataset":
+    """Ordered-funnel analysis over the events stream — the product
+    analytics op sessionization doesn't cover: per user, how far through
+    ``steps`` they progressed under EARLIEST-GREEDY semantics (first step-1
+    event; first step-2 event STRICTLY after it; ...), with each reached
+    step's completion timestamp (epoch microseconds; -1 for unreached).
+    Users with no step-1 event emit no row.
+
+    Scale shape: the ``user_sessions`` pattern — one bounded
+    ``hash(user) % n_buckets`` exchange (never per-user groups), then every
+    contained user resolves vectorized per bucket: one lexsort over
+    (user, ts), per-step masked segment minima via ``np.minimum.reduceat``
+    over candidate rows gated on the previous step's time.  The SQL oracle
+    replicates the same chained strict-after minima relationally."""
+    from prosearch_ray.pipelines.dedup import _mix64
+
+    ev = read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    nb = np.uint64(n_buckets)
+    steps = tuple(steps)
+
+    def tag(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array(steps, pa.string()))
+        t = t.filter(keep)
+        uid = t.column("user_id").to_numpy()
+        return t.append_column(
+            "bkt", pa.array((_mix64(uid.astype(np.uint64)) % nb)
+                            .astype(np.int64), pa.int64()))
+
+    empty = pa.table(
+        {"user_id": pa.array([], pa.int64()),
+         "stage": pa.array([], pa.int64()),
+         **{f"t{i + 1}": pa.array([], pa.int64())
+            for i in range(len(steps))}})
+
+    def bucket_funnel(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return empty
+        uid = g.column("user_id").to_numpy()
+        ts = g.column("ts").to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
+        et = g.column("event_type").to_pylist()
+        step_of = {s: i for i, s in enumerate(steps)}
+        sid = np.fromiter((step_of.get(e, -1) for e in et),
+                          dtype=np.int64, count=len(et))
+        order = np.lexsort((ts, uid))
+        u, t, s = uid[order], ts[order], sid[order]
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        users = u[starts]
+        bounds = np.append(starts, len(u))
+        nu = len(users)
+        seg_of_row = np.repeat(np.arange(nu), np.diff(bounds))
+        NONE = np.iinfo(np.int64).max
+        prev = np.full(nu, -1, np.int64)  # step-0 gate: any ts qualifies
+        t_steps = []
+        for i in range(len(steps)):
+            cand = (s == i) & (t > prev[seg_of_row])
+            if cand.any():
+                idx = np.flatnonzero(cand)
+                cur = np.full(nu, NONE, np.int64)
+                np.minimum.at(cur, seg_of_row[idx], t[idx])
+            else:
+                cur = np.full(nu, NONE, np.int64)
+            # a user who missed an earlier step can never reach this one
+            cur = np.where(prev == NONE, NONE, cur) if i else cur
+            t_steps.append(cur)
+            prev = cur
+        stage = np.sum([(c != NONE).astype(np.int64) for c in t_steps],
+                       axis=0)
+        keep = t_steps[0] != NONE
+        cols = {"user_id": pa.array(users[keep], pa.int64()),
+                "stage": pa.array(stage[keep], pa.int64())}
+        for i, c in enumerate(t_steps):
+            cols[f"t{i + 1}"] = pa.array(
+                np.where(c[keep] == NONE, -1, c[keep]), pa.int64())
+        return pa.table(cols)
+
+    return ev.map_batches(tag, batch_format="pyarrow").groupby(
+        "bkt").map_groups(bucket_funnel, batch_format="pyarrow")

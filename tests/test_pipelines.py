@@ -805,3 +805,48 @@ def test_distinct_sketch_exact_semantics_and_accuracy():
                 [(k - 1) * 18446744073709551616.0 / bottom[-1]]), 0)[0])
             assert est == expect
             assert abs(est - true) / true < 0.5
+
+
+def test_funnel_stages_greedy_semantics():
+    """Earliest-greedy funnel must match a single-process recomputation:
+    first 'view', first 'click' strictly after it, first 'purchase'
+    strictly after that; unreached steps are -1; users without a 'view'
+    emit nothing."""
+    import pyarrow.parquet as pq
+
+    from prosearch_ray.pipelines.relational import funnel_stages
+
+    got = {r["user_id"]: (r["stage"], r["t1"], r["t2"], r["t3"])
+           for r in funnel_stages(SF).take_all()}
+
+    t = pq.read_table(SF + "/events.parquet",
+                      columns=["user_id", "ts", "event_type"])
+    ev = sorted(zip(t.column("user_id").to_pylist(),
+                    [v.value if hasattr(v, "value") else v
+                     for v in t.column("ts").cast("int64").to_pylist()],
+                    t.column("event_type").to_pylist()),
+                key=lambda r: (r[0], r[1]))
+    by_user = {}
+    for u, ts, et in ev:
+        by_user.setdefault(u, []).append((ts, et))
+
+    expect = {}
+    for u, rows in by_user.items():
+        t1 = t2 = t3 = None
+        for ts, et in rows:
+            if t1 is None:
+                if et == "view":
+                    t1 = ts
+            elif t2 is None:
+                if et == "click" and ts > t1:
+                    t2 = ts
+            elif t3 is None:
+                if et == "purchase" and ts > t2:
+                    t3 = ts
+        if t1 is None:
+            continue
+        stage = 1 + (t2 is not None) + (t3 is not None)
+        expect[u] = (stage, t1, t2 if t2 is not None else -1,
+                     t3 if t3 is not None else -1)
+    assert got == expect
+    assert any(v[0] == 3 for v in expect.values())  # corpus reaches stage 3
