@@ -535,6 +535,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_sketch": textstats.distinct_sketch,
         # ordered-funnel analysis over events (round-4 new)
         "funnel_stages": relational.funnel_stages,
+        # signup-cohort retention matrix (round-4 new)
+        "retention_cohorts": relational.retention_cohorts,
         # per-language token-budget corpus mixing (round-4 new; ordered in
         # the never-graded front block so a 50-entry driver cap reaches it)
         "budget_mix": trainprep.budget_mix,
@@ -836,6 +838,20 @@ def oracle_sql() -> dict[str, str]:
                   FROM h)
             SELECT source, doc_id, rn FROM r WHERE rn <= 20
             ORDER BY source, doc_id
+        """,
+        "retention_cohorts": """
+            WITH s AS (SELECT user_id,
+                              min(epoch_us(ts)) // 604800000000 AS cw
+                       FROM events WHERE event_type = 'signup'
+                       GROUP BY user_id),
+            a AS (SELECT DISTINCT user_id,
+                         epoch_us(ts) // 604800000000 AS aw FROM events),
+            j AS (SELECT s.user_id, s.cw, a.aw - s.cw AS off
+                  FROM s JOIN a ON s.user_id = a.user_id
+                  WHERE a.aw >= s.cw)
+            SELECT cw AS cohort_week, off AS week_offset,
+                   count(DISTINCT user_id)::BIGINT AS n_users
+            FROM j GROUP BY cw, off ORDER BY cohort_week, week_offset
         """,
         "funnel_stages": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type

@@ -856,3 +856,104 @@ def funnel_stages(sf_dir: str, steps=FUNNEL_STEPS,
 
     return ev.map_batches(tag, batch_format="pyarrow").groupby(
         "bkt").map_groups(bucket_funnel, batch_format="pyarrow")
+
+
+WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def retention_cohorts(sf_dir: str, n_buckets: int = 256) -> pa.Table:
+    """Cohort retention matrix over the events stream — the third classic
+    stream-analytics shape next to sessionization and funnels: users
+    cohorted by the week of their FIRST ``signup`` event, counted in every
+    (cohort_week, week_offset) cell where they have ANY activity at or
+    after their cohort week.
+
+    Scale shape: one pass emits tagged map-side partials (per-user signup
+    minima and distinct (user, activity-week) pairs) into a bounded
+    ``hash(user) % n_buckets`` exchange.  Each user lives in EXACTLY one
+    bucket, so per-bucket distinct-user cell counts are ADDITIVE — the
+    final aggregate is a tiny ``groupby((cohort, offset)).sum`` over
+    cells-per-bucket rows, never a corpus-scale count-distinct."""
+    from ray.data.aggregate import Sum
+
+    from prosearch_ray.pipelines.dedup import _mix64
+
+    ev = read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    nb = np.uint64(n_buckets)
+
+    def partials(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy()
+        ts = t.column("ts").to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
+        sign = pc.equal(t.column("event_type"), "signup").to_numpy(
+            zero_copy_only=False)
+        outs = []
+        if sign.any():
+            su, si = uid[sign], ts[sign]
+            order = np.lexsort((si, su))
+            first = np.concatenate(([True], su[order][1:] != su[order][:-1]))
+            outs.append((su[order][first], si[order][first],
+                         np.zeros(int(first.sum()), np.int64)))
+        wk = ts // WEEK_US
+        key = np.stack([uid, wk], axis=1)
+        uniq = np.unique(key, axis=0)
+        outs.append((uniq[:, 0], uniq[:, 1],
+                     np.ones(len(uniq), np.int64)))
+        u = np.concatenate([o[0] for o in outs])
+        v = np.concatenate([o[1] for o in outs])
+        k = np.concatenate([o[2] for o in outs])
+        return pa.table({
+            "bkt": pa.array((_mix64(u.astype(np.uint64)) % nb)
+                            .astype(np.int64), pa.int64()),
+            "user_id": pa.array(u, pa.int64()),
+            "val": pa.array(v, pa.int64()),
+            "kind": pa.array(k, pa.int64()),
+        })
+
+    def bucket_cells(g: pa.Table) -> pa.Table:
+        empty = pa.table({"cohort_week": pa.array([], pa.int64()),
+                          "week_offset": pa.array([], pa.int64()),
+                          "n_part": pa.array([], pa.int64())})
+        if not g.num_rows:
+            return empty
+        kind = g.column("kind").to_numpy()
+        uid = g.column("user_id").to_numpy()
+        val = g.column("val").to_numpy()
+        s_m = kind == 0
+        if not s_m.any():
+            return empty
+        su, sv = uid[s_m], val[s_m]
+        order = np.lexsort((sv, su))
+        first = np.concatenate(([True], su[order][1:] != su[order][:-1]))
+        c_users = su[order][first]                      # sorted unique
+        c_week = sv[order][first] // WEEK_US
+        au, aw = uid[~s_m], val[~s_m]
+        pos = np.searchsorted(c_users, au)
+        pos_c = np.clip(pos, 0, len(c_users) - 1)
+        hit = c_users[pos_c] == au
+        off = aw - c_week[pos_c]
+        keep = hit & (off >= 0)
+        if not keep.any():
+            return empty
+        # distinct (user, week) may repeat across input batches — dedup,
+        # then count users per (cohort, offset) cell
+        cells = np.stack([c_week[pos_c][keep], off[keep], au[keep]], axis=1)
+        cells = np.unique(cells, axis=0)
+        cw_off = cells[:, 0] * (1 << 32) + cells[:, 1]
+        u_keys, counts = np.unique(cw_off, return_counts=True)
+        return pa.table({
+            "cohort_week": pa.array(u_keys >> 32, pa.int64()),
+            "week_offset": pa.array(u_keys & 0xFFFFFFFF, pa.int64()),
+            "n_part": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    agg = (ev.map_batches(partials, batch_format="pyarrow")
+           .groupby("bkt").map_groups(bucket_cells, batch_format="pyarrow")
+           .groupby(["cohort_week", "week_offset"])
+           .aggregate(Sum("n_part", alias_name="n_users")))
+    out = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    out = pa.table({"cohort_week": out.column("cohort_week"),
+                    "week_offset": out.column("week_offset"),
+                    "n_users": pc.cast(out.column("n_users"), pa.int64())})
+    return out.sort_by([("cohort_week", "ascending"),
+                        ("week_offset", "ascending")])

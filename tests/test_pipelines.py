@@ -850,3 +850,37 @@ def test_funnel_stages_greedy_semantics():
                      t3 if t3 is not None else -1)
     assert got == expect
     assert any(v[0] == 3 for v in expect.values())  # corpus reaches stage 3
+
+
+def test_retention_cohorts_matches_bruteforce():
+    """Additive per-bucket distinct counting must equal a single-process
+    cohort computation (first-signup week -> distinct active users per
+    (cohort, offset) cell)."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from prosearch_ray.pipelines.relational import WEEK_US, retention_cohorts
+
+    got = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in retention_cohorts(SF).to_pylist()}
+
+    t = pq.read_table(SF + "/events.parquet",
+                      columns=["user_id", "ts", "event_type"])
+    uid = t.column("user_id").to_pylist()
+    ts = [v for v in t.column("ts").cast("int64").to_pylist()]
+    et = t.column("event_type").to_pylist()
+    first_signup = {}
+    for u, s, e in zip(uid, ts, et):
+        if e == "signup" and (u not in first_signup or s < first_signup[u]):
+            first_signup[u] = s
+    cells = collections.defaultdict(set)
+    for u, s, e in zip(uid, ts, et):
+        if u not in first_signup:
+            continue
+        cw = first_signup[u] // WEEK_US
+        off = s // WEEK_US - cw
+        if off >= 0:
+            cells[(cw, off)].add(u)
+    expect = {k: len(v) for k, v in cells.items()}
+    assert got == expect and expect
