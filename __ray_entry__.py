@@ -590,13 +590,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # all-cluster probe) so the brute-force SQL oracle applies; the
         # approximate configurations are recall-checked in pytest
         # (tests/test_pipelines.py).
-        "knn_cosine": similarity.knn_cosine,
-        "cluster_assign": similarity.cluster_assign,
-        # training-data preparation (pmi_bigrams / doc_vectors are green in
-        # ONE prior round only — kept above the double-green r2+r3 entries
-        # so a driver cap drops the best-covered rows first)
+        # single-prior-round-green rows outrank the double-green similarity
+        # pair at the driver-cap boundary
         "pmi_bigrams": trainprep.pmi_bigrams,
         "doc_vectors": trainprep.doc_vectors,
+        "knn_cosine": similarity.knn_cosine,
+        "cluster_assign": similarity.cluster_assign,
+        # training-data preparation (remaining rows all green in 2+ prior
+        # rounds AND pytest-pinned)
         "pack_sequences": trainprep.pack_sequences,
         "ngram_counts": trainprep.ngram_counts,
         "chunk_documents": trainprep.chunk_documents,
