@@ -530,10 +530,12 @@ def simhash64(text: str) -> int:
     return int(simhash_batch([text])[0])
 
 
-def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> "rd.Dataset":
     """SimHash near-dup pairs: 64-bit fingerprints, candidate generation by
     the 4-segment pigeonhole trick (hamming<=3 ⇒ at least one identical
-    16-bit segment), verification by exact hamming distance."""
+    16-bit segment), verification by exact hamming distance.  Returns a
+    (ida, idb, hamming) Dataset — result dedup is a distributed groupby,
+    never driver state."""
     docs = read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fp_batch(t: pa.Table) -> pa.Table:
@@ -612,13 +614,13 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
 
     pairs = fp_ds.map_batches(seg_rows, batch_format="pyarrow").groupby(
         "bkt").map_groups(seg_pairs, batch_format="pyarrow")
-    rows = {(r["ida"], r["idb"]): r["hamming"] for r in pairs.take_all()}
-    keys = sorted(rows)
-    return pa.table({
-        "ida": pa.array([k[0] for k in keys], pa.int64()),
-        "idb": pa.array([k[1] for k in keys], pa.int64()),
-        "hamming": pa.array([rows[k] for k in keys], pa.int64()),
-    })
+    # a pair found via several colliding segments appears once per segment;
+    # dedup stays Dataset-native (hamming is a function of the fp pair, so
+    # Min is pure dedup) — never a driver-side dict of result pairs
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["ida", "idb"]).aggregate(
+        Min("hamming", alias_name="hamming"))
 
 
 # ----------------------------------------------------------------- embedding

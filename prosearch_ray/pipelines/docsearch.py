@@ -136,7 +136,10 @@ def bm25_topk(sf_dir: str, terms: Sequence[str] = BM25_QUERY_TERMS,
             cols[f"tf_{i}"] = pa.array(tf, pa.int64())
         return pa.table(cols)
 
-    tf_ds = docs.map_batches(tf_batch, batch_format="pyarrow")
+    # materialized: the tf table is narrow (doc_id, dl, tf_i) and is consumed
+    # TWICE (stats pass + scoring pass) — without this Ray re-executes the
+    # lazy tokenize map and the corpus is split/tokenized twice
+    tf_ds = docs.map_batches(tf_batch, batch_format="pyarrow").materialize()
 
     # global stats in ONE pass over the (small, term-count-wide) tf dataset
     def stats_partial(t: pa.Table) -> pa.Table:

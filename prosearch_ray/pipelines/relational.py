@@ -818,10 +818,12 @@ def funnel_stages(sf_dir: str, steps=FUNNEL_STEPS,
         uid = g.column("user_id").to_numpy()
         ts = g.column("ts").to_numpy().astype(
             "datetime64[us]").astype(np.int64)
-        et = g.column("event_type").to_pylist()
-        step_of = {s: i for i, s in enumerate(steps)}
-        sid = np.fromiter((step_of.get(e, -1) for e in et),
-                          dtype=np.int64, count=len(et))
+        # vectorized event_type -> step id (null for non-step events, which
+        # tag() already dropped; fill -1 keeps the mask semantics anyway)
+        sid = pc.fill_null(pc.index_in(
+            g.column("event_type"),
+            value_set=pa.array(steps, pa.string())), -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         order = np.lexsort((ts, uid))
         u, t, s = uid[order], ts[order], sid[order]
         starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))

@@ -35,7 +35,7 @@ def test_minhash_finds_exact_jaccard_pairs():
 def test_simhash_pairs_are_symmetric_and_verified():
     from prosearch_ray.pipelines.dedup import simhash64, simhash_dup_pairs
 
-    pairs = simhash_dup_pairs(SF).to_pylist()
+    pairs = simhash_dup_pairs(SF).take_all()
     assert all(r["ida"] < r["idb"] for r in pairs)
     assert all(0 <= r["hamming"] <= 3 for r in pairs)
     # deterministic fingerprint function
