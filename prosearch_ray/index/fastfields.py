@@ -146,22 +146,22 @@ def _join_fast_fields(metas: List[Tuple[int, str]], src,
         join_bucket, batch_format="pyarrow"), col_types
 
 
-def _write_sidecar(index_dir: str, joined_tbl: pa.Table,
-                   columns: List[str]) -> int:
-    """Atomically (re)write one index dir's sidecar from a driver table."""
-    import shutil
-
-    out_dir = os.path.join(index_dir, FASTFIELD_DIR)
-    tmp_dir = out_dir + ".tmp"
-    shutil.rmtree(tmp_dir, ignore_errors=True)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(tmp_dir)
-    pq.write_table(joined_tbl, os.path.join(tmp_dir, "part-000.parquet"))
-    with open(os.path.join(tmp_dir, "_meta.json"), "w") as f:
-        json.dump({"columns": columns,
-                   "n_rows": int(joined_tbl.num_rows)}, f)
-    os.rename(tmp_dir, out_dir)
-    return int(joined_tbl.num_rows)
+def _part_id_range_overlaps(path: str, lo: int, hi: int) -> bool:
+    """True when any row group of ``path`` could hold a doc_id in
+    [lo, hi], judged from parquet footer statistics alone (a missing
+    stat is conservatively an overlap)."""
+    md = pq.read_metadata(path)
+    try:
+        j = list(md.schema.names).index("doc_id")
+    except ValueError:
+        return True
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(j).statistics
+        if st is None or not st.has_min_max:
+            return True
+        if int(st.min) <= hi and int(st.max) >= lo:
+            return True
+    return False
 
 
 def build_fast_fields(index_dir: str, source, columns: Sequence[str],
@@ -205,21 +205,46 @@ def build_fast_fields_sharded(root: str, source, columns: Sequence[str],
     workers load it with the same ``load_fast_fields``."""
     from prosearch_ray.index.sharded import shard_dirs
 
+    import shutil
+
     columns = list(columns)
     dirs = shard_dirs(root)
     src = _read_source(source, columns)
-    joined, _ = _join_fast_fields(
+    joined, col_types = _join_fast_fields(
         [(s, os.path.join(d, "docmeta")) for s, d in enumerate(dirs)],
         src, columns, n_buckets)
-    # the joined result is typed-metadata-narrow (never carries text);
-    # collect once, split per shard — at real scale swap for a partitioned
-    # write keyed on shard
-    tbl = pa.concat_tables(list(joined.iter_batches(batch_format="pyarrow")))
-    shards = tbl.column("shard").to_numpy()
+    # the join result STREAMS into a shard-partitioned parquet write (hive
+    # layout, one directory per shard, partition column dropped from the
+    # files) — never collected on the driver; each shard's directory is
+    # then renamed into place, giving exactly the layout build_fast_fields
+    # writes so load_fast_fields reads both identically
+    tmp_root = os.path.join(root, FASTFIELD_DIR + ".build.tmp")
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    joined.write_parquet(tmp_root, partition_cols=["shard"])
     n_total = 0
     for s, d in enumerate(dirs):
-        sub = tbl.filter(pa.array(shards == s)).drop_columns(["shard"])
-        n_total += _write_sidecar(d, sub, columns)
+        part_dir = os.path.join(tmp_root, f"shard={s}")
+        out_dir = os.path.join(d, FASTFIELD_DIR)
+        tmp_dir = out_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        if os.path.isdir(part_dir):
+            os.rename(part_dir, tmp_dir)
+        else:  # no typed row joined into this shard: empty sidecar
+            os.makedirs(tmp_dir)
+            pq.write_table(
+                pa.table({"doc_id": pa.array([], pa.int64()),
+                          **{c: pa.array([], col_types[c])
+                             for c in columns}}),
+                os.path.join(tmp_dir, "part-000.parquet"))
+        n_rows = sum(
+            pq.read_metadata(os.path.join(tmp_dir, f)).num_rows
+            for f in os.listdir(tmp_dir) if f.endswith(".parquet"))
+        with open(os.path.join(tmp_dir, "_meta.json"), "w") as f:
+            json.dump({"columns": columns, "n_rows": int(n_rows)}, f)
+        os.rename(tmp_dir, out_dir)
+        n_total += n_rows
+    shutil.rmtree(tmp_root, ignore_errors=True)
     return {"n_rows": n_total, "columns": columns,
             "num_shards": len(dirs)}
 
@@ -241,14 +266,35 @@ def update_fast_fields(index_dir: str, source,
     joined, _ = _join_fast_fields(
         [(0, os.path.join(index_dir, "docmeta"))], src, columns, n_buckets)
     tbl = pa.concat_tables(list(joined.drop_columns(["shard"]).iter_batches(
-        batch_format="pyarrow")))
-    import pyarrow.dataset as pads
-
+        batch_format="pyarrow")))  # delta-sized, not corpus-sized
     parts = [os.path.join(out_dir, f) for f in sorted(os.listdir(out_dir))
              if f.endswith(".parquet")]
-    covered = pads.dataset(parts).to_table(
-        columns=["doc_id"]).column("doc_id").to_numpy()
-    fresh = ~np.isin(tbl.column("doc_id").to_numpy(), covered)
+    # already-covered probe, O(delta) in driver memory: delta doc_ids are
+    # fresh (monotonically above everything the sidecar holds) in the
+    # common fold, so parquet footer min/max stats prune every part; the
+    # surviving parts are probed DISTRIBUTED against the delta id set and
+    # only the (<= delta-sized) covered subset returns to the driver —
+    # never a corpus-sized covered-ids array
+    delta_ids = tbl.column("doc_id").to_numpy()
+    covered = np.array([], np.int64)
+    if len(delta_ids):
+        lo, hi = int(delta_ids.min()), int(delta_ids.max())
+        cand = [p for p in parts
+                if _part_id_range_overlaps(p, lo, hi)]
+        if cand:
+            probe_set = pa.array(np.unique(delta_ids), pa.int64())
+
+            def probe(t: pa.Table) -> pa.Table:
+                ids = pc.cast(t.column("doc_id"), pa.int64())
+                return pa.table(
+                    {"doc_id": ids.filter(pc.is_in(ids,
+                                                   value_set=probe_set))})
+
+            rows = rd.read_parquet(cand, columns=["doc_id"]).map_batches(
+                probe, batch_format="pyarrow").take_all()
+            covered = np.unique(np.array([r["doc_id"] for r in rows],
+                                         np.int64))
+    fresh = ~np.isin(delta_ids, covered)
     tbl = tbl.filter(pa.array(fresh))
     if tbl.num_rows:
         n = len(parts)
@@ -286,7 +332,7 @@ def load_fast_fields(index_dir: str, n_docs: int
     for c in columns:
         col = tbl.column(c)
         vals = col.to_numpy(zero_copy_only=False)
-        if vals.dtype.kind in "iuf":
+        if vals.dtype.kind in "iufM":  # M: arrow timestamp/date -> datetime64
             arr = np.zeros(n_docs, dtype=vals.dtype)
         elif vals.dtype.kind == "b":
             arr = np.zeros(n_docs, dtype=bool)

@@ -307,3 +307,106 @@ def test_sharded_raw_phrase_filters_match_unsharded(ray_session, tmp_path):
             assert m.last_count == count_s
     finally:
         m.shutdown()
+
+
+def test_timestamp_fast_field_filter(ff_index):
+    """Date/timestamp-typed fast field (tantivy new.rs:83-95 declares date
+    fields): an arrow timestamp column rides the generic sidecar path and
+    range predicates over it match brute force.  Runs LAST against the
+    module index — it rebuilds the sidecar with a different column set."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from prosearch_ray.index.fastfields import (build_fast_fields,
+                                                load_fast_fields)
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    index_dir, _ = ff_index
+    corpus = str(__import__("pathlib").Path(index_dir).parent / "corpus")
+
+    def add_ts(t: pa.Table) -> pa.Table:
+        n = pc.utf8_length(t.column("content")).to_numpy(
+            zero_copy_only=False).astype("int64")
+        ts = (np.datetime64("2026-01-01T00:00:00", "us")
+              + n * np.timedelta64(1, "s"))
+        return t.append_column("indexed_at", pa.array(ts, pa.timestamp("us")))
+
+    src = rd.read_parquet(corpus + "/corpus").map_batches(
+        add_ts, batch_format="pyarrow")
+    rep = build_fast_fields(index_dir, src, columns=["indexed_at"])
+    s = IndexSearcher(index_dir)
+    ff = load_fast_fields(index_dir, s.n_docs)
+    assert ff["indexed_at"].dtype.kind == "M"
+    assert rep["n_rows"] > 0
+    cut = np.datetime64("2026-01-01T00:06:40", "us")  # 400 chars
+    for op, mask in [(">=", ff["indexed_at"] >= cut),
+                     ("<", ff["indexed_at"] < cut)]:
+        want_ids, want_scs, want_n = _brute_filtered(
+            s, "merge hash", mask & ff["_valid"], 10)
+        ids, scs = s.search("merge hash", 10,
+                            filter=[("indexed_at", op, cut)])
+        assert list(ids) == list(want_ids)
+        assert np.allclose(scs, want_scs, rtol=0, atol=0)
+        assert s.last_count == want_n > 0
+
+
+def test_sharded_sidecar_streams_and_handles_empty_shards(ray_session,
+                                                          tmp_path):
+    """The sharded sidecar build streams through a shard-partitioned write:
+    every shard dir gets the exact unsharded layout (_meta.json + parquet
+    parts WITHOUT a shard column), per-shard n_rows sum to the report, and
+    a source that joins into only one shard leaves the others with valid
+    EMPTY sidecars (typed predicates simply never match there)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from prosearch_ray.fixtures import write_corpus
+    from prosearch_ray.index.fastfields import (FASTFIELD_DIR,
+                                                build_fast_fields_sharded,
+                                                load_fast_fields)
+    from prosearch_ray.index.sharded import build_sharded_index, shard_dirs
+    from prosearch_ray.query.sharded import ShardedSearcher
+
+    d = write_corpus(str(tmp_path / "corpus"), n_docs=300)
+    root = str(tmp_path / "shards")
+    build_sharded_index(d + "/corpus", root, num_shards=3,
+                        docs_per_bucket=64)
+    rep = build_fast_fields_sharded(root, d + "/corpus", columns=["lang"])
+    dirs = shard_dirs(root)
+    assert rep["num_shards"] == 3
+    total = 0
+    for sd in dirs:
+        ffd = os.path.join(sd, FASTFIELD_DIR)
+        with open(os.path.join(ffd, "_meta.json")) as f:
+            meta = json.load(f)
+        parts = [os.path.join(ffd, f) for f in os.listdir(ffd)
+                 if f.endswith(".parquet")]
+        assert parts, "every shard must get a sidecar"
+        for p in parts:
+            assert "shard" not in pq.read_schema(p).names
+        n = sum(pq.read_metadata(p).num_rows for p in parts)
+        assert n == meta["n_rows"]
+        total += n
+    assert total == rep["n_rows"] > 0
+
+    # single-row source -> exactly one shard joins; the rest write EMPTY
+    # sidecars that load cleanly and never match
+    one = rd.read_parquet(d + "/corpus").limit(1)
+    rep1 = build_fast_fields_sharded(root, one, columns=["lang"])
+    assert rep1["n_rows"] == 1
+    n_nonempty = 0
+    for sd in dirs:
+        ff = load_fast_fields(sd, 10 ** 6)
+        assert ff is not None
+        n_nonempty += int(ff["_valid"].any())
+    assert n_nonempty == 1
+    m = ShardedSearcher(root)
+    try:
+        m.search("the", 5, filter=[("lang", "==", "zz-nolang")])
+        assert m.last_count == 0
+    finally:
+        m.shutdown()
