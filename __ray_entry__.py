@@ -298,6 +298,79 @@ def code_search_facets_sharded(sf_dir: str) -> Any:
         for qid, q in enumerate(AND_QUERIES))
 
 
+# the generic-aggregation request code_search_aggs[_sharded] sends: a
+# terms bucketing over doc_lang with a nested stats metric over n_chars —
+# the elasticsearch-style shape tantivy's --aggregation flag deserializes
+# (search.rs:47-61); min/max/sum/count are exact integers end-to-end, so
+# the DuckDB oracle can hash-match them (avg is float and pytest-pinned)
+AGG_REQUEST = {"by_lang": {"terms": {"field": "doc_lang", "size": 10},
+                           "aggs": {"chars": {"stats":
+                                              {"field": "n_chars"}}}}}
+
+
+def _agg_table(results) -> Any:
+    """Flatten per-qid aggregate() responses (terms buckets ranked by
+    (-doc_count, key) — the same order the oracle's ORDER BY emits)."""
+    import pyarrow as pa
+
+    cols = {"qid": [], "doc_lang": [], "n_docs": [], "chars_min": [],
+            "chars_max": [], "chars_sum": []}
+    for qid, res in results:
+        for b in res["by_lang"]["buckets"]:
+            st = b["chars"]
+            cols["qid"].append(qid)
+            cols["doc_lang"].append(str(b["key"]))
+            cols["n_docs"].append(int(b["doc_count"]))
+            cols["chars_min"].append(int(st["min"]))
+            cols["chars_max"].append(int(st["max"]))
+            cols["chars_sum"].append(int(st["sum"]))
+    return pa.table({
+        "qid": pa.array(cols["qid"], pa.int32()),
+        "doc_lang": pa.array(cols["doc_lang"], pa.string()),
+        "n_docs": pa.array(cols["n_docs"], pa.int64()),
+        "chars_min": pa.array(cols["chars_min"], pa.int64()),
+        "chars_max": pa.array(cols["chars_max"], pa.int64()),
+        "chars_sum": pa.array(cols["chars_sum"], pa.int64()),
+    })
+
+
+def code_search_aggs(sf_dir: str) -> Any:
+    """Generic aggregation-on-query passthrough (tantivy --aggregation,
+    search.rs:47-61): per AND query, a terms-over-doc_lang bucketing with
+    nested n_chars stats evaluated on the typed sidecar over the full
+    conjunctive match set — exact-matched against the BM25 oracle's match
+    set aggregated relationally."""
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    index_dir = _build_docs_index(sf_dir)
+    _build_docs_fastfields(sf_dir, index_dir)
+    s = IndexSearcher(index_dir)
+    return _agg_table((qid, s.aggregate(q, AGG_REQUEST))
+                      for qid, q in enumerate(AND_QUERIES))
+
+
+def code_search_aggs_sharded(sf_dir: str) -> Any:
+    """Scatter-gather aggregation over the 3-shard build: per-shard
+    mergeable partials (full bucket maps, no early truncation) folded on
+    the driver — same oracle as code_search_aggs because doc shards
+    partition the corpus, so counts/sums are additive and min/max
+    combine."""
+    from prosearch_ray.index.fastfields import (FASTFIELD_DIR,
+                                                build_fast_fields_sharded)
+    from prosearch_ray.index.sharded import shard_dirs
+
+    root = _build_docs_sharded(sf_dir)
+    if not all(os.path.exists(os.path.join(d, FASTFIELD_DIR, "_meta.json"))
+               for d in shard_dirs(root)):
+        build_fast_fields_sharded(root, _docs_fastfields_source(sf_dir),
+                                  columns=["doc_lang", "n_chars"])
+        for key in [k for k in _SHARDED_CACHE if k[0] == root]:
+            _SHARDED_CACHE.pop(key).shutdown()
+    m = _shared_sharded(root)
+    return _agg_table((qid, m.aggregate(q, AGG_REQUEST))
+                      for qid, q in enumerate(AND_QUERIES))
+
+
 def code_search_filtered(sf_dir: str) -> Any:
     """Full-engine BM25 AND search with a typed fast-field filter (tantivy
     fast-field/range-query analog, new.rs:83-95): scores identical to the
@@ -525,6 +598,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_search_filtered_sharded": code_search_filtered_sharded,
         "code_search_facets": code_search_facets,
         "code_search_facets_sharded": code_search_facets_sharded,
+        # generic aggregation-on-query passthrough — new this round
+        "code_search_aggs": code_search_aggs,
+        "code_search_aggs_sharded": code_search_aggs_sharded,
         # --- block 2: newest green row is r3 ---
         # similarity: the driver entries for the approximate variants run
         # their DEGENERATE-EXACT configurations (all-bucket / all-cluster
@@ -1389,6 +1465,8 @@ def oracle_sql() -> dict[str, str]:
         filter_src_sql=FILTER_SQL_PRED, tiebreak="key")
     d["code_search_facets"] = _code_search_sql(facet=True)
     d["code_search_facets_sharded"] = _code_search_sql(facet=True)
+    d["code_search_aggs"] = _code_search_sql(agg=True)
+    d["code_search_aggs_sharded"] = _code_search_sql(agg=True)
     d["code_search_or_topk"] = _code_search_sql(
         conjunctive=False, qterms=OR_QTERMS)
     d["code_search_or_topk_sharded"] = _code_search_sql(
@@ -1480,10 +1558,44 @@ def _fnt_values() -> str:
     return ", ".join(str(int(v)) for v in FIELD_NORMS_TABLE)
 
 
+def _code_search_tail(match_pred: str, facet: bool, agg: bool) -> str:
+    """Final CTE + SELECT for the non-topk shapes of _code_search_sql:
+    facet=True -> per-(qid, doc_lang) match counts (the facet_counts
+    oracle); agg=True -> the generic-aggregation oracle (terms over
+    doc_lang with nested stats over n_chars — exactly the request
+    code_search_aggs sends through searcher.aggregate /
+    ShardedSearcher.aggregate, flattened relationally).  Both aggregate
+    the FULL match set, so ``scored`` needs no rank window."""
+    if facet:
+        return '''facets AS (
+  SELECT s.qid, dd.lang AS doc_lang, count(*)::BIGINT AS n_docs
+  FROM scored s JOIN ids i2 ON i2.doc = s.doc JOIN nq ON nq.qid = s.qid
+  JOIN documents dd ON dd.doc_id = i2.src_id
+  WHERE ''' + match_pred + '''
+  GROUP BY 1, 2
+)
+SELECT qid::INTEGER AS qid, doc_lang, n_docs FROM facets
+ORDER BY qid, n_docs DESC, doc_lang
+'''
+    return '''aggd AS (
+  SELECT s.qid, dd.lang AS doc_lang, count(*)::BIGINT AS n_docs,
+         min(dd.n_chars)::BIGINT AS chars_min,
+         max(dd.n_chars)::BIGINT AS chars_max,
+         sum(dd.n_chars)::BIGINT AS chars_sum
+  FROM scored s JOIN ids i2 ON i2.doc = s.doc JOIN nq ON nq.qid = s.qid
+  JOIN documents dd ON dd.doc_id = i2.src_id
+  WHERE ''' + match_pred + '''
+  GROUP BY 1, 2
+)
+SELECT qid::INTEGER AS qid, doc_lang, n_docs, chars_min, chars_max, chars_sum
+FROM aggd ORDER BY qid, n_docs DESC, doc_lang
+'''
+
+
 def _code_search_sql(tiebreak: str = "doc", conjunctive: bool = True,
                      qterms: str = None, mlt_src_ids=None,
                      filter_src_sql: str = None,
-                     facet: bool = False) -> str:
+                     facet: bool = False, agg: bool = False) -> str:
     """tiebreak="doc": equal scores rank by engine doc_id (unsharded
     searcher).  tiebreak="key": by doc_key (the sharded merge's order).
     conjunctive=False ranks every doc matching ANY query term (the raw-CLI
@@ -1583,16 +1695,7 @@ scored AS (
   JOIN norms nm ON nm.doc = c.doc
   GROUP BY 1, 2
 ),
-{'''facets AS (
-  SELECT s.qid, dd.lang AS doc_lang, count(*)::BIGINT AS n_docs
-  FROM scored s JOIN ids i2 ON i2.doc = s.doc JOIN nq ON nq.qid = s.qid
-  JOIN documents dd ON dd.doc_id = i2.src_id
-  WHERE ''' + match_pred + '''
-  GROUP BY 1, 2
-)
-SELECT qid::INTEGER AS qid, doc_lang, n_docs FROM facets
-ORDER BY qid, n_docs DESC, doc_lang
-''' if facet else '''ranked AS (
+{_code_search_tail(match_pred, facet, agg) if (facet or agg) else '''ranked AS (
   SELECT s.qid, s.doc, s.score,
          row_number() OVER (PARTITION BY s.qid
                             ORDER BY s.score DESC, ''' + tb + ''') - 1 AS rank

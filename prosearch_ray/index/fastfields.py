@@ -60,8 +60,13 @@ def _read_source(source, columns: List[str]):
 def _join_fast_fields(metas: List[Tuple[int, str]], src,
                       columns: List[str], n_buckets: int):
     """Co-group join of source rows against one or more shards' docmeta
-    mappings.  ``metas``: list of (shard, docmeta_dir).  Returns the
-    (shard, doc_id, typed columns) Dataset + col_types."""
+    mappings.  ``metas``: list of (shard, docmeta_dir), shard ids dense
+    0..S-1 in routing order (``shard_dirs``).  All docmeta dirs are read
+    by ONE ``read_parquet`` and each row's shard is re-derived from its
+    doc_key via the routing rule (``docid.bucket_of(key, S)`` — the same
+    rule the sharded build, delta router and reshard use), because a
+    40-way ``Dataset.union`` chain stalls Ray's planner at scale.
+    Returns the (shard, doc_id, typed columns) Dataset + col_types."""
     nb = n_buckets
     base = src.schema().base_schema
     col_types = {c: base.field(c).type for c in columns}
@@ -87,29 +92,32 @@ def _join_fast_fields(metas: List[Tuple[int, str]], src,
 
     src_tagged = src.map_batches(src_rows, batch_format="pyarrow")
 
-    def meta_rows_for(shard: int):
-        def meta_rows(t: pa.Table) -> pa.Table:
-            keys = t.column("doc_key").to_pylist()
-            cols = {
-                "bkt": pa.array(docid.buckets_of(keys, nb), pa.int64()),
-                "kind": pa.array(np.zeros(len(keys), np.int8), pa.int8()),
-                "shard": pa.array(np.full(len(keys), shard, np.int64),
-                                  pa.int64()),
-                "doc_key": t.column("doc_key"),
-                "commit": pa.array([""] * len(keys), pa.string()),
-                "sha_hex": pa.array([""] * len(keys), pa.string()),
-                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
-            }
-            for c in columns:
-                cols[c] = pa.nulls(len(keys), col_types[c])
-            return pa.table(cols)
-        return meta_rows
+    n_shards = len(metas)
 
-    both = src_tagged
-    for shard, meta_dir in metas:
-        both = both.union(
-            rd.read_parquet(meta_dir, columns=["doc_key", "doc_id"])
-            .map_batches(meta_rows_for(shard), batch_format="pyarrow"))
+    def meta_rows(t: pa.Table) -> pa.Table:
+        keys = t.column("doc_key").to_pylist()
+        shards = (np.asarray(docid.buckets_of(keys, n_shards), np.int64)
+                  if n_shards > 1 else np.zeros(len(keys), np.int64))
+        cols = {
+            "bkt": pa.array(docid.buckets_of(keys, nb), pa.int64()),
+            "kind": pa.array(np.zeros(len(keys), np.int8), pa.int8()),
+            "shard": pa.array(shards, pa.int64()),
+            "doc_key": t.column("doc_key"),
+            "commit": pa.array([""] * len(keys), pa.string()),
+            "sha_hex": pa.array([""] * len(keys), pa.string()),
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+        }
+        for c in columns:
+            cols[c] = pa.nulls(len(keys), col_types[c])
+        return pa.table(cols)
+
+    meta_files: List[str] = []
+    for _, d in metas:  # a path LIST must hold files, not directories
+        fs = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        meta_files.extend(os.path.join(d, f) for f in fs)
+    both = src_tagged.union(
+        rd.read_parquet(meta_files, columns=["doc_key", "doc_id"])
+        .map_batches(meta_rows, batch_format="pyarrow"))
 
     def join_bucket(g: pa.Table) -> pa.Table:
         kind = g.column("kind").to_numpy()

@@ -1556,30 +1556,28 @@ class IndexSearcher:
         return {int(d): by_key.get(str(self.doc_keys[d]), "")
                 for d in doc_ids}
 
-    def facet_counts(self, query: str, column: str, filter=None
-                     ) -> List[Tuple[object, int]]:
-        """Per-facet-value counts of ALL live docs matching the conjunctive
-        query (tantivy facet-field counting, new.rs:83-95 facet type):
-        candidate set exactly as ``search`` (AND of terms, tombstones and
-        the optional typed ``filter`` applied), then one bincount over the
-        fast-field column.  Returns [(value, count)] ordered by
-        (count desc, value asc); docs with no sidecar row don't count."""
+    def _typed_candidates(self, query: str, filter=None):
+        """Conjunctive-match candidate set gated on the typed sidecar
+        (AND of terms, tombstones dropped, docs with no sidecar row
+        excluded, optional typed ``filter`` applied) — the shared match
+        semantics of facet counting and aggregations.  Returns
+        ``(fastfields, cand_doc_ids)``; fastfields is None when the query
+        has no evaluable plan (in which case no sidecar load happens)."""
         from prosearch_ray.index import fastfields as ffmod
 
+        empty = np.empty(0, np.int64)
         plan = scoring.query_plan(query, self.boost_terms)
         if not plan:
-            return []
+            return None, empty
         postings = self.fetch_postings([t for t, _ in plan])
         if any(t not in postings for t, _ in plan):
-            return []
+            return None, empty
         if self._fastfields is None:
             ff = ffmod.load_fast_fields(self.index_dir, self.n_docs)
             if ff is None:
                 raise ValueError(
                     f"index {self.index_dir} has no fastfields sidecar")
             self._fastfields = ff
-        if column not in self._fastfields:
-            raise KeyError(f"no fast field {column!r}")
         presence = np.zeros(self.n_docs, dtype=np.uint16)
         for term, _ in plan:
             presence[postings[term].doc_ids] += 1
@@ -1589,14 +1587,56 @@ class IndexSearcher:
         mask = self._fastfields["_valid"]
         if filter:
             mask = mask & self._filter_mask(filter)
-        cand = cand[mask[cand]]
+        return self._fastfields, cand[mask[cand]]
+
+    def facet_counts(self, query: str, column: str, filter=None
+                     ) -> List[Tuple[object, int]]:
+        """Per-facet-value counts of ALL live docs matching the conjunctive
+        query (tantivy facet-field counting, new.rs:83-95 facet type):
+        candidate set exactly as ``search`` (AND of terms, tombstones and
+        the optional typed ``filter`` applied), then one bincount over the
+        fast-field column.  Returns [(value, count)] ordered by
+        (count desc, value asc); docs with no sidecar row don't count."""
+        ff, cand = self._typed_candidates(query, filter)
+        if ff is None:
+            return []
+        if column not in ff:
+            raise KeyError(f"no fast field {column!r}")
         if not len(cand):
             return []
-        vals = self._fastfields[column][cand]
+        vals = ff[column][cand]
         uniq, counts = np.unique(vals, return_counts=True)
         order = np.lexsort((uniq, -counts))
         return [(uniq[i].item() if hasattr(uniq[i], "item") else uniq[i],
                  int(counts[i])) for i in order]
+
+    def aggregate_partial(self, query: str, aggs: dict, filter=None) -> dict:
+        """Mergeable aggregation partial over this index's match set (the
+        per-shard half of the scatter-gather protocol; see query/aggs.py).
+        ``last_count`` holds the local match-set size."""
+        from prosearch_ray.query import aggs as aggmod
+
+        ff, cand = self._typed_candidates(query, filter)
+        self.last_count = int(len(cand))
+        if ff is None:
+            return {}
+        return aggmod.agg_partial(ff, cand, aggs)
+
+    def aggregate(self, query: str, aggs, filter=None) -> dict:
+        """Generic aggregation-on-query passthrough (the tantivy
+        ``--aggregation`` surface, search.rs:47-61): ``aggs`` is an
+        elasticsearch-style request — JSON string or dict — evaluated over
+        the conjunctive match set; returns the response-shaped dict
+        (terms/histogram/range buckets, stats/avg/min/max/sum/value_count
+        metrics, nested sub-aggs)."""
+        import json as _json
+
+        from prosearch_ray.query import aggs as aggmod
+
+        if isinstance(aggs, str):
+            aggs = _json.loads(aggs)
+        return aggmod.agg_finalize(
+            aggs, self.aggregate_partial(query, aggs, filter))
 
     def search_with_snippets(self, query: str, k: int = scoring.DEFAULT_K,
                              filter=None) -> List[dict]:

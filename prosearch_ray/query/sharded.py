@@ -61,6 +61,9 @@ class _ShardWorker:
     def facet_counts(self, query: str, column: str, filter=None):
         return self.s.facet_counts(query, column, filter=filter)
 
+    def aggregate_partial(self, query: str, aggs: dict, filter=None):
+        return self.s.aggregate_partial(query, aggs, filter=filter)
+
     def snippets_for(self, doc_keys: List[str], query: str):
         """Stored-doc fetch + snippet for keys THIS shard owns — called only
         with the merged top-k winners, so at most k docs cross the wire per
@@ -249,6 +252,26 @@ class ShardedSearcher:
             for val, n in part:
                 merged[val] = merged.get(val, 0) + int(n)
         return sorted(merged.items(), key=lambda r: (-r[1], r[0]))
+
+    def aggregate(self, query: str, aggs, filter=None) -> dict:
+        """Scatter-gather aggregation (tantivy aggregation passthrough,
+        search.rs:47-61): every shard evaluates the request over its local
+        match set and returns a MERGEABLE partial (full bucket counts, no
+        early truncation), the driver folds them associatively and
+        finalizes once — doc shards partition the corpus, so the merged
+        result is exactly the unsharded answer."""
+        import json as _json
+
+        from prosearch_ray.query import aggs as aggmod
+
+        if isinstance(aggs, str):
+            aggs = _json.loads(aggs)
+        parts = ray.get([a.aggregate_partial.remote(query, aggs, filter)
+                         for a in self.actors])
+        merged: dict = {}
+        for p in parts:
+            merged = aggmod.agg_merge(merged, p)
+        return aggmod.agg_finalize(aggs, merged)
 
     def search_with_snippets(self, query: str, k: int = scoring.DEFAULT_K,
                              filter=None) -> List[dict]:

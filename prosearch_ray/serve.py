@@ -66,18 +66,23 @@ class IndexService:
 
     # -- routes ------------------------------------------------------------
     def search(self, q: str, nhits: int = 10, filter=None,
-               facet: Optional[str] = None) -> dict:
+               facet: Optional[str] = None, agg=None) -> dict:
         """/api handler body: the reference-shaped SERP JSON, optionally
         with a typed fast-field ``filter`` (predicates ANDed with the
-        query) and a ``facet`` column whose per-value match counts are
-        attached under ``facets`` — the engine's extension of the /api
-        surface (requires a fastfields sidecar on the index)."""
+        query), a ``facet`` column whose per-value match counts are
+        attached under ``facets``, and an elasticsearch-style ``agg``
+        request evaluated over the match set and attached under ``aggs``
+        (the tantivy --aggregation passthrough, search.rs:47-61) — the
+        engine's extension of the /api surface (all three require a
+        fastfields sidecar on the index)."""
         with self._lock:
             out = serp(self._searcher, q, nhits, filter=filter)
             if facet:
                 out["facets"] = {facet: [
                     [v, n] for v, n in
                     self._searcher.facet_counts(q, facet, filter=filter)]}
+            if agg:
+                out["aggs"] = self._searcher.aggregate(q, agg, filter=filter)
             return out
 
     def delete(self, url: str) -> int:
@@ -174,9 +179,17 @@ def _make_handler(service: IndexService):
                                              '[[column, op, value], ...]')
                             return
                     facet = qs.get("facet", [None])[0]
+                    agg = None
+                    if "agg" in qs:
+                        try:
+                            agg = json.loads(qs["agg"][0])
+                        except ValueError:
+                            self._reply(400, "Bad agg: expecting an "
+                                             "aggregations JSON object")
+                            return
                     try:
                         out = service.search(qs["q"][0], nhits, filter=flt,
-                                             facet=facet)
+                                             facet=facet, agg=agg)
                     except (KeyError, ValueError) as e:
                         self._reply(400, str(e))
                         return
