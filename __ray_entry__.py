@@ -298,6 +298,17 @@ def code_search_facets_sharded(sf_dir: str) -> Any:
         for qid, q in enumerate(AND_QUERIES))
 
 
+# redaction config for the redact_text driver entry: the PII presets
+# (curate.PII_PATTERNS) correctly match NOTHING in the synthetic corpus, so
+# the driver config prepends one pattern that BINDS on it (multi-word term
+# phrases) — the oracle then value-checks both a live replacement+count and
+# a zero-match PII pass over every doc
+REDACT_DRIVER_PATTERNS = (
+    ("term", r"\b(?:table|hash) (?:scan|value)\b", "<TERM>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+)
+
+
 # the generic-aggregation request code_search_aggs[_sharded] sends: a
 # terms bucketing over doc_lang with a nested stats metric over n_chars —
 # the elasticsearch-style shape tantivy's --aggregation flag deserializes
@@ -601,6 +612,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # generic aggregation-on-query passthrough — new this round
         "code_search_aggs": code_search_aggs,
         "code_search_aggs_sharded": code_search_aggs_sharded,
+        # window skip-gram co-occurrence counts (word2vec/GloVe prep) — new
+        "skipgram_counts": trainprep.skipgram_counts,
+        # PII/pattern redaction scrub — new (driver config binds, see
+        # REDACT_DRIVER_PATTERNS)
+        "redact_text": lambda sf_dir: curate.redact_text(
+            sf_dir, patterns=REDACT_DRIVER_PATTERNS),
         # --- block 2: newest green row is r3 ---
         # similarity: the driver entries for the approximate variants run
         # their DEGENERATE-EXACT configurations (all-bucket / all-cluster
@@ -876,6 +893,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT term || ' ' || t2 AS bigram, count(*)::BIGINT AS n
             FROM nxt WHERE t2 IS NOT NULL
             GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100
+        """,
+        "skipgram_counts": f"""
+            WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term,
+                                unnest(range(len({TOK_SQL}))) AS pos
+                         FROM documents),
+            pr AS (SELECT a.term AS w1, b.term AS w2, count(*)::BIGINT AS n
+                   FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+                    AND b.pos > a.pos AND b.pos <= a.pos + 3
+                   GROUP BY 1, 2)
+            SELECT w1, w2, n FROM pr ORDER BY n DESC, w1, w2 LIMIT 200
+        """,
+        "redact_text": r"""
+            WITH s1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text,
+                         '\b(?:table|hash) (?:scan|value)\b'))::BIGINT
+                         AS n_term,
+                     regexp_replace(text,
+                         '\b(?:table|hash) (?:scan|value)\b',
+                         '<TERM>', 'g') AS t
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS clean_text,
+                   n_term,
+                   len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+                       ))::BIGINT AS n_email
+            FROM s1 ORDER BY doc_id
         """,
         "bm25_topk": f"""
             WITH tok AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),

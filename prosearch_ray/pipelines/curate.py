@@ -493,3 +493,43 @@ def reservoir_sample(sf_dir: str, n: int = RESERVOIR_N) -> pa.Table:
         "rn": pa.array((rnk[rnk < n] + 1).astype(np.int64), pa.int64()),
     })
     return out.sort_by([("source", "ascending"), ("doc_id", "ascending")])
+
+
+# PII redaction presets — the patterns a training-data scrub pass runs by
+# default (all RE2 syntax, so the DuckDB oracle's regexp_* functions — also
+# RE2 — apply them with IDENTICAL match semantics)
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?\d{1,2}[ .-]?\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_text(sf_dir: str, patterns=PII_PATTERNS) -> "rd.Dataset":
+    """PII / pattern redaction over ``documents.text`` — the scrub pass a
+    training pipeline runs before releasing a corpus: each (name, regex,
+    replacement) is applied IN ORDER (each pattern sees the previous
+    pattern's replacements — so e.g. an email is never double-counted as
+    a phone number once redacted), emitting the cleaned text plus one
+    ``n_<name>`` count column per pattern (non-overlapping match counts,
+    the ``regexp_extract_all`` convention).
+
+    Scale shape: one stateless vectorized ``map_batches`` pass — RE2
+    kernels (``count_substring_regex`` / ``replace_substring_regex``) over
+    the whole batch column, no per-row Python, no shuffle, no state."""
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    pats = [(str(n), str(p), str(r)) for n, p, r in patterns]
+
+    def scrub(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        counts = {}
+        for name, pat, repl in pats:
+            counts[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(txt, pat), pa.int64())
+            txt = pc.replace_substring_regex(txt, pat, repl)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "clean_text": txt, **counts})
+
+    return docs.map_batches(scrub, batch_format="pyarrow")

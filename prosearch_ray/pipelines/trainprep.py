@@ -670,3 +670,69 @@ def keyword_extract(sf_dir: str, k: int = KEYWORD_K,
 
     return scored.map_batches(doc_bucket, batch_format="pyarrow").groupby(
         "db").map_groups(topk_bucket, batch_format="pyarrow")
+
+
+SKIP_WINDOW = 3
+SKIP_TOP_K = 200
+
+
+def skipgram_counts(sf_dir: str, window: int = SKIP_WINDOW,
+                    k: int = SKIP_TOP_K) -> pa.Table:
+    """Window-``window`` skip-gram co-occurrence counts over
+    ``documents.text`` — the word2vec/GloVe co-occurrence table a
+    training pipeline precomputes: every ORDERED token pair (w1, w2)
+    with w2 at distance 1..window after w1 inside one document, counted
+    corpus-wide; top-k by (count desc, w1 asc, w2 asc).
+
+    Scale shape (same exchange as ``ngram_counts``): pairs are emitted
+    and pre-counted WITHIN each batch (a doc lives in one batch, so no
+    pair crosses an exchange boundary), the map-side partials meet in a
+    small ``groupby(pair).sum`` whose key domain is vocabulary², each
+    post-groupby block keeps its local top-k (every global winner
+    survives — a pair lives in exactly one block), and only k rows reach
+    the driver.  The pair distance loop is per DISTANCE (<= window
+    iterations of vectorized Arrow slicing), never per token."""
+    docs = read(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, doc_of, _ = _split_tokens(t.column("text"))
+        pairs = []
+        for d in range(1, window + 1):
+            m = len(flat) - d
+            if m <= 0:
+                continue
+            same = doc_of[d:] == doc_of[:m]  # pair stays inside one doc
+            sel = pa.array(same)
+            w1 = flat.slice(0, m).filter(sel)
+            w2 = flat.slice(d, m).filter(sel)
+            joined = pc.binary_join_element_wise(w1, w2, " ")
+            if isinstance(joined, pa.ChunkedArray):
+                joined = joined.combine_chunks()
+            pairs.append(joined)
+        if not pairs:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "n_part": pa.array([], pa.int64())})
+        vc = pc.value_counts(pa.concat_arrays(pairs))
+        return pa.table({"pair": vc.field("values"),
+                         "n_part": pc.cast(vc.field("counts"), pa.int64())})
+
+    agg = docs.map_batches(partial, batch_format="pyarrow").groupby(
+        "pair").aggregate(Sum("n_part", alias_name="n"))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        # tokens contain no spaces, so "w1 w2" lexicographic order equals
+        # (w1, w2) tuple order — the per-block prune can sort the joined key
+        if t.num_rows <= k:
+            return t
+        return t.sort_by([("n", "descending"), ("pair", "ascending")]
+                         ).slice(0, k)
+
+    rows = agg.map_batches(local_topk, batch_format="pyarrow").take_all()
+    split = [(r["pair"].split(" ", 1), int(r["n"])) for r in rows]
+    split.sort(key=lambda x: (-x[1], x[0][0], x[0][1]))
+    split = split[:k]
+    return pa.table({
+        "w1": pa.array([p[0] for p, _ in split], pa.string()),
+        "w2": pa.array([p[1] for p, _ in split], pa.string()),
+        "n": pa.array([n for _, n in split], pa.int64()),
+    })

@@ -884,3 +884,70 @@ def test_retention_cohorts_matches_bruteforce():
             cells[(cw, off)].add(u)
     expect = {k: len(v) for k, v in cells.items()}
     assert got == expect and expect
+
+
+def test_redact_text_order_counts_and_pii_presets():
+    """Pattern redaction: counts are non-overlapping matches, patterns
+    apply IN ORDER (later patterns see earlier replacements), and the PII
+    presets scrub a synthetic doc correctly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from prosearch_ray.pipelines.curate import PII_PATTERNS, redact_text
+
+    # on the driver corpus the PII presets match nothing and pass text
+    # through untouched
+    out = redact_text(SF).to_pandas().sort_values("doc_id")
+    import pyarrow.parquet as pq
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    docs = docs.sort_values("doc_id")
+    assert (out["clean_text"].to_numpy() == docs["text"].to_numpy()).all()
+    assert int(out[["n_email", "n_phone", "n_ipv4"]].to_numpy().sum()) == 0
+
+    # synthetic PII doc: every preset binds; the phone pass must not see
+    # the already-redacted email digits, and counts are non-overlapping
+    txt = ("contact a.b+c@mail-host.example.org or +1 555-123-4567; "
+           "backup x@y.io, host 10.0.255.7 and 192.168.1.1 end")
+    tbl = pa.table({"doc_id": pa.array([0], pa.int64()),
+                    "text": pa.array([txt], pa.string())})
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(tbl, os.path.join(td, "documents.parquet"))
+        row = redact_text(td).take_all()[0]
+    assert row["n_email"] == 2 and row["n_phone"] == 1 and row["n_ipv4"] == 2
+    assert row["clean_text"] == ("contact <EMAIL> or <PHONE>; backup "
+                                 "<EMAIL>, host <IP> and <IP> end")
+    # order sensitivity: a custom pattern list that redacts digits FIRST
+    # makes the downstream ipv4 preset see no digits at all
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(tbl, os.path.join(td, "documents.parquet"))
+        row2 = redact_text(td, patterns=(
+            ("digit", r"\d", "#"),) + PII_PATTERNS).take_all()[0]
+    assert row2["n_ipv4"] == 0 and row2["n_digit"] > 0
+
+
+def test_skipgram_counts_matches_bruteforce():
+    """Window skip-grams: distributed partial-count + groupby + top-k
+    equals the per-doc O(n*window) brute force, including tie order."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from prosearch_ray.pipelines.trainprep import (SKIP_TOP_K, SKIP_WINDOW,
+                                                   skipgram_counts)
+
+    docs = pq.read_table(SF + "/documents.parquet", columns=["text"])
+    want: Counter = Counter()
+    for txt in docs.column("text").to_pylist():
+        toks = [t for t in re.split(r"[^a-z0-9]+", txt.lower()) if t]
+        for i, w1 in enumerate(toks):
+            for j in range(i + 1, min(i + 1 + SKIP_WINDOW, len(toks))):
+                want[(w1, toks[j])] += 1
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    ranked = ranked[:SKIP_TOP_K]
+    got = skipgram_counts(SF).to_pylist()
+    assert [((r["w1"], r["w2"]), r["n"]) for r in got] == ranked
+    assert len(got) == min(SKIP_TOP_K, len(want))
