@@ -109,7 +109,12 @@ def agg_partial(ff: Dict[str, np.ndarray], cand: np.ndarray,
             _field(ff, body["field"])  # still validate the field exists
             continue
         if typ in _METRICS:
-            out[name] = _metric_partial(_field(ff, body["field"])[cand])
+            vals = _field(ff, body["field"])
+            if typ in ("sum", "avg") and vals.dtype.kind == "M":
+                raise ValueError(
+                    f"aggregation {name!r}: no {typ} over a date field "
+                    "(min/max/value_count apply; cast to epoch for sums)")
+            out[name] = _metric_partial(vals[cand])
             continue
         vals = _field(ff, body["field"])[cand]
         buckets: dict = {}

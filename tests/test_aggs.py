@@ -193,3 +193,51 @@ def test_sharded_aggregate_matches_unsharded(agg_index, tmp_path):
             assert m.aggregate(q, req) == s.aggregate(q, req)
     finally:
         m.shutdown()
+
+
+def test_date_field_aggregations(agg_index):
+    """Aggregations over a timestamp fast field (new.rs date-field analog):
+    min/max/value_count work (datetime64 kind), sum/avg raise (no datetime
+    sum), terms buckets on coarse date keys count correctly."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from prosearch_ray.index.fastfields import build_fast_fields
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    d, index_dir = agg_index
+
+    def add_ts(t: pa.Table) -> pa.Table:
+        n = pc.utf8_length(t.column("content")).to_numpy(
+            zero_copy_only=False).astype("int64")
+        day = (np.datetime64("2026-02-01", "us")
+               + (n % 7) * np.timedelta64(86400, "s"))
+        return t.append_column("day", pa.array(day, pa.timestamp("us")))
+
+    src = rd.read_parquet(d + "/corpus").map_batches(
+        add_ts, batch_format="pyarrow")
+    build_fast_fields(index_dir, src, columns=["day"])
+    s = IndexSearcher(index_dir)
+    from prosearch_ray.index.fastfields import load_fast_fields
+    ff = load_fast_fields(s.index_dir, s.n_docs)
+    ids, _ = s.search("merge hash", 10 ** 6)
+    ids = ids[ff["_valid"][ids]]
+    days = ff["day"][ids]
+    res = s.aggregate("merge hash", {
+        "lo": {"min": {"field": "day"}},
+        "hi": {"max": {"field": "day"}},
+        "n": {"value_count": {"field": "day"}},
+        "by_day": {"terms": {"field": "day", "size": 7}},
+    })
+    assert res["lo"]["value"] == days.min()
+    assert res["hi"]["value"] == days.max()
+    assert res["n"]["value"] == len(ids)
+    got = {b["key"]: b["doc_count"] for b in res["by_day"]["buckets"]}
+    uniq, counts = np.unique(days, return_counts=True)
+    # bucket keys arrive as python datetimes (np .item() conversion)
+    assert got == {k.item(): int(c) for k, c in zip(uniq, counts)}
+    with pytest.raises(ValueError):
+        s.aggregate("merge hash", {"x": {"sum": {"field": "day"}}})
+    with pytest.raises(ValueError):
+        s.aggregate("merge hash", {"x": {"avg": {"field": "day"}}})

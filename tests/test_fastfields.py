@@ -410,3 +410,54 @@ def test_sharded_sidecar_streams_and_handles_empty_shards(ray_session,
         assert m.last_count == 0
     finally:
         m.shutdown()
+
+
+def test_bytes_fast_field_filter(ff_index):
+    """Bytes-typed fast field (tantivy new.rs:83-95 declares bytes fields):
+    an arrow binary column rides the generic sidecar path (object-dtype
+    numpy on the query side) and equality / set predicates over it match
+    brute force.  Rebuilds the module index's sidecar — runs after the
+    timestamp test, same convention."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from prosearch_ray.index.fastfields import (build_fast_fields,
+                                                load_fast_fields)
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    index_dir, _ = ff_index
+    corpus = str(__import__("pathlib").Path(index_dir).parent / "corpus")
+
+    def add_digest(t: pa.Table) -> pa.Table:
+        # 2-byte deterministic content digest: a small value domain so
+        # equality predicates bind on a 400-doc corpus
+        dig = [hashlib.md5(x.encode()).digest()[:2]
+               for x in t.column("content").to_pylist()]
+        return t.append_column("digest2", pa.array(dig, pa.binary()))
+
+    src = rd.read_parquet(corpus + "/corpus").map_batches(
+        add_digest, batch_format="pyarrow")
+    rep = build_fast_fields(index_dir, src, columns=["digest2"])
+    assert rep["n_rows"] > 0
+    s = IndexSearcher(index_dir)
+    ff = load_fast_fields(index_dir, s.n_docs)
+    assert ff["digest2"].dtype.kind == "O"
+    vals = [v for v, m in zip(ff["digest2"], ff["_valid"]) if m]
+    probe = vals[0]
+    assert isinstance(probe, bytes) and len(probe) == 2
+    for pred, mask in [
+        ([("digest2", "==", probe)], ff["digest2"] == probe),
+        ([("digest2", "!=", probe)], ff["digest2"] != probe),
+    ]:
+        want_ids, want_scs, want_n = _brute_filtered(
+            s, "the", np.asarray(mask, bool) & ff["_valid"], 10)
+        ids, scs = s.search("the", 10, filter=pred)
+        assert list(ids) == list(want_ids)
+        assert np.allclose(scs, want_scs, rtol=0, atol=0)
+        assert s.last_count == want_n
+    assert s.last_count > 0  # != side binds; == side checked below
+    ids, _ = s.search("the", 10, filter=[("digest2", "==", probe)])
+    assert s.last_count >= 1
