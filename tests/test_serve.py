@@ -184,9 +184,25 @@ def test_api_filter_and_facets(ray_session, tmp_path):
         code, _ = _get(f"{base}/api?q=the&nhits=5")
         unfiltered = json.loads(_get(f"{base}/api?q=the&nhits=5")[1])
         assert unfiltered["count"] > out["count"]
-        # malformed filter / unknown facet column -> 400
+        # aggregation passthrough: terms over lang under the SAME filter —
+        # bucket counts must sum to the filtered match count and agree with
+        # the facets block served in the same response
+        agg = urllib.parse.quote(json.dumps(
+            {"l": {"terms": {"field": "lang", "size": 10}}}))
+        code, body = _get(
+            f"{base}/api?q=the&nhits=1&filter={flt}&facet=lang&agg={agg}")
+        assert code == 200
+        out2 = json.loads(body)
+        buckets = {b["key"]: b["doc_count"]
+                   for b in out2["aggs"]["l"]["buckets"]}
+        assert buckets == dict(tuple(x) for x in out2["facets"]["lang"])
+        assert sum(buckets.values()) == out["count"]
+        # malformed filter / unknown facet column / bad agg -> 400
         assert _get(f"{base}/api?q=the&filter=notjson")[0] == 400
         assert _get(f"{base}/api?q=the&facet=nope")[0] == 400
+        assert _get(f"{base}/api?q=the&agg=notjson")[0] == 400
+        badagg = urllib.parse.quote(json.dumps({"x": {"bogus": {}}}))
+        assert _get(f"{base}/api?q=the&agg={badagg}")[0] == 400
     finally:
         server.shutdown()
         thread.join(timeout=10)
