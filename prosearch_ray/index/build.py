@@ -773,6 +773,7 @@ def build_index(
     n_input_estimate: Optional[int] = None,
     exclude_doc_keys=None,
     prestaged_spill: bool = False,
+    content_dedup: bool = True,
 ) -> dict:
     """Build (or resume) the inverted index at ``index_dir``. Returns a build
     report. ``source`` is a corpus parquet path/dir or a Dataset with columns
@@ -872,8 +873,13 @@ def build_index(
         _mark("stage_a_bucketed_docs", t0)
 
         # ----- content dedup fixup: key columns only, rewrite losers only
+        # (content_dedup=False: the lazy delta-segment build, which must
+        # keep cross-key content duplicates exactly as the eager delta fold
+        # does — delta upserts never content-dedup until compaction)
         t0 = time.perf_counter()
-        if return_keys:
+        if not content_dedup:
+            pass
+        elif return_keys:
             losers = _dup_losers_from_keys(zip(key_cols, sha_cols, bucket_cols))
             counts = _rewrite_loser_buckets(staged_dir, counts, losers)
         else:

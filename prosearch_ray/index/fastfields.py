@@ -61,11 +61,12 @@ def _join_fast_fields(metas: List[Tuple[int, str]], src,
                       columns: List[str], n_buckets: int):
     """Co-group join of source rows against one or more shards' docmeta
     mappings.  ``metas``: list of (shard, docmeta_dir), shard ids dense
-    0..S-1 in routing order (``shard_dirs``).  All docmeta dirs are read
-    by ONE ``read_parquet`` and each row's shard is re-derived from its
-    doc_key via the routing rule (``docid.bucket_of(key, S)`` — the same
-    rule the sharded build, delta router and reshard use), because a
-    40-way ``Dataset.union`` chain stalls Ray's planner at scale.
+    0..S-1 in ``search_dirs`` order (hash shards first, then any unfolded
+    lazy delta segments).  All docmeta dirs are read by ONE
+    ``read_parquet`` (a 40-way ``Dataset.union`` chain stalls Ray's
+    planner at scale) with ``include_paths=True``, and each row's shard is
+    the dir its docmeta file lives in — NOT re-derived from the doc_key
+    hash, because lazy-segment docs do not sit at their routing position.
     Returns the (shard, doc_id, typed columns) Dataset + col_types."""
     nb = n_buckets
     base = src.schema().base_schema
@@ -92,12 +93,17 @@ def _join_fast_fields(metas: List[Tuple[int, str]], src,
 
     src_tagged = src.map_batches(src_rows, batch_format="pyarrow")
 
-    n_shards = len(metas)
+    dir_shard = {os.path.realpath(d): s for s, d in metas}
 
     def meta_rows(t: pa.Table) -> pa.Table:
         keys = t.column("doc_key").to_pylist()
-        shards = (np.asarray(docid.buckets_of(keys, n_shards), np.int64)
-                  if n_shards > 1 else np.zeros(len(keys), np.int64))
+        # one docmeta file per batch in practice; unique() keeps the
+        # dir lookup off the per-row path either way
+        paths = t.column("path").to_numpy(zero_copy_only=False)
+        upaths, inv = np.unique(paths, return_inverse=True)
+        useg = np.array([dir_shard[os.path.dirname(os.path.realpath(p))]
+                         for p in upaths], np.int64)
+        shards = useg[inv]
         cols = {
             "bkt": pa.array(docid.buckets_of(keys, nb), pa.int64()),
             "kind": pa.array(np.zeros(len(keys), np.int8), pa.int8()),
@@ -116,7 +122,8 @@ def _join_fast_fields(metas: List[Tuple[int, str]], src,
         fs = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
         meta_files.extend(os.path.join(d, f) for f in fs)
     both = src_tagged.union(
-        rd.read_parquet(meta_files, columns=["doc_key", "doc_id"])
+        rd.read_parquet(meta_files, columns=["doc_key", "doc_id"],
+                        include_paths=True)
         .map_batches(meta_rows, batch_format="pyarrow"))
 
     def join_bucket(g: pa.Table) -> pa.Table:
@@ -211,12 +218,12 @@ def build_fast_fields_sharded(root: str, source, columns: Sequence[str],
     (shard, doc_id, typed) result is then split per shard.  Each shard's
     sidecar is the exact layout ``build_fast_fields`` writes, so shard
     workers load it with the same ``load_fast_fields``."""
-    from prosearch_ray.index.sharded import shard_dirs
+    from prosearch_ray.index.sharded import search_dirs
 
     import shutil
 
     columns = list(columns)
-    dirs = shard_dirs(root)
+    dirs = search_dirs(root)  # hash shards + unfolded lazy segments
     src = _read_source(source, columns)
     joined, col_types = _join_fast_fields(
         [(s, os.path.join(d, "docmeta")) for s, d in enumerate(dirs)],

@@ -26,7 +26,7 @@ from typing import List, Optional, Tuple
 import ray
 
 from prosearch_ray.index import scoring
-from prosearch_ray.index.sharded import shard_dirs
+from prosearch_ray.index.sharded import search_dirs
 
 
 class _ShardWorker:
@@ -145,15 +145,25 @@ class _ShardWorker:
 
 def _auto_cpus_per_actor(n_actors: int) -> float:
     """1 CPU per shard actor when the node can hold them all (leaving one
-    core for the driver), else 0 (co-scheduled).  Falls back to
-    ``os.cpu_count()`` when Ray is not yet initialized."""
+    core for the driver), else 0 (co-scheduled).  "Hold" counts cores
+    already pinned by OTHER live searcher pools in this process
+    (``_RESERVED_CPUS``): a second searcher opened while one is resident
+    (eager-vs-lazy parity, two roots served side by side) must not reserve
+    cores the first pinned, or its first ``ray.get`` blocks forever.  A
+    process-local counter, not ``ray.available_resources()`` — that
+    gauge is eventually-consistent and reads stale right after the first
+    pool's actors are created, re-introducing the deadlock racily.
+    Falls back to ``os.cpu_count()`` when Ray is not yet initialized."""
     import os as _os
 
     if ray.is_initialized():
         avail = int(ray.cluster_resources().get("CPU", 0))
     else:
         avail = int(_os.cpu_count() or 0)
-    return 1 if n_actors <= max(0, avail - 1) else 0
+    return 1 if n_actors <= max(0, avail - 1 - _RESERVED_CPUS) else 0
+
+
+_RESERVED_CPUS = 0  # cores pinned by live ShardedSearcher pools (this driver)
 
 
 class ShardedSearcher:
@@ -174,7 +184,7 @@ class ShardedSearcher:
         shards on 32 cores).  ``prespawned`` takes actor handles from
         ``prespawn()`` (process + imports already warm) and only opens the
         indexes."""
-        dirs = shard_dirs(root)
+        dirs = search_dirs(root)  # hash shards + unfolded lazy segments
         if not dirs:
             raise FileNotFoundError(f"no shard=* index dirs under {root}")
         if num_cpus_per_actor is None:
@@ -190,6 +200,10 @@ class ShardedSearcher:
         else:
             actor = ray.remote(num_cpus=num_cpus_per_actor)(_ShardWorker)
             self.actors = [actor.remote(d, root, boost_terms) for d in dirs]
+        global _RESERVED_CPUS
+        self._reserved = (0 if prespawned is not None
+                          else num_cpus_per_actor * len(dirs))
+        _RESERVED_CPUS += self._reserved
         self.last_count = 0
 
     @staticmethod
@@ -339,6 +353,9 @@ class ShardedSearcher:
         return self._merge([(keys, scs) for keys, scs, _ in res], k)
 
     def shutdown(self) -> None:
+        global _RESERVED_CPUS
         for a in self.actors:
             ray.kill(a)
         self.actors = []
+        _RESERVED_CPUS -= self._reserved
+        self._reserved = 0
