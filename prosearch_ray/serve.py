@@ -37,9 +37,19 @@ class IndexService:
     serves a doc-sharded root through the scatter-gather actor pool;
     mutations use the sharded delta routing."""
 
-    def __init__(self, index_dir: str, sharded: bool = False):
+    def __init__(self, index_dir: str, sharded: bool = False,
+                 lazy_index: bool = False):
+        """``lazy_index=True`` (sharded roots only) lands each POST /index
+        delta as a lazy segment (``add_documents_lazy``) instead of the
+        eager per-shard fold — the tantivy serve analog, where a commit
+        writes a fresh segment and the merge policy folds later.  Ingest
+        latency stays flat in corpus size; the auto-fold cap
+        (``LAZY_MAX_SEGS``) bounds searcher fan-out."""
+        if lazy_index and not sharded:
+            raise ValueError("lazy_index requires a sharded root")
         self.index_dir = index_dir
         self.sharded = sharded
+        self.lazy_index = lazy_index
         self._lock = threading.RLock()
         self._searcher = None
         self._open()
@@ -121,7 +131,11 @@ class IndexService:
         tbl = pa.table({c: pa.array([obj[c]], pa.string())
                         for c in CORPUS_COLUMNS})
         with self._lock:
-            if self.sharded:
+            if self.sharded and self.lazy_index:
+                from prosearch_ray.index.sharded import add_documents_lazy
+
+                add_documents_lazy(self.index_dir, tbl)
+            elif self.sharded:
                 from prosearch_ray.index.sharded import add_documents_sharded
 
                 # pass the Table directly: the router normalizes it on the
@@ -233,13 +247,14 @@ def _make_handler(service: IndexService):
 
 
 def make_server(index_dir: str, host: str = "127.0.0.1", port: int = 0,
-                sharded: bool = False,
+                sharded: bool = False, lazy_index: bool = False,
                 service: Optional[IndexService] = None
                 ) -> tuple[ThreadingHTTPServer, IndexService]:
     """Build (but don't start) the HTTP server; port 0 binds an ephemeral
     port (``server.server_address[1]``).  Caller owns both lifecycles:
     ``server.serve_forever()`` / ``server.shutdown()`` + ``service.close()``.
     """
-    svc = service or IndexService(index_dir, sharded=sharded)
+    svc = service or IndexService(index_dir, sharded=sharded,
+                                  lazy_index=lazy_index)
     srv = ThreadingHTTPServer((host, port), _make_handler(svc))
     return srv, svc

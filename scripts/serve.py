@@ -28,6 +28,9 @@ def main() -> None:
     p.add_argument("--port", type=int, default=3000)
     p.add_argument("--sharded", action="store_true",
                    help="--index is a doc-sharded root (scatter-gather pool)")
+    p.add_argument("--lazy", action="store_true",
+                   help="POST /index lands as a lazy segment (sharded only):"
+                        " flat ingest latency, merge policy folds later")
     p.add_argument("--num-cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = p.parse_args()
@@ -43,7 +46,7 @@ def main() -> None:
     from prosearch_ray.serve import make_server
 
     server, service = make_server(args.index, host=args.host, port=args.port,
-                                  sharded=args.sharded)
+                                  sharded=args.sharded, lazy_index=args.lazy)
     host, port = server.server_address[:2]
     print(f"listening on http://{host}:{port}", flush=True)
     try:

@@ -154,6 +154,51 @@ def test_sharded_serve_roundtrip(ray_session, tmp_path):
         service.close()
 
 
+def test_lazy_serve_roundtrip(ray_session, tmp_path):
+    """--lazy mode: POST /index lands as a lazy segment (flat ingest
+    latency; the searcher reopens over shards + segments), upsert and
+    delete still shadow correctly through the routes."""
+    from prosearch_ray.fixtures import write_corpus
+    from prosearch_ray.index.sharded import build_sharded_index, lazyseg_dirs
+    from prosearch_ray.serve import IndexService, make_server
+
+    with pytest.raises(ValueError):
+        IndexService(str(tmp_path / "nope"), sharded=False, lazy_index=True)
+
+    d = write_corpus(str(tmp_path / "corpus"), n_docs=300)
+    root = str(tmp_path / "shards")
+    build_sharded_index(d + "/corpus", root, num_shards=2,
+                        docs_per_bucket=64)
+    server, service = make_server(root, port=0, sharded=True,
+                                  lazy_index=True)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        doc = {"repo": "serveorg/lazyrepo", "path": "src/lazy_doc.py",
+               "commit": "e" * 40, "lang": "py",
+               "content": "zzlazyserve segment resident v1"}
+        assert _post(f"{base}/index", json.dumps(doc).encode())[0] == 200
+        assert len(lazyseg_dirs(root)) == 1  # landed as a segment
+        code, body = _get(f"{base}/api?q=zzlazyserve")
+        assert code == 200 and json.loads(body)["count"] == 1
+        # re-POST (upsert): the segment copy is shadowed, count stays 1
+        doc["content"] = "zzlazyserve segment resident v2 zzlazyv2serve"
+        assert _post(f"{base}/index", json.dumps(doc).encode())[0] == 200
+        serp = json.loads(_get(f"{base}/api?q=zzlazyserve")[1])
+        assert serp["count"] == 1
+        assert json.loads(_get(f"{base}/api?q=zzlazyv2serve")[1])["count"] == 1
+        # delete reaches the segment-resident doc
+        url = serp["hits"][0]["doc"]["url"][0]
+        assert _get(f"{base}/delete?url="
+                    f"{urllib.parse.quote(url)}") == (200, "true")
+        assert json.loads(_get(f"{base}/api?q=zzlazyserve")[1])["count"] == 0
+    finally:
+        server.shutdown()
+        thread.join(timeout=10)
+        service.close()
+
+
 def test_api_filter_and_facets(ray_session, tmp_path):
     """/api with a typed fast-field filter + facet counts (the engine's
     extension of the serve surface; requires a sidecar on the index)."""
