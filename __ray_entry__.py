@@ -118,6 +118,74 @@ def _build_docs_sharded(sf_dir: str, num_shards: int = 3) -> str:
     return root
 
 
+# Fixed additions-only delta for the lazy-segment driver entry: brand-new
+# doc_keys (no upsert shadowing, no tombstones — the oracle unions these
+# rows into the corpus verbatim) whose body/title hit the AND_QUERIES
+# terms so the unfolded segment actually lands rows in the top-10.
+LAZY_DELTA_DOCS = (
+    ("lazydelta/org", "src/table_hash.py",
+     "table hash value table hash value merge lazy segment probe table"),
+    ("lazydelta/org", "src/scan_merge.py",
+     "merge batch scan merge batch lazy overlay fold scan table merge"),
+)
+
+
+def _build_docs_sharded_lazy(sf_dir: str) -> str:
+    """Copy of the cached 3-shard root plus ONE lazy-segment delta
+    (``add_documents_lazy``): the segment stays UNFOLDED (two docs are far
+    below lazy_max_segs), so the searcher exercises the extra
+    scatter-gather target and the overlay-dict point-read path against
+    corpus-wide BM25 stats spanning shards AND segment."""
+    import json
+    import shutil
+
+    import pyarrow as pa
+
+    from prosearch_ray.index.sharded import add_documents_lazy
+
+    base = _build_docs_sharded(sf_dir)
+    root = _index_dir_for(sf_dir) + "-sharded3lazy"
+    marker = os.path.join(root, "_driver_lazy_done.json")
+    tag = hashlib.md5(repr(LAZY_DELTA_DOCS).encode()).hexdigest()
+    try:
+        with open(marker) as f:
+            fresh = json.load(f).get("tag") == tag
+    except Exception:
+        fresh = False
+    if not fresh:
+        for key in [k for k in _SHARDED_CACHE if k[0] == root]:
+            _SHARDED_CACHE.pop(key).shutdown()
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.copytree(base, root)
+        delta = pa.table({
+            "repo": pa.array([r for r, _, _ in LAZY_DELTA_DOCS]),
+            "path": pa.array([p for _, p, _ in LAZY_DELTA_DOCS]),
+            "commit": pa.array(["1" * 40] * len(LAZY_DELTA_DOCS)),
+            "lang": pa.array(["txt"] * len(LAZY_DELTA_DOCS)),
+            "content": pa.array([c for _, _, c in LAZY_DELTA_DOCS]),
+        })
+        add_documents_lazy(root, delta)
+        with open(marker, "w") as f:
+            json.dump({"tag": tag}, f)
+    return root
+
+
+def code_search_lazy_topk(sf_dir: str) -> Any:
+    """Sharded search with an UNFOLDED lazy delta segment: same queries and
+    result shape as code_search_topk_sharded, over base corpus plus the
+    fixed LAZY_DELTA_DOCS additions.  The oracle recomputes BM25 over the
+    unioned corpus — green means the segment's docs score through the SAME
+    corpus-wide stats as an eager fold / fresh rebuild (the bit-identical
+    lazy-vs-eager contract of index/sharded.py add_documents_lazy)."""
+    root = _build_docs_sharded_lazy(sf_dir)
+    m = _shared_sharded(root)
+    results = []
+    for qid, q in enumerate(AND_QUERIES):
+        keys, scores = m.search(q, 10)
+        results.append((qid, keys, scores))
+    return _topk_table(results)
+
+
 def _topk_table(results) -> Any:
     """Build the shared (qid, rank, doc_key, score) driver-result table
     from an iterable of (qid, doc_keys, scores) — ONE emit path for every
@@ -618,6 +686,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # REDACT_DRIVER_PATTERNS)
         "redact_text": lambda sf_dir: curate.redact_text(
             sf_dir, patterns=REDACT_DRIVER_PATTERNS),
+        # unfolded lazy-segment scatter-gather (corpus-wide stats across
+        # shards + segment) — new this round
+        "code_search_lazy_topk": code_search_lazy_topk,
         # --- block 2: newest green row is r3 ---
         # similarity: the driver entries for the approximate variants run
         # their DEGENERATE-EXACT configurations (all-bucket / all-cluster
@@ -1538,6 +1609,15 @@ ORDER BY p.prefix, d.tok
     d["more_like_this_sharded"] = _code_search_sql(
         conjunctive=False, mlt_src_ids=MLT_SRC_IDS, tiebreak="key")
     d["code_search_topk_sharded"] = _code_search_sql(tiebreak="key")
+    # additions-only lazy delta: union the fixed delta rows into the
+    # corpus and recompute BM25 — checks the lazy segment scores through
+    # corpus-wide stats (negative src_ids keep clear of documents.doc_id)
+    from prosearch_ray.index import docid as _docid
+    lazy_vals = ", ".join(
+        f"({-(i + 1)}, '{_docid.doc_key(repo, path)}', '{content}')"
+        for i, (repo, path, content) in enumerate(LAZY_DELTA_DOCS))
+    d["code_search_lazy_topk"] = _code_search_sql(
+        tiebreak="key", extra_docs_vals=lazy_vals)
     d["code_phrase_topk"] = _code_phrase_sql()
     d["code_phrase_topk_sharded"] = _code_phrase_sql(tiebreak="key")
     return d
@@ -1587,10 +1667,10 @@ def _expand_cte(src: str, extra_col: str = "") -> str:
     SELECT doc, {col}core,
            list_filter(string_split_regex(lower(
              regexp_replace(regexp_replace(regexp_replace(regexp_replace(core,
-               '([a-z])([A-Z])', '\\\\1 \\\\2', 'g'),
-               '([A-Z])([A-Z][a-z])', '\\\\1 \\\\2', 'g'),
-               '([0-9])([A-Za-z])', '\\\\1 \\\\2', 'g'),
-               '([A-Za-z])([0-9])', '\\\\1 \\\\2', 'g')),
+               '([a-z])([A-Z])', '\\1 \\2', 'g'),
+               '([A-Z])([A-Z][a-z])', '\\1 \\2', 'g'),
+               '([0-9])([A-Za-z])', '\\1 \\2', 'g'),
+               '([A-Za-z])([0-9])', '\\1 \\2', 'g')),
              '[^a-z0-9]+'), x -> x <> '') AS parts
     FROM (SELECT doc, {col}
                  regexp_replace(regexp_replace(raw, '^[^0-9A-Za-z]+', ''),
@@ -1642,15 +1722,36 @@ FROM aggd ORDER BY qid, n_docs DESC, doc_lang
 def _code_search_sql(tiebreak: str = "doc", conjunctive: bool = True,
                      qterms: str = None, mlt_src_ids=None,
                      filter_src_sql: str = None,
-                     facet: bool = False, agg: bool = False) -> str:
+                     facet: bool = False, agg: bool = False,
+                     extra_docs_vals: str = None) -> str:
     """tiebreak="doc": equal scores rank by engine doc_id (unsharded
     searcher).  tiebreak="key": by doc_key (the sharded merge's order).
     conjunctive=False ranks every doc matching ANY query term (the raw-CLI
     bare-OR semantics of searcher.search_raw, search.rs:41-42) instead of
     requiring all terms.  filter_src_sql: a SELECT of allowed documents
     doc_ids — applied as a candidate mask AFTER scoring, the tantivy
-    filter-query semantics (BM25 stats stay corpus-wide)."""
+    filter-query semantics (BM25 stats stay corpus-wide).
+    extra_docs_vals: a VALUES list of (src_id, doc_key, text) rows unioned
+    into the corpus verbatim — the oracle for an ADDITIONS-ONLY delta
+    (brand-new doc_keys, so no upsert shadowing and no tombstones): the
+    engine's lazy-segment contract makes delta docs participate in the
+    corpus-wide stats exactly like a fresh rebuild over base ∪ delta."""
     tb = "i2.doc_key" if tiebreak == "key" else "s.doc"
+    ids_ctes = _CODE_IDS_CTES
+    if extra_docs_vals is not None:
+        # delta doc ids sit ABOVE the base corpus (delta.py fresh-id rule);
+        # with tiebreak="key" their exact values never order results
+        ids_ctes = (_CODE_IDS_CTES.replace("ids AS (", "ids0 AS (")
+                    + f""",
+extra(src_id, doc_key, text) AS (VALUES {extra_docs_vals}),
+ids AS (
+  SELECT * FROM ids0
+  UNION ALL
+  SELECT e.src_id::BIGINT, e.doc_key, e.text,
+         (SELECT max(doc) FROM ids0)
+         + row_number() OVER (ORDER BY e.doc_key) AS doc
+  FROM extra e
+)""")
     if qterms is None:
         qterms = ("(0, 'table'), (1, 'hash'), (1, 'value'), (2, 'merge'), "
                   "(2, 'batch'), (3, 'scan')")
@@ -1678,7 +1779,7 @@ nq AS (SELECT qid, count(*)::BIGINT AS n_terms FROM q GROUP BY 1),"""
         match_pred += (" AND NOT EXISTS (SELECT 1 FROM srcdoc sd "
                        "WHERE sd.qid = s.qid AND sd.doc = s.doc)")
     return f"""
-WITH {_CODE_IDS_CTES},
+WITH {ids_ctes},
 fnt AS (SELECT unnest([{_fnt_values()}]) AS v),
 braw AS (SELECT doc, unnest(string_split_regex(text, '\\s+')) AS raw FROM ids),
 traw AS (SELECT doc, unnest(string_split_regex(doc_key, '\\s+')) AS raw FROM ids),

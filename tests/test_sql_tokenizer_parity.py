@@ -8,27 +8,16 @@ import pytest
 
 from prosearch_ray.text.tokenizer import expand_token, tokenize
 
-# mirrors __ray_entry__._expand_cte with a bare VALUES source
-_EXPAND_SQL = """
+# Built from the REAL __ray_entry__._expand_cte — a hand-maintained copy
+# here once drifted from the oracle template (the copy had correct '\\1'
+# backrefs while the template shipped doubled ones, so this suite stayed
+# green while every oracle title length was wrong; caught by the first
+# title-matching driver entry, code_search_lazy_topk).
+import __ray_entry__ as _entry
+
+_EXPAND_SQL = f"""
 WITH raws(doc, raw) AS (SELECT * FROM inp),
-exp AS (
-  SELECT doc,
-         CASE WHEN parts = [lower(core)] THEN [lower(core)]
-              ELSE list_prepend(lower(core), parts) END AS toks
-  FROM (
-    SELECT doc, core,
-           list_filter(string_split_regex(lower(
-             regexp_replace(regexp_replace(regexp_replace(regexp_replace(core,
-               '([a-z])([A-Z])', '\\1 \\2', 'g'),
-               '([A-Z])([A-Z][a-z])', '\\1 \\2', 'g'),
-               '([0-9])([A-Za-z])', '\\1 \\2', 'g'),
-               '([A-Za-z])([0-9])', '\\1 \\2', 'g')),
-             '[^a-z0-9]+'), x -> x <> '') AS parts
-    FROM (SELECT doc,
-                 regexp_replace(regexp_replace(raw, '^[^0-9A-Za-z]+', ''),
-                                '[^0-9A-Za-z]+$', '') AS core
-          FROM raws) WHERE core <> '')
-)
+exp AS {_entry._expand_cte('raws')}
 SELECT doc, toks FROM exp ORDER BY doc
 """
 
