@@ -467,6 +467,37 @@ def code_search_filtered(sf_dir: str) -> Any:
         for ids, scores in [s.search(q, 10, filter=FILTERED_PRED)])
 
 
+def code_search_or_filtered(sf_dir: str) -> Any:
+    """Typed fast-field filter composed with RAW-SYNTAX disjunctive search
+    (search_raw + candidate mask): survivors score bit-identically to their
+    unfiltered scores — per-clause BM25 statistics stay corpus-wide."""
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    index_dir = _build_docs_index(sf_dir)
+    _build_docs_fastfields(sf_dir, index_dir)
+    s = IndexSearcher(index_dir)
+    return _topk_table(
+        (qid, [str(s.doc_keys[int(d)]) for d in ids], scores)
+        for qid, q in enumerate(OR_QUERIES)
+        for ids, scores in [s.search_raw(q, 10, filter=FILTERED_PRED)])
+
+
+def code_phrase_filtered(sf_dir: str) -> Any:
+    """Typed fast-field filter composed with exact PHRASE search: the mask
+    drops candidates after scoring, phrase idf keeps the unfiltered df_p
+    (searcher.search_phrase contract, pinned sharded-vs-unsharded in
+    tests/test_fastfields.py)."""
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    index_dir = _build_docs_index(sf_dir)
+    _build_docs_fastfields(sf_dir, index_dir)
+    s = IndexSearcher(index_dir)
+    return _topk_table(
+        (qid, [str(s.doc_keys[int(d)]) for d in ids], scores)
+        for qid, q in enumerate(PHRASE_QUERIES)
+        for ids, scores in [s.search_phrase(q, 10, filter=FILTERED_PRED)])
+
+
 def code_search_topk(sf_dir: str) -> Any:
     """Full engine (code-aware tokenizer, fieldnorm quantization, block-max
     pruning) over documents-as-corpus, exact-matched against a full
@@ -689,6 +720,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unfolded lazy-segment scatter-gather (corpus-wide stats across
         # shards + segment) — new this round
         "code_search_lazy_topk": code_search_lazy_topk,
+        # typed filters composed with raw-OR / phrase search — new
+        "code_search_or_filtered": code_search_or_filtered,
+        "code_phrase_filtered": code_phrase_filtered,
         # --- block 2: newest green row is r3 ---
         # similarity: the driver entries for the approximate variants run
         # their DEGENERATE-EXACT configurations (all-bucket / all-cluster
@@ -1620,6 +1654,11 @@ ORDER BY p.prefix, d.tok
         tiebreak="key", extra_docs_vals=lazy_vals)
     d["code_phrase_topk"] = _code_phrase_sql()
     d["code_phrase_topk_sharded"] = _code_phrase_sql(tiebreak="key")
+    d["code_search_or_filtered"] = _code_search_sql(
+        conjunctive=False, qterms=OR_QTERMS,
+        filter_src_sql=FILTER_SQL_PRED)
+    d["code_phrase_filtered"] = _code_phrase_sql(
+        filter_src_sql=FILTER_SQL_PRED)
     return d
 
 
@@ -1858,11 +1897,15 @@ ORDER BY qid, rank
 '''}"""
 
 
-def _code_phrase_sql(tiebreak: str = "doc") -> str:
+def _code_phrase_sql(tiebreak: str = "doc", filter_src_sql: str = None) -> str:
+    """filter_src_sql: typed-filter candidate mask applied AFTER scoring —
+    phrase idf keeps the UNFILTERED df_p (the searcher.search_phrase
+    contract: a filter drops candidates, never changes statistics)."""
     qp = ("(0, 0, 'hash'), (0, 1, 'value'), (1, 0, 'merge'), (1, 1, 'batch'), "
           "(2, 0, 'key'), (2, 1, 'agg'), (2, 2, 'row')")
-    tb = ("(SELECT doc_key FROM ids i2 WHERE i2.doc = scored.doc)"
-          if tiebreak == "key" else "doc")
+    tb = "i2.doc_key" if tiebreak == "key" else "scored.doc"
+    fpred = (f"WHERE i2.src_id IN ({filter_src_sql})"
+             if filter_src_sql is not None else "")
     return f"""
 WITH {_CODE_IDS_CTES},
 fnt AS (SELECT unnest([{_fnt_values()}]) AS v),
@@ -1908,10 +1951,11 @@ scored AS (
   FROM doctf t JOIN dfp f ON f.qid = t.qid JOIN blen b ON b.doc = t.doc
 ),
 ranked AS (
-  SELECT qid, doc, score,
-         row_number() OVER (PARTITION BY qid
-                            ORDER BY score DESC, {tb}) - 1 AS rank
-  FROM scored
+  SELECT scored.qid, scored.doc, scored.score,
+         row_number() OVER (PARTITION BY scored.qid
+                            ORDER BY scored.score DESC, {tb}) - 1 AS rank
+  FROM scored JOIN ids i2 ON i2.doc = scored.doc
+  {fpred}
 )
 SELECT r.qid::INTEGER AS qid, r.rank::INTEGER AS rank, i.doc_key,
        round(r.score, 4) AS score
