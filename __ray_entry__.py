@@ -93,6 +93,17 @@ def _shared_sharded(root: str):
     key = (root, ray.get_runtime_context().get_job_id())
     m = _SHARDED_CACHE.get(key)
     if m is None or not m.actors:
+        # Hold at most ONE resident pool: a second root's pool (base vs
+        # lazy) pins additional logical cores that Ray Data actor-pool
+        # stages of LATER entries need — two resident pools on the
+        # 8-CPU correctness session starved a map_batches actor pool
+        # forever.  Evicting costs one ~1s respawn when the gate
+        # switches roots; the deadlock costs the whole run.
+        for k in list(_SHARDED_CACHE):
+            try:
+                _SHARDED_CACHE.pop(k).shutdown()
+            except Exception:
+                pass  # stale pool from a dead Ray session
         m = ShardedSearcher(root)
         _SHARDED_CACHE[key] = m
     return m
@@ -1863,6 +1874,12 @@ contrib AS (
   WHERE coalesce(f.tf, 0) > 0 OR t.doc IS NOT NULL
 ),
 scored AS (
+  -- the sum is an ORDERED aggregate: DuckDB's parallel float summation
+  -- once split an EXACT score tie by 1 ulp (morsel order varies run to
+  -- run in a long-lived connection), flipping the score-then-doc rank
+  -- window while every rounded value stayed identical.  A fixed
+  -- accumulation order keeps ties bitwise-exact; non-tied gaps are
+  -- >> 1 ulp, so ordering by term cannot reorder them.
   SELECT c.qid, c.doc,
          count(*)::BIGINT AS n_matched,
          sum(
@@ -1876,6 +1893,7 @@ scored AS (
              * (2.2 / (1 + 1.2 * (0.25 + 0.75 * nm.qlen_t
                  / (SELECT avgdl_t FROM stats)))) * 1.5
            ELSE 0 END
+           ORDER BY c.term
          ) AS score
   FROM contrib c
   JOIN df d ON d.term = c.term
