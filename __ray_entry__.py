@@ -635,6 +635,95 @@ def more_like_this(sf_dir: str) -> Any:
 PREFIXES = ("s", "b", "zz")  # 7 terms, 3 terms, empty range
 
 
+# regex term queries (tantivy RegexQuery analog): the four patterns cover
+# a literal-prefix prune ("ta.le", "000012[0-9]" — title-number tokens,
+# bounded at every sf), a 1-char prefix ("s..n"), and a prefix-free
+# full-dict-scan alternation ("(merge|batch)")
+REGEX_PATTERNS = ("ta.le", "s..n", "(merge|batch)", "000012[0-9]")
+
+
+def term_regex_df(sf_dir: str) -> Any:
+    """Dictionary REGEX reads (tantivy::query::RegexQuery's term-expansion
+    step) over the documents-as-corpus index: for each pattern, every
+    indexed term FULLY matching it plus its per-field document
+    frequencies, straight from the term-sorted dict parquet (literal-
+    prefix row-group pruning + one vectorized RE2 kernel).  The DuckDB
+    oracle recomputes both dfs per token with the code-aware tokenizer
+    SQL and regexp_full_match."""
+    import pyarrow as pa
+
+    from prosearch_ray.index.inspect import regex_terms
+
+    index_dir = _build_docs_index(sf_dir)
+    out_p, out_t, out_dt, out_db = [], [], [], []
+    for p in REGEX_PATTERNS:
+        t = regex_terms(index_dir, p)
+        for term, dft, dfb in zip(t.column("term").to_pylist(),
+                                  t.column("df_title").to_pylist(),
+                                  t.column("df_body").to_pylist()):
+            out_p.append(p)
+            out_t.append(term)
+            out_dt.append(int(dft))
+            out_db.append(int(dfb))
+    return pa.table({
+        "pattern": pa.array(out_p, pa.string()),
+        "term": pa.array(out_t, pa.string()),
+        "df_title": pa.array(out_dt, pa.int64()),
+        "df_body": pa.array(out_db, pa.int64()),
+    })
+
+
+def code_search_regex(sf_dir: str) -> Any:
+    """Regex term query over documents-as-corpus (IndexSearcher.search_regex,
+    the tantivy RegexQuery analog): constant score, rank by engine doc_id,
+    with the corpus-wide live match count carried per row — the oracle
+    recomputes the match set, the engine doc-id order AND the count."""
+    import pyarrow as pa
+
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    index_dir = _build_docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    out_q, out_r, out_k, out_n = [], [], [], []
+    for qid, p in enumerate(REGEX_PATTERNS):
+        ids, _scores = s.search_regex(p, 10)
+        for rank, d in enumerate(ids):
+            out_q.append(qid)
+            out_r.append(rank)
+            out_k.append(str(s.doc_keys[int(d)]))
+            out_n.append(int(s.last_count))
+    return pa.table({
+        "qid": pa.array(out_q, pa.int32()),
+        "rank": pa.array(out_r, pa.int32()),
+        "doc_key": pa.array(out_k, pa.string()),
+        "n_matches": pa.array(out_n, pa.int64()),
+    })
+
+
+def code_search_regex_sharded(sf_dir: str) -> Any:
+    """Sharded scatter-gather regex query: per-shard dict expansion +
+    k-smallest-doc_key partials, constant-score doc_key merge; match
+    counts are shard-additive (a doc lives in exactly one shard)."""
+    import pyarrow as pa
+
+    root = _build_docs_sharded(sf_dir)
+    m = _shared_sharded(root)
+    out_q, out_r, out_k, out_n = [], [], [], []
+    for qid, p in enumerate(REGEX_PATTERNS):
+        keys, _scores = m.search_regex(p, 10)
+        for rank, dk in enumerate(keys):
+            out_q.append(qid)
+            out_r.append(rank)
+            out_k.append(str(dk))
+            out_n.append(int(m.last_count))
+    return pa.table({
+        "qid": pa.array(out_q, pa.int32()),
+        "rank": pa.array(out_r, pa.int32()),
+        "doc_key": pa.array(out_k, pa.string()),
+        "n_matches": pa.array(out_n, pa.int64()),
+    })
+
+
 def term_prefix_df(sf_dir: str) -> Any:
     """Dictionary prefix-range reads (term autocomplete) over the
     documents-as-corpus index: for each query prefix, every BODY term
@@ -734,6 +823,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # typed filters composed with raw-OR / phrase search — new
         "code_search_or_filtered": code_search_or_filtered,
         "code_phrase_filtered": code_phrase_filtered,
+        # regex term queries (tantivy RegexQuery analog) — new
+        "term_regex_df": term_regex_df,
+        "code_search_regex": code_search_regex,
+        "code_search_regex_sharded": code_search_regex_sharded,
         # --- block 2: newest green row is r3 ---
         # similarity: the driver entries for the approximate variants run
         # their DEGENERATE-EXACT configurations (all-bucket / all-cluster
@@ -1670,6 +1763,26 @@ ORDER BY p.prefix, d.tok
         filter_src_sql=FILTER_SQL_PRED)
     d["code_phrase_filtered"] = _code_phrase_sql(
         filter_src_sql=FILTER_SQL_PRED)
+    d["code_search_regex"] = _code_regex_sql()
+    d["code_search_regex_sharded"] = _code_regex_sql(tiebreak="key")
+    tok_exp = _expand_cte("braw")
+    d["term_regex_df"] = f"""
+WITH {_CODE_IDS_CTES},
+braw AS (SELECT doc, unnest(string_split_regex(text, '\\s+')) AS raw FROM ids),
+trawx AS (SELECT doc, unnest(string_split_regex(doc_key, '\\s+')) AS raw FROM ids),
+bexp AS {tok_exp},
+texp AS {_expand_cte('trawx')},
+btok AS (SELECT doc, unnest(toks) AS tok FROM bexp),
+ttok AS (SELECT doc, unnest(toks) AS tok FROM texp),
+q(pattern) AS (VALUES {", ".join(f"('{p}')" for p in REGEX_PATTERNS)}),
+vocab AS (SELECT tok FROM btok UNION SELECT tok FROM ttok),
+hits AS (SELECT q.pattern, v.tok FROM q JOIN vocab v
+         ON regexp_full_match(v.tok, q.pattern))
+SELECT h.pattern, h.tok AS term,
+       (SELECT count(DISTINCT doc) FROM ttok WHERE tok = h.tok)::BIGINT AS df_title,
+       (SELECT count(DISTINCT doc) FROM btok WHERE tok = h.tok)::BIGINT AS df_body
+FROM hits h ORDER BY h.pattern, h.tok
+"""
     return d
 
 
@@ -1913,6 +2026,45 @@ FROM ranked r JOIN ids i ON i.doc = r.doc
 WHERE r.rank < 10
 ORDER BY qid, rank
 '''}"""
+
+
+def _code_regex_sql(tiebreak: str = "doc") -> str:
+    """Oracle for the regex term query: a doc matches when ANY of its
+    indexed tokens (body or title, the engine's single-dict contract)
+    fully matches the pattern; constant score, so rank order is pure
+    engine doc_id (unsharded) / doc_key (sharded merge), with the
+    corpus-wide match count on every row."""
+    pats = ", ".join(f"({i}, '{p}')" for i, p in enumerate(REGEX_PATTERNS))
+    tb = "i2.doc_key" if tiebreak == "key" else "m.doc"
+    return f"""
+WITH {_CODE_IDS_CTES},
+braw AS (SELECT doc, unnest(string_split_regex(text, '\\s+')) AS raw FROM ids),
+traw AS (SELECT doc, unnest(string_split_regex(doc_key, '\\s+')) AS raw FROM ids),
+bexp AS {_expand_cte('braw')},
+texp AS {_expand_cte('traw')},
+alltok AS (
+  SELECT doc, unnest(toks) AS tok FROM bexp
+  UNION
+  SELECT doc, unnest(toks) AS tok FROM texp
+),
+q(qid, pat) AS (VALUES {pats}),
+m AS (
+  SELECT q.qid, t.doc
+  FROM q JOIN alltok t ON regexp_full_match(t.tok, q.pat)
+  GROUP BY 1, 2
+),
+cnt AS (SELECT qid, count(*)::BIGINT AS n_matches FROM m GROUP BY 1),
+ranked AS (
+  SELECT m.qid, m.doc,
+         row_number() OVER (PARTITION BY m.qid ORDER BY {tb}) - 1 AS rank
+  FROM m JOIN ids i2 ON i2.doc = m.doc
+)
+SELECT r.qid::INTEGER AS qid, r.rank::INTEGER AS rank, i.doc_key,
+       c.n_matches
+FROM ranked r JOIN ids i ON i.doc = r.doc JOIN cnt c ON c.qid = r.qid
+WHERE r.rank < 10
+ORDER BY qid, rank
+"""
 
 
 def _code_phrase_sql(tiebreak: str = "doc", filter_src_sql: str = None) -> str:

@@ -58,3 +58,51 @@ def prefix_terms(index_dir: str, prefix: str) -> "object":
     return d.to_table(
         columns=["term", "df", "df_title", "df_body"],
         filter=flt).sort_by("term")
+
+
+_REGEX_META = set(".[]{}()*+?|\\^$")
+
+
+def regex_literal_prefix(pattern: str) -> str:
+    """Longest literal prefix of an RE2 pattern (chars before the first
+    metacharacter; one char shorter when the metachar is a quantifier,
+    which binds to the preceding char)."""
+    out = []
+    for i, ch in enumerate(pattern):
+        if ch in _REGEX_META:
+            if ch in "*+?{" and out:
+                out.pop()  # quantifier applies to the last literal
+            break
+        out.append(ch)
+    return "".join(out)
+
+
+def regex_terms(index_dir: str, pattern: str) -> "object":
+    """Dictionary REGEX read — the term-expansion step of tantivy's
+    RegexQuery (tantivy::query::RegexQuery over the term dictionary):
+    returns (term, df, df_title, df_body) for every indexed term FULLY
+    matching ``pattern`` (RE2, anchored), term-sorted.
+
+    Scale shape: the pattern's literal prefix prunes the term-sorted dict
+    parts to a point range exactly as ``prefix_terms`` (row-group pruning
+    per part); the regex itself runs as ONE vectorized RE2 kernel
+    (``pc.match_substring_regex`` with ^...$ anchors) over the surviving
+    term column — no Python loop.  A prefix-free pattern (e.g. ``.*x``)
+    degrades to a full dictionary scan, still vectorized and
+    column-pruned; that is the same cost tantivy pays walking the whole
+    FST for such patterns."""
+    import pyarrow.compute as pc
+
+    if not pattern:
+        raise ValueError("pattern must be non-empty")
+    d = pads.dataset(os.path.join(index_dir, "dict"))
+    pre = regex_literal_prefix(pattern)
+    flt = None
+    if pre:
+        hi = pre[:-1] + chr(ord(pre[-1]) + 1)
+        flt = (pads.field("term") >= pre) & (pads.field("term") < hi)
+    tbl = d.to_table(columns=["term", "df", "df_title", "df_body"],
+                     filter=flt)
+    keep = pc.match_substring_regex(tbl.column("term"),
+                                    pattern=f"^(?:{pattern})$")
+    return tbl.filter(keep).sort_by("term")

@@ -1539,6 +1539,54 @@ class IndexSearcher:
         top = self._topk(scores, cand, k)
         return cand[top], scores[top]
 
+    def regex_candidates(self, pattern: str,
+                         max_expansions: int = 1024,
+                         filter=None) -> np.ndarray:
+        """Sorted live doc_ids containing at least one indexed term (either
+        field) that FULLY matches ``pattern`` — the match set of tantivy's
+        RegexQuery (tantivy::query::RegexQuery).  The dict expansion is the
+        row-group-pruned vectorized read of ``inspect.regex_terms``;
+        ``max_expansions`` bounds it (Lucene's multi-term rewrite cap;
+        tantivy itself is uncapped — the cap is the safer contract for a
+        shared service, and the error names the count so callers can
+        anchor the pattern tighter)."""
+        from prosearch_ray.index.inspect import regex_terms
+
+        terms = regex_terms(self.index_dir,
+                            pattern).column("term").to_pylist()
+        if len(terms) > max_expansions:
+            raise ValueError(
+                f"regex {pattern!r} expands to {len(terms)} terms "
+                f"(> max_expansions={max_expansions})")
+        if not terms:
+            return np.empty(0, np.int64)
+        postings = self.fetch_postings(terms)
+        arrs = [postings[t].doc_ids for t in terms if t in postings]
+        if not arrs:
+            return np.empty(0, np.int64)
+        cand = np.unique(np.concatenate(arrs))
+        if len(self.tombstones):
+            cand = cand[~np.isin(cand, self.tombstones, assume_unique=True)]
+        if filter:
+            cand = cand[self._filter_mask(filter)[cand]]
+        return cand
+
+    def search_regex(self, pattern: str, k: int = scoring.DEFAULT_K,
+                     max_expansions: int = 1024,
+                     filter=None) -> Tuple[np.ndarray, np.ndarray]:
+        """Regex term query: constant score 1.0 per matching doc (tantivy
+        RegexQuery scores through a ConstScorer), rank order = ascending
+        doc_id (the deterministic equal-score tie-break used everywhere).
+        The live match count lands in ``last_count``; composes with typed
+        fast-field filters like every other query path."""
+        self.last_count = 0
+        cand = self.regex_candidates(pattern, max_expansions, filter)
+        if len(cand) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        self.last_count = len(cand)
+        top = cand[:min(k, len(cand))]
+        return top, np.ones(len(top), dtype=np.float64)
+
     # -------------------------------------------------------------- documents
     def fetch_contents(self, doc_ids: np.ndarray) -> Dict[int, str]:
         """Stored-doc fetch for snippet generation (top-k only; the analog of

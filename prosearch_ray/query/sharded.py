@@ -61,6 +61,22 @@ class _ShardWorker:
     def facet_counts(self, query: str, column: str, filter=None):
         return self.s.facet_counts(query, column, filter=filter)
 
+    def search_regex(self, pattern: str, k: int, filter=None):
+        """Shard-local regex match: returns this shard's k SMALLEST doc_keys
+        among matches (scores are constant, so the global merge order is
+        doc_key — the shard's k smallest doc_ids would be the wrong k)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        cand = self.s.regex_candidates(pattern, filter=filter)
+        n = len(cand)
+        if n == 0:
+            return [], [], 0
+        keys = self.s.doc_keys.take(pa.array(cand))
+        keys = keys.take(pc.sort_indices(keys)[:int(k)])
+        ks = [str(x) for x in keys.to_pylist()]
+        return ks, [1.0] * len(ks), n
+
     def aggregate_partial(self, query: str, aggs: dict, filter=None):
         return self.s.aggregate_partial(query, aggs, filter=filter)
 
@@ -337,6 +353,20 @@ class ShardedSearcher:
         res = ray.get([a.search_raw.remote(query, k, overrides, filter)
                        for a in self.actors])
         self.last_count = sum(c for _, _, c in res)
+        return self._merge([(keys, scs) for keys, scs, _ in res], k)
+
+    def search_regex(self, pattern: str, k: int = scoring.DEFAULT_K,
+                     filter=None) -> Tuple[List[str], List[float]]:
+        """Regex term query scatter-gather (tantivy RegexQuery analog):
+        every shard expands the pattern over its OWN dict (a doc lives in
+        exactly one shard, so per-shard match counts are additive) and
+        returns its k smallest matching doc_keys; constant scores make the
+        merge a pure doc_key merge — bit-identical to the unsharded
+        ``IndexSearcher.search_regex`` modulo the documented doc_id-vs-
+        doc_key tie-break difference of every sharded surface."""
+        res = ray.get([a.search_regex.remote(pattern, k, filter)
+                       for a in self.actors])
+        self.last_count = sum(n for _, _, n in res)
         return self._merge([(keys, scs) for keys, scs, _ in res], k)
 
     def search_phrase(self, query: str, k: int = scoring.DEFAULT_K,

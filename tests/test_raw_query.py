@@ -100,3 +100,83 @@ def test_prefix_terms_range_read(raw_index):
     assert prefix_terms(idx, "zzz").num_rows == 0
     with _pytest.raises(ValueError):
         prefix_terms(idx, "")
+
+
+def test_regex_terms_and_prefix_pruning(raw_index):
+    """Dictionary regex reads (tantivy RegexQuery term expansion): full-match
+    semantics, literal-prefix extraction, prefix-free full-scan fallback."""
+    import pytest as _pytest
+
+    from prosearch_ray.index.inspect import regex_literal_prefix, regex_terms
+
+    idx = raw_index.index_dir
+    # quantifier binds the preceding char: prefix must drop it
+    assert regex_literal_prefix("tab.*") == "tab"
+    assert regex_literal_prefix("tabx?y") == "tab"
+    assert regex_literal_prefix("(a|b)c") == ""
+    assert regex_literal_prefix("al[px]ha") == "al"
+    t = regex_terms(idx, "al.ha")
+    assert t.column("term").to_pylist() == ["alpha"]
+    # full match, not substring: 'et' matches nothing though 'beta' contains it
+    assert regex_terms(idx, "et").num_rows == 0
+    # prefix-free alternation (full-dict-scan path)
+    t2 = regex_terms(idx, "(beta|gamma)")
+    assert t2.column("term").to_pylist() == ["beta", "gamma"]
+    with _pytest.raises(ValueError):
+        regex_terms(idx, "")
+
+
+def test_search_regex_constant_score_and_count(raw_index):
+    """Doc-level regex query: union of matching terms' postings, constant
+    score 1.0, doc_id rank order, live count; max_expansions errors."""
+    import numpy as np
+    import pytest as _pytest
+
+    s = raw_index
+    ids, scores = s.search_regex("(alpha|gamma)", 10)
+    # alpha: d0,d1,d4; gamma: d0,d3 -> union 4 docs
+    assert _paths(s, ids) == {"d0.txt", "d1.txt", "d3.txt", "d4.txt"}
+    assert s.last_count == 4
+    assert np.all(scores == 1.0)
+    assert list(ids) == sorted(ids)  # ascending doc_id order
+    # k truncation keeps the smallest doc_ids
+    ids2, _ = s.search_regex("(alpha|gamma)", 2)
+    assert list(ids2) == list(ids[:2])
+    with _pytest.raises(ValueError):
+        s.search_regex(".*", 10, max_expansions=3)
+    # absent pattern
+    ids3, _ = s.search_regex("zz.*", 10)
+    assert len(ids3) == 0 and s.last_count == 0
+
+
+def test_search_regex_sharded_matches_unsharded(ray_session, tmp_path):
+    """Sharded regex scatter-gather: same doc_key set, same count, doc_key
+    merge order, per-shard k-smallest-keys partials."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from prosearch_ray.index.build import build_index
+    from prosearch_ray.index.sharded import build_sharded_index
+    from prosearch_ray.fixtures import write_corpus
+    from prosearch_ray.query.searcher import IndexSearcher
+    from prosearch_ray.query.sharded import ShardedSearcher
+
+    d = write_corpus(str(tmp_path / "corpus"), n_docs=300)
+    single = str(tmp_path / "single")
+    root = str(tmp_path / "shards")
+    build_index(d + "/corpus", single, docs_per_bucket=64)
+    build_sharded_index(d + "/corpus", root, num_shards=2, docs_per_bucket=64)
+    s = IndexSearcher(single)
+    m = ShardedSearcher(root)
+    try:
+        for pat, k in [("mer.e", 10), ("(hash|batch)", 7), ("zz.*", 5)]:
+            ids, _ = s.search_regex(pat, 10 ** 6)
+            want = sorted(str(s.doc_keys[int(i)]) for i in ids)
+            count = s.last_count
+            keys, scs = m.search_regex(pat, k)
+            assert list(keys) == want[:k]
+            assert all(x == 1.0 for x in scs)
+            assert m.last_count == count
+    finally:
+        m.shutdown()
