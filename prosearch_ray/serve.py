@@ -76,7 +76,8 @@ class IndexService:
 
     # -- routes ------------------------------------------------------------
     def search(self, q: str, nhits: int = 10, filter=None,
-               facet: Optional[str] = None, agg=None) -> dict:
+               facet: Optional[str] = None, agg=None,
+               regex: bool = False) -> dict:
         """/api handler body: the reference-shaped SERP JSON, optionally
         with a typed fast-field ``filter`` (predicates ANDed with the
         query), a ``facet`` column whose per-value match counts are
@@ -84,8 +85,34 @@ class IndexService:
         request evaluated over the match set and attached under ``aggs``
         (the tantivy --aggregation passthrough, search.rs:47-61) — the
         engine's extension of the /api surface (all three require a
-        fastfields sidecar on the index)."""
+        fastfields sidecar on the index).  ``regex=True`` treats ``q`` as
+        an anchored RE2 pattern (the RegexQuery path: constant scores,
+        doc-order hits, no snippets — there are no scored terms to
+        highlight)."""
         with self._lock:
+            if regex:
+                import time as _time
+
+                t0 = _time.perf_counter()
+                if self.sharded:
+                    keys, scores = self._searcher.search_regex(
+                        q, nhits, filter=filter)
+                    keys = list(keys)
+                else:
+                    ids, scores = self._searcher.search_regex(
+                        q, nhits, filter=filter)
+                    keys = [str(self._searcher.doc_keys[int(d)])
+                            for d in ids]
+                dt_us = int((_time.perf_counter() - t0) * 1e6)
+                return {
+                    "q": q,
+                    "count": int(self._searcher.last_count),
+                    "hits": [{"doc": {"title": [k], "url": [k]},
+                              "snip": "", "score": float(s)}
+                             for k, s in zip(keys, scores)],
+                    "timings": {"timings": [
+                        {"name": "search", "duration": dt_us}]},
+                }
             out = serp(self._searcher, q, nhits, filter=filter)
             if facet:
                 out["facets"] = {facet: [
@@ -201,9 +228,11 @@ def _make_handler(service: IndexService):
                             self._reply(400, "Bad agg: expecting an "
                                              "aggregations JSON object")
                             return
+                    regex = qs.get("regex", ["0"])[0] not in ("0", "", "false")
                     try:
                         out = service.search(qs["q"][0], nhits, filter=flt,
-                                             facet=facet, agg=agg)
+                                             facet=facet, agg=agg,
+                                             regex=regex)
                     except (KeyError, ValueError) as e:
                         self._reply(400, str(e))
                         return

