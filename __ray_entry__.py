@@ -950,14 +950,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders) WHERE rn = 1
         """,
         "tpch_q1": """
+            -- integer-cents formulation: the source money columns are
+            -- 2-decimal fixed-point stored as doubles; summing doubles of
+            -- ~1e9 magnitude over 1e6+ rows accumulates more than a cent
+            -- of order-dependent error, so round(sum(double), 2) is not a
+            -- well-defined cross-engine quantity at sf0.1+.  Integer sums
+            -- are associative — both engines compute THE answer, and the
+            -- finalize divisions are single double ops mirrored verbatim
+            -- in the Ray pipeline (relational.tpch_q1.round_cols).
+            WITH c AS (
+                SELECT l_returnflag, l_linestatus,
+                       round(l_quantity)::BIGINT AS qty_c,
+                       round(l_extendedprice * 100.0)::BIGINT AS price_c,
+                       round(l_discount * 100.0)::BIGINT AS disc_c
+                FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-03'
+            )
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(avg(l_discount), 4) AS avg_disc,
+                   round(sum(qty_c)::DOUBLE, 2) AS sum_qty,
+                   round(sum(price_c)::DOUBLE / 100.0, 2) AS sum_base_price,
+                   round(sum(price_c * (100 - disc_c))::DOUBLE / 10000.0, 2)
+                       AS sum_disc_price,
+                   round((sum(disc_c)::DOUBLE / 100.0) / count(*)::DOUBLE, 4)
+                       AS avg_disc,
                    count(*)::BIGINT AS count_order
-            FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-03'
-            GROUP BY l_returnflag, l_linestatus
+            FROM c GROUP BY l_returnflag, l_linestatus
         """,
         "union_counts": """
             SELECT nationkey, count(*)::BIGINT AS n_members FROM (

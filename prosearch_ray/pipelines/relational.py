@@ -122,18 +122,33 @@ def tpch_q1(sf_dir: str) -> "rd.Dataset":
     def prep_partial(t: pa.Table) -> pa.Table:
         """Map-side combiner: filter + derive, then collapse the batch to at
         most one row per (returnflag, linestatus) — only tiny partials reach
-        the shuffle, and Mean decomposes into (sum, count)."""
+        the shuffle, and Mean decomposes into (sum, count).
+
+        Money is summed in INTEGER CENTS: the source columns are 2-decimal
+        fixed-point stored as doubles, and a double summation of ~1e9
+        magnitudes over 1e6+ rows accumulates more than a cent of
+        order-dependent error — `round(sum, 2)` then depends on which
+        engine summed in which order (observed as a real sf0.1 mismatch vs
+        DuckDB).  Integer sums are associative, so any partial/shuffle
+        order and any scale give THE answer; `disc_price` uses cents ×
+        (100 - discount_cents), exact with denominator 10^4."""
         t = t.filter(pc.less(t.column("l_shipdate"),
                              pa.scalar(np.datetime64("1998-09-03", "us"))))
-        disc = pc.multiply(t.column("l_extendedprice"),
-                           pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        i64 = pa.int64()
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), pa.scalar(100.0))), i64)
+        disc_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), pa.scalar(100.0))), i64)
+        qty_c = pc.cast(pc.round(t.column("l_quantity")), i64)
+        disc_price_e4 = pc.multiply(
+            price_c, pc.subtract(pa.scalar(100, type=i64), disc_c))
         flat = pa.table({
             "l_returnflag": t.column("l_returnflag"),
             "l_linestatus": t.column("l_linestatus"),
-            "l_quantity": t.column("l_quantity"),
-            "l_extendedprice": t.column("l_extendedprice"),
-            "disc_price": disc,
-            "l_discount": t.column("l_discount"),
+            "l_quantity": qty_c,
+            "l_extendedprice": price_c,
+            "disc_price": disc_price_e4,
+            "l_discount": disc_c,
         })
         part = pa.TableGroupBy(
             flat, ["l_returnflag", "l_linestatus"]).aggregate(
@@ -157,17 +172,22 @@ def tpch_q1(sf_dir: str) -> "rd.Dataset":
     )
 
     def round_cols(t: pa.Table) -> pa.Table:
+        """Finalize: exact integer sums -> decimal output.  Each division is
+        a SINGLE double op on an exactly-represented integer, mirrored
+        verbatim in the SQL oracle, so both sides produce bit-identical
+        doubles at any scale."""
         n = t.column("count_order").to_numpy().astype(np.float64)
         return pa.table({
             "l_returnflag": t.column("l_returnflag"),
             "l_linestatus": t.column("l_linestatus"),
-            # money sums rounded to 2dp: double-summation order differs
-            # between Ray's per-block partial sums and DuckDB, so 4dp on a
-            # ~1e9 magnitude would sit inside the accumulation noise
-            "sum_qty": pa.array(sql_round(t.column("sum_qty").to_numpy(), 2)),
-            "sum_base_price": pa.array(sql_round(t.column("sum_base_price").to_numpy(), 2)),
-            "sum_disc_price": pa.array(sql_round(t.column("sum_disc_price").to_numpy(), 2)),
-            "avg_disc": pa.array(sql_round(t.column("sum_discount").to_numpy() / n, 4)),
+            "sum_qty": pa.array(sql_round(
+                t.column("sum_qty").to_numpy().astype(np.float64), 2)),
+            "sum_base_price": pa.array(sql_round(
+                t.column("sum_base_price").to_numpy() / 100.0, 2)),
+            "sum_disc_price": pa.array(sql_round(
+                t.column("sum_disc_price").to_numpy() / 10000.0, 2)),
+            "avg_disc": pa.array(sql_round(
+                (t.column("sum_discount").to_numpy() / 100.0) / n, 4)),
             "count_order": pc.cast(t.column("count_order"), pa.int64()),
         })
 
