@@ -724,6 +724,69 @@ def code_search_regex_sharded(sf_dir: str) -> Any:
     })
 
 
+# fuzzy term queries (tantivy FuzzyTermQuery analog, distance<=1 plain
+# Levenshtein): "merg"/"scal" hit real vocab neighbors, "tabel" is the
+# transposition near-miss (distance 2 — matches NOTHING under plain
+# Levenshtein, pinning the non-Damerau contract), "zzzzq" is empty
+FUZZY_QUERIES = ("merg", "tabel", "scal", "zzzzq")
+
+
+def term_fuzzy_df(sf_dir: str) -> Any:
+    """Dictionary FUZZY reads (FuzzyTermQuery term expansion) over the
+    documents-as-corpus index: for each query term, every indexed term
+    within Levenshtein distance 1 plus its per-field dfs, from the
+    vectorized one-edit kernel over the dict; the DuckDB oracle uses
+    levenshtein() over the tokenizer-SQL vocabulary."""
+    import pyarrow as pa
+
+    from prosearch_ray.index.inspect import fuzzy_terms
+
+    index_dir = _build_docs_index(sf_dir)
+    out_q, out_t, out_dt, out_db = [], [], [], []
+    for q in FUZZY_QUERIES:
+        t = fuzzy_terms(index_dir, q)
+        for term, dft, dfb in zip(t.column("term").to_pylist(),
+                                  t.column("df_title").to_pylist(),
+                                  t.column("df_body").to_pylist()):
+            out_q.append(q)
+            out_t.append(term)
+            out_dt.append(int(dft))
+            out_db.append(int(dfb))
+    return pa.table({
+        "query": pa.array(out_q, pa.string()),
+        "term": pa.array(out_t, pa.string()),
+        "df_title": pa.array(out_dt, pa.int64()),
+        "df_body": pa.array(out_db, pa.int64()),
+    })
+
+
+def code_search_fuzzy(sf_dir: str) -> Any:
+    """Fuzzy term query over documents-as-corpus
+    (IndexSearcher.search_fuzzy): constant score, engine-doc_id rank,
+    corpus-wide live count per row — oracle recomputes the distance-1
+    match set with levenshtein() and the engine doc-id order."""
+    import pyarrow as pa
+
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    index_dir = _build_docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    out_q, out_r, out_k, out_n = [], [], [], []
+    for qid, q in enumerate(FUZZY_QUERIES):
+        ids, _scores = s.search_fuzzy(q, 10)
+        for rank, d in enumerate(ids):
+            out_q.append(qid)
+            out_r.append(rank)
+            out_k.append(str(s.doc_keys[int(d)]))
+            out_n.append(int(s.last_count))
+    return pa.table({
+        "qid": pa.array(out_q, pa.int32()),
+        "rank": pa.array(out_r, pa.int32()),
+        "doc_key": pa.array(out_k, pa.string()),
+        "n_matches": pa.array(out_n, pa.int64()),
+    })
+
+
 def term_prefix_df(sf_dir: str) -> Any:
     """Dictionary prefix-range reads (term autocomplete) over the
     documents-as-corpus index: for each query prefix, every BODY term
@@ -831,6 +894,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_regex_df": term_regex_df,
         "code_search_regex": code_search_regex,
         "code_search_regex_sharded": code_search_regex_sharded,
+        # fuzzy term queries (FuzzyTermQuery analog, Levenshtein<=1) — new
+        "term_fuzzy_df": term_fuzzy_df,
+        "code_search_fuzzy": code_search_fuzzy,
         # integer-cents money sums (engine + oracle changed this round)
         "tpch_q1": relational.tpch_q1,
         # unsharded full-engine entries: their shared ORACLE kernels
@@ -1790,6 +1856,7 @@ ORDER BY p.prefix, d.tok
         filter_src_sql=FILTER_SQL_PRED)
     d["code_search_regex"] = _code_regex_sql()
     d["code_search_regex_sharded"] = _code_regex_sql(tiebreak="key")
+    d["code_search_fuzzy"] = _code_regex_sql(fuzzy=True)
     tok_exp = _expand_cte("braw")
     d["term_regex_df"] = f"""
 WITH {_CODE_IDS_CTES},
@@ -1807,6 +1874,23 @@ SELECT h.pattern, h.tok AS term,
        (SELECT count(DISTINCT doc) FROM ttok WHERE tok = h.tok)::BIGINT AS df_title,
        (SELECT count(DISTINCT doc) FROM btok WHERE tok = h.tok)::BIGINT AS df_body
 FROM hits h ORDER BY h.pattern, h.tok
+"""
+    d["term_fuzzy_df"] = f"""
+WITH {_CODE_IDS_CTES},
+braw AS (SELECT doc, unnest(string_split_regex(text, '\\s+')) AS raw FROM ids),
+trawx AS (SELECT doc, unnest(string_split_regex(doc_key, '\\s+')) AS raw FROM ids),
+bexp AS {tok_exp},
+texp AS {_expand_cte('trawx')},
+btok AS (SELECT doc, unnest(toks) AS tok FROM bexp),
+ttok AS (SELECT doc, unnest(toks) AS tok FROM texp),
+q(query) AS (VALUES {", ".join(f"('{p}')" for p in FUZZY_QUERIES)}),
+vocab AS (SELECT tok FROM btok UNION SELECT tok FROM ttok),
+hits AS (SELECT q.query, v.tok FROM q JOIN vocab v
+         ON levenshtein(v.tok, q.query) <= 1)
+SELECT h.query, h.tok AS term,
+       (SELECT count(DISTINCT doc) FROM ttok WHERE tok = h.tok)::BIGINT AS df_title,
+       (SELECT count(DISTINCT doc) FROM btok WHERE tok = h.tok)::BIGINT AS df_body
+FROM hits h ORDER BY h.query, h.tok
 """
     return d
 
@@ -2053,13 +2137,20 @@ ORDER BY qid, rank
 '''}"""
 
 
-def _code_regex_sql(tiebreak: str = "doc") -> str:
-    """Oracle for the regex term query: a doc matches when ANY of its
-    indexed tokens (body or title, the engine's single-dict contract)
-    fully matches the pattern; constant score, so rank order is pure
-    engine doc_id (unsharded) / doc_key (sharded merge), with the
-    corpus-wide match count on every row."""
-    pats = ", ".join(f"({i}, '{p}')" for i, p in enumerate(REGEX_PATTERNS))
+def _code_regex_sql(tiebreak: str = "doc", fuzzy: bool = False) -> str:
+    """Oracle for the regex (or, with ``fuzzy=True``, the Levenshtein-1
+    fuzzy) term query: a doc matches when ANY of its indexed tokens (body
+    or title, the engine's single-dict contract) satisfies the term
+    predicate; constant score, so rank order is pure engine doc_id
+    (unsharded) / doc_key (sharded merge), with the corpus-wide match
+    count on every row."""
+    if fuzzy:
+        pats = ", ".join(f"({i}, '{p}')" for i, p in enumerate(FUZZY_QUERIES))
+        on_pred = "levenshtein(t.tok, q.pat) <= 1"
+    else:
+        pats = ", ".join(f"({i}, '{p}')"
+                         for i, p in enumerate(REGEX_PATTERNS))
+        on_pred = "regexp_full_match(t.tok, q.pat)"
     tb = "i2.doc_key" if tiebreak == "key" else "m.doc"
     return f"""
 WITH {_CODE_IDS_CTES},
@@ -2075,7 +2166,7 @@ alltok AS (
 q(qid, pat) AS (VALUES {pats}),
 m AS (
   SELECT q.qid, t.doc
-  FROM q JOIN alltok t ON regexp_full_match(t.tok, q.pat)
+  FROM q JOIN alltok t ON {on_pred}
   GROUP BY 1, 2
 ),
 cnt AS (SELECT qid, count(*)::BIGINT AS n_matches FROM m GROUP BY 1),

@@ -106,3 +106,61 @@ def regex_terms(index_dir: str, pattern: str) -> "object":
     keep = pc.match_substring_regex(tbl.column("term"),
                                     pattern=f"^(?:{pattern})$")
     return tbl.filter(keep).sort_by("term")
+
+
+def fuzzy_terms(index_dir: str, term: str, distance: int = 1) -> "object":
+    """Dictionary FUZZY read — the term expansion of tantivy's
+    FuzzyTermQuery (Levenshtein automaton over the dict,
+    tantivy::query::FuzzyTermQuery with transposition=false): every
+    indexed term within plain Levenshtein distance ``distance`` of
+    ``term`` (0 or 1 — distance 2 needs the banded-DP/automaton shape and
+    is not offered), term-sorted, with per-field dfs.
+
+    Scale shape: a one-edit match must agree with the query on all but
+    one aligned position, so distance==1 reduces to ``|len diff| <= 1 AND
+    common_prefix_len + common_suffix_len >= max(len) - 1`` — computed as
+    O(len(term)) vectorized slice-equality kernels over the (column-
+    pruned) dict term column.  No per-term Python; the full-dict scan is
+    the same cost class as a prefix-free regex (tantivy walks the whole
+    FST against its automaton for the same reason: a substitution at
+    position 0 defeats prefix pruning)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not term:
+        raise ValueError("term must be non-empty")
+    if distance not in (0, 1):
+        raise ValueError("distance must be 0 or 1")
+    d = pads.dataset(os.path.join(index_dir, "dict"))
+    if distance == 0:
+        tbl = d.to_table(columns=["term", "df", "df_title", "df_body"],
+                         filter=pads.field("term") == term)
+        return tbl.sort_by("term")
+    la = len(term)
+    tbl = d.to_table(columns=["term", "df", "df_title", "df_body"])
+    col = tbl.column("term").combine_chunks()
+    lb = pc.utf8_length(col).to_numpy()
+    # common-prefix length: count of k where term[:k] == query[:k]
+    pl = np.zeros(len(col), dtype=np.int32)
+    for k in range(1, la + 2):
+        eq = pc.equal(pc.utf8_slice_codeunits(col, start=0, stop=k),
+                      term[:k]).to_numpy(zero_copy_only=False)
+        if not eq.any():
+            break
+        pl += eq.astype(np.int32)
+    rcol = pc.utf8_reverse(col)
+    rterm = term[::-1]
+    sl = np.zeros(len(col), dtype=np.int32)
+    for k in range(1, la + 2):
+        eq = pc.equal(pc.utf8_slice_codeunits(rcol, start=0, stop=k),
+                      rterm[:k]).to_numpy(zero_copy_only=False)
+        if not eq.any():
+            break
+        sl += eq.astype(np.int32)
+    # prefix/suffix overlap cannot help past the string itself
+    np.minimum(pl, lb, out=pl)
+    np.minimum(sl, lb, out=sl)
+    mx = np.maximum(lb, la)
+    keep = (np.abs(lb - la) <= 1) & (pl + sl >= mx - 1)
+    return tbl.filter(pa.array(keep)).sort_by("term")

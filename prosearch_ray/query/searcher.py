@@ -1558,6 +1558,11 @@ class IndexSearcher:
             raise ValueError(
                 f"regex {pattern!r} expands to {len(terms)} terms "
                 f"(> max_expansions={max_expansions})")
+        return self._union_candidates(terms, filter)
+
+    def _union_candidates(self, terms, filter=None) -> np.ndarray:
+        """Sorted live doc_ids holding ANY of ``terms`` — the constant-score
+        match set shared by the multi-term expansions (regex, fuzzy)."""
         if not terms:
             return np.empty(0, np.int64)
         postings = self.fetch_postings(terms)
@@ -1571,6 +1576,27 @@ class IndexSearcher:
             cand = cand[self._filter_mask(filter)[cand]]
         return cand
 
+    def fuzzy_candidates(self, term: str, distance: int = 1,
+                         filter=None) -> np.ndarray:
+        """Sorted live doc_ids containing an indexed term within Levenshtein
+        ``distance`` of ``term`` — tantivy FuzzyTermQuery's match set (the
+        dict expansion is ``inspect.fuzzy_terms``'s vectorized one-edit
+        kernel; no expansion cap needed — a distance-1 neighborhood is
+        intrinsically small)."""
+        from prosearch_ray.index.inspect import fuzzy_terms
+
+        terms = fuzzy_terms(self.index_dir, term,
+                            distance).column("term").to_pylist()
+        return self._union_candidates(terms, filter)
+
+    def _const_score_topk(self, cand: np.ndarray, k: int
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+        self.last_count = len(cand)
+        if len(cand) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        top = cand[:min(k, len(cand))]
+        return top, np.ones(len(top), dtype=np.float64)
+
     def search_regex(self, pattern: str, k: int = scoring.DEFAULT_K,
                      max_expansions: int = 1024,
                      filter=None) -> Tuple[np.ndarray, np.ndarray]:
@@ -1579,13 +1605,18 @@ class IndexSearcher:
         doc_id (the deterministic equal-score tie-break used everywhere).
         The live match count lands in ``last_count``; composes with typed
         fast-field filters like every other query path."""
-        self.last_count = 0
-        cand = self.regex_candidates(pattern, max_expansions, filter)
-        if len(cand) == 0:
-            return np.empty(0, np.int64), np.empty(0, np.float64)
-        self.last_count = len(cand)
-        top = cand[:min(k, len(cand))]
-        return top, np.ones(len(top), dtype=np.float64)
+        return self._const_score_topk(
+            self.regex_candidates(pattern, max_expansions, filter), k)
+
+    def search_fuzzy(self, term: str, k: int = scoring.DEFAULT_K,
+                     distance: int = 1,
+                     filter=None) -> Tuple[np.ndarray, np.ndarray]:
+        """Fuzzy term query (tantivy FuzzyTermQuery, transposition=false):
+        constant score 1.0 per doc containing a term within Levenshtein
+        ``distance`` (0 or 1), doc_id rank order, live count in
+        ``last_count``, typed-filter composition."""
+        return self._const_score_topk(
+            self.fuzzy_candidates(term, distance, filter), k)
 
     # -------------------------------------------------------------- documents
     def fetch_contents(self, doc_ids: np.ndarray) -> Dict[int, str]:

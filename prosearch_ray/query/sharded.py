@@ -61,14 +61,13 @@ class _ShardWorker:
     def facet_counts(self, query: str, column: str, filter=None):
         return self.s.facet_counts(query, column, filter=filter)
 
-    def search_regex(self, pattern: str, k: int, filter=None):
-        """Shard-local regex match: returns this shard's k SMALLEST doc_keys
-        among matches (scores are constant, so the global merge order is
-        doc_key — the shard's k smallest doc_ids would be the wrong k)."""
+    def _const_score_partial(self, cand, k: int):
+        """k SMALLEST doc_keys among a constant-score candidate set (the
+        global merge order is doc_key — this shard's k smallest doc_ids
+        would be the wrong k)."""
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        cand = self.s.regex_candidates(pattern, filter=filter)
         n = len(cand)
         if n == 0:
             return [], [], 0
@@ -76,6 +75,15 @@ class _ShardWorker:
         keys = keys.take(pc.sort_indices(keys)[:int(k)])
         ks = [str(x) for x in keys.to_pylist()]
         return ks, [1.0] * len(ks), n
+
+    def search_regex(self, pattern: str, k: int, filter=None):
+        return self._const_score_partial(
+            self.s.regex_candidates(pattern, filter=filter), k)
+
+    def search_fuzzy(self, term: str, k: int, distance: int = 1,
+                     filter=None):
+        return self._const_score_partial(
+            self.s.fuzzy_candidates(term, distance, filter=filter), k)
 
     def aggregate_partial(self, query: str, aggs: dict, filter=None):
         return self.s.aggregate_partial(query, aggs, filter=filter)
@@ -365,6 +373,17 @@ class ShardedSearcher:
         ``IndexSearcher.search_regex`` modulo the documented doc_id-vs-
         doc_key tie-break difference of every sharded surface."""
         res = ray.get([a.search_regex.remote(pattern, k, filter)
+                       for a in self.actors])
+        self.last_count = sum(n for _, _, n in res)
+        return self._merge([(keys, scs) for keys, scs, _ in res], k)
+
+    def search_fuzzy(self, term: str, k: int = scoring.DEFAULT_K,
+                     distance: int = 1,
+                     filter=None) -> Tuple[List[str], List[float]]:
+        """Fuzzy term query scatter-gather (tantivy FuzzyTermQuery analog):
+        per-shard one-edit dict expansion, constant-score doc_key merge,
+        shard-additive counts — the same shape as ``search_regex``."""
+        res = ray.get([a.search_fuzzy.remote(term, k, distance, filter)
                        for a in self.actors])
         self.last_count = sum(n for _, _, n in res)
         return self._merge([(keys, scs) for keys, scs, _ in res], k)

@@ -180,3 +180,60 @@ def test_search_regex_sharded_matches_unsharded(ray_session, tmp_path):
             assert m.last_count == count
     finally:
         m.shutdown()
+
+
+def test_fuzzy_terms_one_edit_kernel(raw_index):
+    """Vectorized Levenshtein<=1 dict expansion: substitutions, insertions,
+    deletions match; transpositions (distance 2) and distance-2 edits are
+    rejected; distance=0 is exact."""
+    import pytest as _pytest
+
+    from prosearch_ray.index.inspect import fuzzy_terms
+
+    idx = raw_index.index_dir
+    def terms(q, d=1):
+        return fuzzy_terms(idx, q, d).column("term").to_pylist()
+    assert terms("alpha") == ["alpha"]          # exact (distance 0 edit)
+    assert terms("alpho") == ["alpha"]          # substitution
+    assert terms("alph") == ["alpha"]           # insertion to match
+    assert terms("alphaa") == ["alpha"]         # deletion to match
+    assert terms("lapha") == []                 # transposition = dist 2
+    assert terms("alxxa") == []                 # two substitutions
+    assert terms("beta") == ["beta"]            # 'delta' is dist 2 away
+    assert "delta" in terms("delt a".replace(" ", ""))  # delta exact
+    assert terms("alpha", d=0) == ["alpha"]
+    with _pytest.raises(ValueError):
+        fuzzy_terms(idx, "x", 2)
+    with _pytest.raises(ValueError):
+        fuzzy_terms(idx, "")
+
+
+def test_search_fuzzy_and_sharded_parity(ray_session, tmp_path):
+    """Doc-level fuzzy query: constant score, count; sharded doc_key merge
+    matches unsharded match set."""
+    import numpy as np
+
+    from prosearch_ray.fixtures import write_corpus
+    from prosearch_ray.index.build import build_index
+    from prosearch_ray.index.sharded import build_sharded_index
+    from prosearch_ray.query.searcher import IndexSearcher
+    from prosearch_ray.query.sharded import ShardedSearcher
+
+    d = write_corpus(str(tmp_path / "corpus"), n_docs=300)
+    single = str(tmp_path / "single")
+    root = str(tmp_path / "shards")
+    build_index(d + "/corpus", single, docs_per_bucket=64)
+    build_sharded_index(d + "/corpus", root, num_shards=2, docs_per_bucket=64)
+    s = IndexSearcher(single)
+    m = ShardedSearcher(root)
+    try:
+        for q, k in [("merg", 10), ("hashh", 6), ("zzzzq", 5)]:
+            ids, scs = s.search_fuzzy(q, 10 ** 6)
+            assert np.all(scs == 1.0)
+            want = sorted(str(s.doc_keys[int(i)]) for i in ids)
+            count = s.last_count
+            keys, mscs = m.search_fuzzy(q, k)
+            assert list(keys) == want[:k]
+            assert m.last_count == count
+    finally:
+        m.shutdown()
