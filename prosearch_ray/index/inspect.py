@@ -141,6 +141,14 @@ def fuzzy_terms(index_dir: str, term: str, distance: int = 1) -> "object":
     tbl = d.to_table(columns=["term", "df", "df_title", "df_body"])
     col = tbl.column("term").combine_chunks()
     lb = pc.utf8_length(col).to_numpy()
+    # length band first: a one-edit match has |len diff| <= 1, and the
+    # band keeps ~3 of the dict's dozens of length classes — the
+    # O(len(term)) slice-equality passes below then run over that small
+    # survivor set instead of the whole vocabulary
+    band = np.abs(lb - la) <= 1
+    tbl = tbl.filter(pa.array(band))
+    col = tbl.column("term").combine_chunks()
+    lb = lb[band]
     # common-prefix length: count of k where term[:k] == query[:k]
     pl = np.zeros(len(col), dtype=np.int32)
     for k in range(1, la + 2):
