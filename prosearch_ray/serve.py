@@ -77,7 +77,7 @@ class IndexService:
     # -- routes ------------------------------------------------------------
     def search(self, q: str, nhits: int = 10, filter=None,
                facet: Optional[str] = None, agg=None,
-               regex: bool = False) -> dict:
+               regex: bool = False, fuzzy: bool = False) -> dict:
         """/api handler body: the reference-shaped SERP JSON, optionally
         with a typed fast-field ``filter`` (predicates ANDed with the
         query), a ``facet`` column whose per-value match counts are
@@ -86,21 +86,22 @@ class IndexService:
         (the tantivy --aggregation passthrough, search.rs:47-61) — the
         engine's extension of the /api surface (all three require a
         fastfields sidecar on the index).  ``regex=True`` treats ``q`` as
-        an anchored RE2 pattern (the RegexQuery path: constant scores,
-        doc-order hits, no snippets — there are no scored terms to
-        highlight)."""
+        an anchored RE2 pattern (the RegexQuery path), ``fuzzy=True`` as a
+        term matched at Levenshtein distance 1 (the FuzzyTermQuery path);
+        both return constant scores, doc-order hits and no snippets —
+        there are no scored terms to highlight."""
         with self._lock:
-            if regex:
+            if regex or fuzzy:
                 import time as _time
 
                 t0 = _time.perf_counter()
+                run = (self._searcher.search_fuzzy if fuzzy
+                       else self._searcher.search_regex)
                 if self.sharded:
-                    keys, scores = self._searcher.search_regex(
-                        q, nhits, filter=filter)
+                    keys, scores = run(q, nhits, filter=filter)
                     keys = list(keys)
                 else:
-                    ids, scores = self._searcher.search_regex(
-                        q, nhits, filter=filter)
+                    ids, scores = run(q, nhits, filter=filter)
                     keys = [str(self._searcher.doc_keys[int(d)])
                             for d in ids]
                 dt_us = int((_time.perf_counter() - t0) * 1e6)
@@ -228,11 +229,14 @@ def _make_handler(service: IndexService):
                             self._reply(400, "Bad agg: expecting an "
                                              "aggregations JSON object")
                             return
-                    regex = qs.get("regex", ["0"])[0] not in ("0", "", "false")
+                    def _flag(name):
+                        return qs.get(name, ["0"])[0] not in ("0", "",
+                                                              "false")
                     try:
                         out = service.search(qs["q"][0], nhits, filter=flt,
                                              facet=facet, agg=agg,
-                                             regex=regex)
+                                             regex=_flag("regex"),
+                                             fuzzy=_flag("fuzzy"))
                     except (KeyError, ValueError) as e:
                         self._reply(400, str(e))
                         return

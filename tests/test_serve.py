@@ -276,3 +276,19 @@ def test_api_regex_mode(served_index):
     # plain mode unaffected
     code, body = _get(f"{base}/api?q=merge&nhits=2")
     assert code == 200 and json.loads(body)["count"] > 0
+
+
+def test_api_fuzzy_mode(served_index):
+    """/api?fuzzy=1 matches q at Levenshtein distance 1, cross-checked vs
+    the library surface."""
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    base, index_dir = served_index
+    s = IndexSearcher(index_dir)
+    ids, _ = s.search_fuzzy("merg", 5)
+    want = [str(s.doc_keys[int(d)]) for d in ids]
+    code, body = _get(f"{base}/api?q=merg&fuzzy=1&nhits=5")
+    assert code == 200
+    serp = json.loads(body)
+    assert serp["count"] == s.last_count
+    assert [h["doc"]["url"][0] for h in serp["hits"]] == want
