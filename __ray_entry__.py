@@ -731,6 +731,38 @@ def code_search_regex_sharded(sf_dir: str) -> Any:
 FUZZY_QUERIES = ("merg", "tabel", "scal", "zzzzq")
 
 
+# term-set queries (tantivy TermSetQuery analog): exact-term unions, with
+# a title-only token ("docs" appears in every doc_key), an absent term,
+# and a duplicate (the set dedups)
+TERMSET_QUERIES = (("table", "scan"), ("docs",), ("merge", "merge", "zzq"))
+
+
+def code_search_termset(sf_dir: str) -> Any:
+    """Term-set query over documents-as-corpus
+    (IndexSearcher.search_term_set): docs holding ANY of the exact terms,
+    constant score, engine-doc_id rank, corpus-wide count per row."""
+    import pyarrow as pa
+
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    index_dir = _build_docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    out_q, out_r, out_k, out_n = [], [], [], []
+    for qid, ts in enumerate(TERMSET_QUERIES):
+        ids, _scores = s.search_term_set(list(ts), 10)
+        for rank, d in enumerate(ids):
+            out_q.append(qid)
+            out_r.append(rank)
+            out_k.append(str(s.doc_keys[int(d)]))
+            out_n.append(int(s.last_count))
+    return pa.table({
+        "qid": pa.array(out_q, pa.int32()),
+        "rank": pa.array(out_r, pa.int32()),
+        "doc_key": pa.array(out_k, pa.string()),
+        "n_matches": pa.array(out_n, pa.int64()),
+    })
+
+
 def term_fuzzy_df(sf_dir: str) -> Any:
     """Dictionary FUZZY reads (FuzzyTermQuery term expansion) over the
     documents-as-corpus index: for each query term, every indexed term
@@ -897,6 +929,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fuzzy term queries (FuzzyTermQuery analog, Levenshtein<=1) — new
         "term_fuzzy_df": term_fuzzy_df,
         "code_search_fuzzy": code_search_fuzzy,
+        # exact term-set queries (TermSetQuery analog) — new
+        "code_search_termset": code_search_termset,
         # integer-cents money sums (engine + oracle changed this round)
         "tpch_q1": relational.tpch_q1,
         # unsharded full-engine entries: their shared ORACLE kernels
@@ -1857,6 +1891,7 @@ ORDER BY p.prefix, d.tok
     d["code_search_regex"] = _code_regex_sql()
     d["code_search_regex_sharded"] = _code_regex_sql(tiebreak="key")
     d["code_search_fuzzy"] = _code_regex_sql(fuzzy=True)
+    d["code_search_termset"] = _code_regex_sql(fuzzy="termset")
     tok_exp = _expand_cte("braw")
     d["term_regex_df"] = f"""
 WITH {_CODE_IDS_CTES},
@@ -2144,7 +2179,12 @@ def _code_regex_sql(tiebreak: str = "doc", fuzzy: bool = False) -> str:
     predicate; constant score, so rank order is pure engine doc_id
     (unsharded) / doc_key (sharded merge), with the corpus-wide match
     count on every row."""
-    if fuzzy:
+    if fuzzy == "termset":
+        pats = ", ".join(f"({i}, '{t}')"
+                         for i, ts in enumerate(TERMSET_QUERIES)
+                         for t in ts)
+        on_pred = "t.tok = q.pat"
+    elif fuzzy:
         pats = ", ".join(f"({i}, '{p}')" for i, p in enumerate(FUZZY_QUERIES))
         on_pred = "levenshtein(t.tok, q.pat) <= 1"
     else:

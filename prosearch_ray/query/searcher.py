@@ -1618,6 +1618,17 @@ class IndexSearcher:
         return self._const_score_topk(
             self.fuzzy_candidates(term, distance, filter), k)
 
+    def search_term_set(self, terms, k: int = scoring.DEFAULT_K,
+                        filter=None) -> Tuple[np.ndarray, np.ndarray]:
+        """Term-set query (tantivy TermSetQuery): docs containing ANY of
+        the EXACT terms, constant score 1.0 (tantivy evaluates the set as
+        one sorted-doc-id union with a ConstScorer), doc_id rank order,
+        live count, typed-filter composition.  Terms are taken verbatim —
+        the caller tokenizes (the tantivy contract: a TermSetQuery is
+        built from Terms, not query text)."""
+        return self._const_score_topk(
+            self._union_candidates(sorted(set(terms)), filter), k)
+
     # -------------------------------------------------------------- documents
     def fetch_contents(self, doc_ids: np.ndarray) -> Dict[int, str]:
         """Stored-doc fetch for snippet generation (top-k only; the analog of

@@ -85,6 +85,10 @@ class _ShardWorker:
         return self._const_score_partial(
             self.s.fuzzy_candidates(term, distance, filter=filter), k)
 
+    def search_term_set(self, terms, k: int, filter=None):
+        return self._const_score_partial(
+            self.s._union_candidates(sorted(set(terms)), filter), k)
+
     def aggregate_partial(self, query: str, aggs: dict, filter=None):
         return self.s.aggregate_partial(query, aggs, filter=filter)
 
@@ -384,6 +388,16 @@ class ShardedSearcher:
         per-shard one-edit dict expansion, constant-score doc_key merge,
         shard-additive counts — the same shape as ``search_regex``."""
         res = ray.get([a.search_fuzzy.remote(term, k, distance, filter)
+                       for a in self.actors])
+        self.last_count = sum(n for _, _, n in res)
+        return self._merge([(keys, scs) for keys, scs, _ in res], k)
+
+    def search_term_set(self, terms, k: int = scoring.DEFAULT_K,
+                        filter=None) -> Tuple[List[str], List[float]]:
+        """Term-set query scatter-gather (tantivy TermSetQuery analog):
+        constant-score doc_key merge, shard-additive counts."""
+        terms = list(terms)
+        res = ray.get([a.search_term_set.remote(terms, k, filter)
                        for a in self.actors])
         self.last_count = sum(n for _, _, n in res)
         return self._merge([(keys, scs) for keys, scs, _ in res], k)

@@ -237,3 +237,17 @@ def test_search_fuzzy_and_sharded_parity(ray_session, tmp_path):
             assert m.last_count == count
     finally:
         m.shutdown()
+
+
+def test_search_term_set(raw_index):
+    """TermSetQuery: exact-term union, constant score, dedup of repeated
+    terms, absent terms contribute nothing."""
+    import numpy as np
+
+    s = raw_index
+    ids, scs = s.search_term_set(["alpha", "gamma", "alpha", "zzq"], 10)
+    assert _paths(s, ids) == {"d0.txt", "d1.txt", "d3.txt", "d4.txt"}
+    assert s.last_count == 4 and np.all(scs == 1.0)
+    # verbatim terms: no tokenization ("Alpha" is not an indexed term)
+    ids2, _ = s.search_term_set(["Alpha"], 10)
+    assert len(ids2) == 0
