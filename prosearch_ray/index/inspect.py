@@ -52,29 +52,64 @@ def prefix_terms(index_dir: str, prefix: str) -> "object":
     byte incremented."""
     if not prefix:
         raise ValueError("prefix must be non-empty")
-    hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
     d = pads.dataset(os.path.join(index_dir, "dict"))
-    flt = (pads.field("term") >= prefix) & (pads.field("term") < hi)
     return d.to_table(
         columns=["term", "df", "df_title", "df_body"],
-        filter=flt).sort_by("term")
+        filter=_prefix_range(prefix)).sort_by("term")
 
 
 _REGEX_META = set(".[]{}()*+?|\\^$")
 
 
+def _has_top_level_alternation(pattern: str) -> bool:
+    """True when the pattern has a '|' outside any group/class/escape — the
+    whole pattern is then a disjunction and NO branch-independent literal
+    prefix exists ('alpha|gamma' matches 'gamma')."""
+    depth = 0
+    in_class = False
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+        elif ch == "[":
+            in_class = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif ch == "|" and depth == 0:
+            return True
+        i += 1
+    return False
+
+
 def regex_literal_prefix(pattern: str) -> str:
     """Longest literal prefix of an RE2 pattern (chars before the first
     metacharacter; one char shorter when the metachar is a quantifier,
-    which binds to the preceding char)."""
+    which binds to the preceding char).  A top-level alternation voids
+    the prefix entirely — every branch would need to share it."""
+    if _has_top_level_alternation(pattern):
+        return ""
     out = []
-    for i, ch in enumerate(pattern):
+    for ch in pattern:
         if ch in _REGEX_META:
             if ch in "*+?{" and out:
                 out.pop()  # quantifier applies to the last literal
             break
         out.append(ch)
     return "".join(out)
+
+
+def _prefix_range(prefix: str):
+    """pyarrow dataset filter for ``prefix <= term < next(prefix)`` — the
+    row-group-pruning point range shared by every dict prefix prune."""
+    hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+    return (pads.field("term") >= prefix) & (pads.field("term") < hi)
 
 
 def regex_terms(index_dir: str, pattern: str) -> "object":
@@ -97,12 +132,8 @@ def regex_terms(index_dir: str, pattern: str) -> "object":
         raise ValueError("pattern must be non-empty")
     d = pads.dataset(os.path.join(index_dir, "dict"))
     pre = regex_literal_prefix(pattern)
-    flt = None
-    if pre:
-        hi = pre[:-1] + chr(ord(pre[-1]) + 1)
-        flt = (pads.field("term") >= pre) & (pads.field("term") < hi)
     tbl = d.to_table(columns=["term", "df", "df_title", "df_body"],
-                     filter=flt)
+                     filter=_prefix_range(pre) if pre else None)
     keep = pc.match_substring_regex(tbl.column("term"),
                                     pattern=f"^(?:{pattern})$")
     return tbl.filter(keep).sort_by("term")

@@ -21,14 +21,21 @@ def serp(searcher, q: str, nhits: int = scoring.DEFAULT_K,
     t0 = time.perf_counter()
     hits = searcher.search_with_snippets(q, nhits, filter=filter)
     dt_us = int((time.perf_counter() - t0) * 1e6)
+    return serp_shell(q, [
+        {"doc": {"title": [h["title"]], "url": [h["doc_key"]]},
+         "snip": h["snip"],
+         "score": h["score"]}
+        for h in hits
+    ], searcher.last_count, dt_us)
+
+
+def serp_shell(q: str, hits: list, count: int, dt_us: int) -> dict:
+    """The reference SERP envelope (serve.rs JSON shape) — ONE place owns
+    the field layout so alternate hit producers (the constant-score
+    regex/fuzzy routes) cannot drift from the scored path."""
     return {
         "q": q,
-        "count": int(searcher.last_count),
-        "hits": [
-            {"doc": {"title": [h["title"]], "url": [h["doc_key"]]},
-             "snip": h["snip"],
-             "score": h["score"]}
-            for h in hits
-        ],
+        "count": int(count),
+        "hits": hits,
         "timings": {"timings": [{"name": "search", "duration": dt_us}]},
     }

@@ -64,7 +64,9 @@ class _ShardWorker:
     def _const_score_partial(self, cand, k: int):
         """k SMALLEST doc_keys among a constant-score candidate set (the
         global merge order is doc_key — this shard's k smallest doc_ids
-        would be the wrong k)."""
+        would be the wrong k).  select_k is O(n + k log k); a full string
+        sort of an envelope-scale match set (~190k keys/shard) per query
+        would be the wasteful alternative."""
         import pyarrow as pa
         import pyarrow.compute as pc
 
@@ -72,13 +74,15 @@ class _ShardWorker:
         if n == 0:
             return [], [], 0
         keys = self.s.doc_keys.take(pa.array(cand))
-        keys = keys.take(pc.sort_indices(keys)[:int(k)])
-        ks = [str(x) for x in keys.to_pylist()]
+        top = pc.select_k_unstable(
+            keys, k=min(int(k), n), sort_keys=[("k", "ascending")])
+        ks = sorted(str(x) for x in keys.take(top).to_pylist())
         return ks, [1.0] * len(ks), n
 
-    def search_regex(self, pattern: str, k: int, filter=None):
+    def search_regex(self, pattern: str, k: int, filter=None,
+                     max_expansions: int = 1024):
         return self._const_score_partial(
-            self.s.regex_candidates(pattern, filter=filter), k)
+            self.s.regex_candidates(pattern, max_expansions, filter), k)
 
     def search_fuzzy(self, term: str, k: int, distance: int = 1,
                      filter=None):
@@ -368,15 +372,22 @@ class ShardedSearcher:
         return self._merge([(keys, scs) for keys, scs, _ in res], k)
 
     def search_regex(self, pattern: str, k: int = scoring.DEFAULT_K,
-                     filter=None) -> Tuple[List[str], List[float]]:
+                     filter=None, max_expansions: int = 1024
+                     ) -> Tuple[List[str], List[float]]:
         """Regex term query scatter-gather (tantivy RegexQuery analog):
         every shard expands the pattern over its OWN dict (a doc lives in
         exactly one shard, so per-shard match counts are additive) and
         returns its k smallest matching doc_keys; constant scores make the
         merge a pure doc_key merge — bit-identical to the unsharded
         ``IndexSearcher.search_regex`` modulo the documented doc_id-vs-
-        doc_key tie-break difference of every sharded surface."""
-        res = ray.get([a.search_regex.remote(pattern, k, filter)
+        doc_key tie-break difference of every sharded surface.
+        ``max_expansions`` is enforced PER SHARD (each shard caps its own
+        dict expansion): a pattern whose global expansion exceeds the cap
+        can still be accepted when no single shard's vocabulary slice
+        does — the cap is a per-searcher work guardrail, not a global
+        result-semantics bound."""
+        res = ray.get([a.search_regex.remote(pattern, k, filter,
+                                             max_expansions)
                        for a in self.actors])
         self.last_count = sum(n for _, _, n in res)
         return self._merge([(keys, scs) for keys, scs, _ in res], k)

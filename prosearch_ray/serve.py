@@ -92,6 +92,10 @@ class IndexService:
         there are no scored terms to highlight."""
         with self._lock:
             if regex or fuzzy:
+                if facet or agg:
+                    raise ValueError(
+                        "facet/agg are not supported with regex/fuzzy "
+                        "queries (constant-score match set)")
                 import time as _time
 
                 t0 = _time.perf_counter()
@@ -105,15 +109,13 @@ class IndexService:
                     keys = [str(self._searcher.doc_keys[int(d)])
                             for d in ids]
                 dt_us = int((_time.perf_counter() - t0) * 1e6)
-                return {
-                    "q": q,
-                    "count": int(self._searcher.last_count),
-                    "hits": [{"doc": {"title": [k], "url": [k]},
-                              "snip": "", "score": float(s)}
-                             for k, s in zip(keys, scores)],
-                    "timings": {"timings": [
-                        {"name": "search", "duration": dt_us}]},
-                }
+                from prosearch_ray.query.serp import serp_shell
+
+                return serp_shell(q, [
+                    {"doc": {"title": [k], "url": [k]},
+                     "snip": "", "score": float(s)}
+                    for k, s in zip(keys, scores)
+                ], self._searcher.last_count, dt_us)
             out = serp(self._searcher, q, nhits, filter=filter)
             if facet:
                 out["facets"] = {facet: [
@@ -230,8 +232,8 @@ def _make_handler(service: IndexService):
                                              "aggregations JSON object")
                             return
                     def _flag(name):
-                        return qs.get(name, ["0"])[0] not in ("0", "",
-                                                              "false")
+                        return qs.get(name, ["0"])[0].lower() not in (
+                            "0", "", "false", "no")
                     try:
                         out = service.search(qs["q"][0], nhits, filter=flt,
                                              facet=facet, agg=agg,

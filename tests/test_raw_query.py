@@ -251,3 +251,20 @@ def test_search_term_set(raw_index):
     # verbatim terms: no tokenization ("Alpha" is not an indexed term)
     ids2, _ = s.search_term_set(["Alpha"], 10)
     assert len(ids2) == 0
+
+
+def test_regex_bare_alternation_not_prefix_pruned(raw_index):
+    """A top-level '|' voids the literal prefix: 'alpha|gamma' must match
+    BOTH branches (a prefix-pruned read would silently drop 'gamma');
+    'ab.c|d'-style patterns (metachar before the '|') too."""
+    from prosearch_ray.index.inspect import regex_literal_prefix, regex_terms
+
+    assert regex_literal_prefix("alpha|gamma") == ""
+    assert regex_literal_prefix("al.ha|gamma") == ""
+    assert regex_literal_prefix("(alpha|gamma)x") == ""  # group alt: no shared literal... prefix stops at '('
+    assert regex_literal_prefix("al\\|pha") == "al"  # escaped '|' is literal
+    idx = raw_index.index_dir
+    t = regex_terms(idx, "alpha|gamma")
+    assert t.column("term").to_pylist() == ["alpha", "gamma"]
+    ids, _ = raw_index.search_regex("alpha|gamma", 10)
+    assert _paths(raw_index, ids) == {"d0.txt", "d1.txt", "d3.txt", "d4.txt"}

@@ -292,3 +292,13 @@ def test_api_fuzzy_mode(served_index):
     serp = json.loads(body)
     assert serp["count"] == s.last_count
     assert [h["doc"]["url"][0] for h in serp["hits"]] == want
+
+
+def test_api_regex_guards(served_index):
+    """regex=False/FALSE stays in BM25 mode; facet/agg with regex -> 400."""
+    base, _ = served_index
+    code, body = _get(f"{base}/api?q=merge&regex=False&nhits=2")
+    assert code == 200
+    assert json.loads(body)["hits"][0]["snip"]  # scored path (has snippet)
+    code, _ = _get(f"{base}/api?q=mer.e&regex=1&facet=lang")
+    assert code == 400
