@@ -731,6 +731,40 @@ def code_search_regex_sharded(sf_dir: str) -> Any:
 FUZZY_QUERIES = ("merg", "tabel", "scal", "zzzzq")
 
 
+# phrase-prefix (search-as-you-type) queries: fixed tokens + a last-token
+# prefix; "hash val" completes to "hash value", "merge b" to "merge
+# batch", "key agg r" to the 3-token phrase's "row"
+PHRASE_PREFIX_QUERIES = ("hash val", "merge b", "key agg r")
+
+
+def code_search_phrase_prefix(sf_dir: str) -> Any:
+    """Phrase-prefix query over documents-as-corpus
+    (IndexSearcher.search_phrase_prefix, the PhrasePrefixQuery analog):
+    exact tantivy match-set semantics (dict-order expansion truncated at
+    max_expansions, positional completion of the fixed slots), constant
+    score, engine-doc_id rank, corpus-wide count per row."""
+    import pyarrow as pa
+
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    index_dir = _build_docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    out_q, out_r, out_k, out_n = [], [], [], []
+    for qid, q in enumerate(PHRASE_PREFIX_QUERIES):
+        ids, _scores = s.search_phrase_prefix(q, 10)
+        for rank, d in enumerate(ids):
+            out_q.append(qid)
+            out_r.append(rank)
+            out_k.append(str(s.doc_keys[int(d)]))
+            out_n.append(int(s.last_count))
+    return pa.table({
+        "qid": pa.array(out_q, pa.int32()),
+        "rank": pa.array(out_r, pa.int32()),
+        "doc_key": pa.array(out_k, pa.string()),
+        "n_matches": pa.array(out_n, pa.int64()),
+    })
+
+
 # term-set queries (tantivy TermSetQuery analog): exact-term unions, with
 # a title-only token ("docs" appears in every doc_key), an absent term,
 # and a duplicate (the set dedups)
@@ -931,6 +965,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_search_fuzzy": code_search_fuzzy,
         # exact term-set queries (TermSetQuery analog) — new
         "code_search_termset": code_search_termset,
+        # phrase-prefix / search-as-you-type (PhrasePrefixQuery) — new
+        "code_search_phrase_prefix": code_search_phrase_prefix,
         # integer-cents money sums (engine + oracle changed this round)
         "tpch_q1": relational.tpch_q1,
         # unsharded full-engine entries: their shared ORACLE kernels
@@ -1892,6 +1928,7 @@ ORDER BY p.prefix, d.tok
     d["code_search_regex_sharded"] = _code_regex_sql(tiebreak="key")
     d["code_search_fuzzy"] = _code_regex_sql(fuzzy=True)
     d["code_search_termset"] = _code_regex_sql(fuzzy="termset")
+    d["code_search_phrase_prefix"] = _code_phrase_prefix_sql()
     tok_exp = _expand_cte("braw")
     d["term_regex_df"] = f"""
 WITH {_CODE_IDS_CTES},
@@ -2214,6 +2251,81 @@ ranked AS (
   SELECT m.qid, m.doc,
          row_number() OVER (PARTITION BY m.qid ORDER BY {tb}) - 1 AS rank
   FROM m JOIN ids i2 ON i2.doc = m.doc
+)
+SELECT r.qid::INTEGER AS qid, r.rank::INTEGER AS rank, i.doc_key,
+       c.n_matches
+FROM ranked r JOIN ids i ON i.doc = r.doc JOIN cnt c ON c.qid = r.qid
+WHERE r.rank < 10
+ORDER BY qid, rank
+"""
+
+
+def _code_phrase_prefix_sql() -> str:
+    """Oracle for the phrase-prefix (search-as-you-type) query: the fixed
+    slots must match exactly and the LAST slot matches any vocabulary
+    term starting with the prefix, truncated to the first
+    ``max_expansions=50`` in term order — exactly the engine's (and
+    tantivy's) dict-order truncation, so the cap binds identically on
+    both sides.  Match-set semantics only (constant score), ranked by
+    engine doc_id with the corpus-wide count per row."""
+    # fixed slots and (last-slot) prefixes of PHRASE_PREFIX_QUERIES
+    qp_vals, qpre_vals = [], []
+    for qid, toks in enumerate(PHRASE_PREFIX_QUERIES):
+        parts = toks.split()
+        for j, t in enumerate(parts[:-1]):
+            qp_vals.append(f"({qid}, {j}, '{t}')")
+        qpre_vals.append(f"({qid}, {len(parts) - 1}, '{parts[-1]}')")
+    return f"""
+WITH {_CODE_IDS_CTES},
+qp(qid, j, term) AS (VALUES {", ".join(qp_vals)}),
+qpre(qid, j, pre) AS (VALUES {", ".join(qpre_vals)}),
+nq AS (SELECT qid, count(*)::BIGINT AS n_terms FROM (
+         SELECT qid, j FROM qp UNION ALL SELECT qid, j FROM qpre)
+       GROUP BY qid),
+braw AS (SELECT doc, unnest(string_split_regex(text, '\\s+')) AS raw FROM ids),
+trawx AS (SELECT doc, unnest(string_split_regex(doc_key, '\\s+')) AS raw FROM ids),
+bexp AS {_expand_cte('braw')},
+texp AS {_expand_cte('trawx')},
+vocab AS (
+  SELECT tok FROM (SELECT unnest(toks) AS tok FROM bexp)
+  UNION
+  SELECT tok FROM (SELECT unnest(toks) AS tok FROM texp)
+),
+exp AS (
+  SELECT q.qid, q.j, v.tok FROM qpre q JOIN vocab v
+  ON starts_with(v.tok, q.pre)
+  QUALIFY row_number() OVER (PARTITION BY q.qid ORDER BY v.tok) <= 50
+),
+rawpos AS (
+  SELECT i.doc, u.i - 1 AS pos, arr[u.i] AS raw
+  FROM (SELECT doc, string_split_regex(text, '\\s+') AS arr FROM ids) i,
+       unnest(generate_series(1, len(i.arr))) u(i)
+),
+pexp AS {_expand_cte('rawpos', 'pos')},
+pm AS (
+  SELECT DISTINCT doc, pos, tok
+  FROM (SELECT doc, pos, unnest(toks) AS tok FROM pexp)
+  WHERE tok IN (SELECT term FROM qp) OR tok IN (SELECT tok FROM exp)
+),
+occ AS (
+  SELECT qp.qid, pm.doc, pm.pos - qp.j AS s, qp.j
+  FROM qp JOIN pm ON pm.tok = qp.term
+  UNION
+  SELECT e.qid, pm.doc, pm.pos - e.j AS s, e.j
+  FROM exp e JOIN pm ON pm.tok = e.tok
+),
+hits AS (
+  SELECT o.qid, o.doc
+  FROM occ o JOIN nq ON nq.qid = o.qid
+  GROUP BY o.qid, o.doc, o.s, nq.n_terms
+  HAVING count(DISTINCT o.j) = nq.n_terms
+),
+m AS (SELECT DISTINCT qid, doc FROM hits),
+cnt AS (SELECT qid, count(*)::BIGINT AS n_matches FROM m GROUP BY 1),
+ranked AS (
+  SELECT m.qid, m.doc,
+         row_number() OVER (PARTITION BY m.qid ORDER BY m.doc) - 1 AS rank
+  FROM m
 )
 SELECT r.qid::INTEGER AS qid, r.rank::INTEGER AS rank, i.doc_key,
        c.n_matches

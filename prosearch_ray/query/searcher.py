@@ -1618,6 +1618,68 @@ class IndexSearcher:
         return self._const_score_topk(
             self.fuzzy_candidates(term, distance, filter), k)
 
+    def phrase_prefix_candidates(self, text: str,
+                                 max_expansions: int = 50,
+                                 filter=None) -> np.ndarray:
+        """Sorted live doc_ids matching the phrase whose LAST token is a
+        PREFIX — tantivy's PhrasePrefixQuery (search-as-you-type): the
+        prefix expands to the first ``max_expansions`` dict terms in term
+        order (tantivy truncates its per-segment FST range stream the same
+        way), and a doc matches when ANY expansion completes the phrase at
+        the position after the fixed tokens.
+
+        Scale shape: the union probes each expansion through the shared
+        positional machinery; the FIXED tokens' postings and position
+        cumsums are fetched once and reused across expansions via the
+        per-searcher LRU, so cost is ~(1 fixed-phrase probe) + (one pivot
+        probe per expansion with candidates bounded by the fixed-prefix
+        match set).  A single-token query degenerates to a pure prefix
+        query: the union of the expansions' body-presence postings."""
+        from prosearch_ray.index.inspect import prefix_terms
+        from prosearch_ray.text.tokenizer import phrase_tokens
+
+        tokens = phrase_tokens(text)
+        if not tokens:
+            return np.empty(0, np.int64)
+        prefix, fixed = tokens[-1], tokens[:-1]
+        exp = prefix_terms(self.index_dir,
+                           prefix).column("term").to_pylist()
+        exp = exp[:max_expansions]
+        if not exp:
+            return np.empty(0, np.int64)
+        if not fixed:
+            # degenerate prefix query: body-presence union (the analog of
+            # the single-token phrase path's tf>0 mask)
+            postings = self.fetch_postings(exp)
+            arrs = [tp.doc_ids[tp.tfs > 0]
+                    for t in exp if (tp := postings.get(t)) is not None]
+            cand = (np.unique(np.concatenate(arrs)) if arrs
+                    else np.empty(0, np.int64))
+        else:
+            parts = []
+            for e in exp:
+                r = self._phrase_ids_tfs(" ".join(fixed + [e]))
+                if r is not None:
+                    parts.append(r[0])
+            cand = (np.unique(np.concatenate(parts)) if parts
+                    else np.empty(0, np.int64))
+        if len(self.tombstones) and len(cand):
+            cand = cand[~np.isin(cand, self.tombstones, assume_unique=True)]
+        if filter and len(cand):
+            cand = cand[self._filter_mask(filter)[cand]]
+        return cand
+
+    def search_phrase_prefix(self, text: str, k: int = scoring.DEFAULT_K,
+                             max_expansions: int = 50,
+                             filter=None) -> Tuple[np.ndarray, np.ndarray]:
+        """Phrase-prefix query (PhrasePrefixQuery analog): constant score
+        1.0 over the match set, doc_id rank order, live count — score
+        modeling of tantivy's multi-expansion phrase scorer is
+        deliberately NOT reproduced (it depends on which expansion
+        matched; the match SET is the exact tantivy semantics)."""
+        return self._const_score_topk(
+            self.phrase_prefix_candidates(text, max_expansions, filter), k)
+
     def search_term_set(self, terms, k: int = scoring.DEFAULT_K,
                         filter=None) -> Tuple[np.ndarray, np.ndarray]:
         """Term-set query (tantivy TermSetQuery): docs containing ANY of

@@ -93,6 +93,12 @@ class _ShardWorker:
         return self._const_score_partial(
             self.s._union_candidates(sorted(set(terms)), filter), k)
 
+    def search_phrase_prefix(self, text: str, k: int,
+                             max_expansions: int = 50, filter=None):
+        return self._const_score_partial(
+            self.s.phrase_prefix_candidates(text, max_expansions, filter),
+            k)
+
     def aggregate_partial(self, query: str, aggs: dict, filter=None):
         return self.s.aggregate_partial(query, aggs, filter=filter)
 
@@ -400,6 +406,21 @@ class ShardedSearcher:
         shard-additive counts — the same shape as ``search_regex``."""
         res = ray.get([a.search_fuzzy.remote(term, k, distance, filter)
                        for a in self.actors])
+        self.last_count = sum(n for _, _, n in res)
+        return self._merge([(keys, scs) for keys, scs, _ in res], k)
+
+    def search_phrase_prefix(self, text: str, k: int = scoring.DEFAULT_K,
+                             max_expansions: int = 50,
+                             filter=None) -> Tuple[List[str], List[float]]:
+        """Phrase-prefix scatter-gather (PhrasePrefixQuery analog):
+        constant-score doc_key merge, shard-additive counts.  Each shard
+        expands the prefix over its OWN dict and truncates at
+        ``max_expansions`` — exactly tantivy's per-segment truncation, and
+        like tantivy the truncated sets can differ between shardings when
+        a prefix exceeds the cap (prefixes under the cap are
+        sharding-invariant, pinned in pytest)."""
+        res = ray.get([a.search_phrase_prefix.remote(
+            text, k, max_expansions, filter) for a in self.actors])
         self.last_count = sum(n for _, _, n in res)
         return self._merge([(keys, scs) for keys, scs, _ in res], k)
 

@@ -205,3 +205,80 @@ def test_repeated_token_phrases_chain_correctly(ray_session, tiny_index):
             assert np.array_equal(a[1], other[1]), toks
         n_hit += bool(len(a[0]))
     assert n_hit >= 2, "fixture corpus must contain repeated-stopword runs"
+
+
+def test_phrase_prefix_matches_bruteforce(phrase_setup):
+    """PhrasePrefixQuery match set vs a brute-force scan: fixed tokens
+    exact, last token any completion; degenerate single-prefix = prefix
+    query over body presence."""
+    import numpy as np
+
+    from prosearch_ray.text.tokenizer import expand_token
+
+    s, _oracle, corpus = phrase_setup
+    texts = {f"r/a/f{i}.py": c
+             for i, c in enumerate(corpus.column("content").to_pylist())}
+
+    def brute(q):
+        toks = q.lower().split()
+        fixed, pre = toks[:-1], toks[-1]
+        hits = set()
+        for key, text in texts.items():
+            poss = [set(expand_token(raw)) for raw in text.split()]
+            for start in range(len(poss) - len(fixed)):
+                if all(fixed[j] in poss[start + j]
+                       for j in range(len(fixed))) and any(
+                        t.startswith(pre) for t in poss[start + len(fixed)]):
+                    hits.add(key)
+                    break
+        return hits
+
+    for q in ["beta gam", "gamma b", "alpha beta gam", "beta x"]:
+        ids, scs = s.search_phrase_prefix(q, 10 ** 6)
+        got = {str(s.doc_keys[int(i)]) for i in ids}
+        assert got == brute(q), q
+        assert np.all(np.asarray(scs) == 1.0)
+        assert s.last_count == len(got)
+    # degenerate single-prefix: body-presence union
+    ids, _ = s.search_phrase_prefix("gam", 10)
+    got = {str(s.doc_keys[int(i)]) for i in ids}
+    want = {k for k, t in texts.items()
+            if any(tok.startswith("gam")
+                   for raw in t.split() for tok in expand_token(raw))}
+    assert got == want
+    # nothing matches an absent prefix
+    ids, _ = s.search_phrase_prefix("beta zzz", 10)
+    assert len(ids) == 0 and s.last_count == 0
+
+
+def test_phrase_prefix_sharded_parity(ray_session, tmp_path):
+    import numpy as np
+
+    from prosearch_ray.fixtures import write_corpus
+    from prosearch_ray.index.build import build_index
+    from prosearch_ray.index.sharded import build_sharded_index
+    from prosearch_ray.query.searcher import IndexSearcher
+    from prosearch_ray.query.sharded import ShardedSearcher
+
+    d = write_corpus(str(tmp_path / "corpus"), n_docs=300)
+    single = str(tmp_path / "single")
+    root = str(tmp_path / "shards")
+    build_index(d + "/corpus", single, docs_per_bucket=64)
+    build_sharded_index(d + "/corpus", root, num_shards=2, docs_per_bucket=64)
+    s = IndexSearcher(single)
+    m = ShardedSearcher(root)
+    try:
+        # max_expansions far above any prefix's expansion count, so the
+        # per-shard truncation (tantivy per-segment semantics) cannot bind
+        for q, k in [("merge ha", 10), ("hash val", 8), ("zzq zz", 5)]:
+            ids, _ = s.search_phrase_prefix(q, 10 ** 6,
+                                            max_expansions=10 ** 6)
+            want = sorted(str(s.doc_keys[int(i)]) for i in ids)
+            count = s.last_count
+            keys, scs = m.search_phrase_prefix(q, k,
+                                               max_expansions=10 ** 6)
+            assert list(keys) == want[:k]
+            assert m.last_count == count
+            assert np.all(np.asarray(scs) == 1.0)
+    finally:
+        m.shutdown()
