@@ -731,6 +731,13 @@ def code_search_regex_sharded(sf_dir: str) -> Any:
 FUZZY_QUERIES = ("merg", "tabel", "scal", "zzzzq")
 
 
+# distance-2 fuzzy queries (the banded-DP expansion, tantivy's distance
+# cap): "tabel" now recovers "table" (transposition = 2 plain edits),
+# "agg"/"rows"/"scn" have multi-term 2-edit neighborhoods in the corpus
+# vocabulary, "zzzzzzq" stays empty even at distance 2
+FUZZY2_QUERIES = ("tabel", "agg", "rows", "scn", "zzzzzzq")
+
+
 # phrase-prefix (search-as-you-type) queries: fixed tokens + a last-token
 # prefix; "hash val" completes to "hash value", "merge b" to "merge
 # batch", "key agg r" to the 3-token phrase's "row"
@@ -840,6 +847,34 @@ def code_search_fuzzy(sf_dir: str) -> Any:
     out_q, out_r, out_k, out_n = [], [], [], []
     for qid, q in enumerate(FUZZY_QUERIES):
         ids, _scores = s.search_fuzzy(q, 10)
+        for rank, d in enumerate(ids):
+            out_q.append(qid)
+            out_r.append(rank)
+            out_k.append(str(s.doc_keys[int(d)]))
+            out_n.append(int(s.last_count))
+    return pa.table({
+        "qid": pa.array(out_q, pa.int32()),
+        "rank": pa.array(out_r, pa.int32()),
+        "doc_key": pa.array(out_k, pa.string()),
+        "n_matches": pa.array(out_n, pa.int64()),
+    })
+
+
+def code_search_fuzzy2(sf_dir: str) -> Any:
+    """Distance-2 fuzzy term query over documents-as-corpus
+    (IndexSearcher.search_fuzzy(distance=2), the banded-DP dict
+    expansion): constant score, engine-doc_id rank, corpus-wide live
+    count per row — oracle recomputes the distance-2 match set with
+    levenshtein() and the engine doc-id order."""
+    import pyarrow as pa
+
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    index_dir = _build_docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    out_q, out_r, out_k, out_n = [], [], [], []
+    for qid, q in enumerate(FUZZY2_QUERIES):
+        ids, _scores = s.search_fuzzy(q, 10, distance=2)
         for rank, d in enumerate(ids):
             out_q.append(qid)
             out_r.append(rank)
@@ -963,6 +998,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fuzzy term queries (FuzzyTermQuery analog, Levenshtein<=1) — new
         "term_fuzzy_df": term_fuzzy_df,
         "code_search_fuzzy": code_search_fuzzy,
+        # distance-2 fuzzy (banded-DP expansion, tantivy's cap) — new
+        "code_search_fuzzy2": code_search_fuzzy2,
         # exact term-set queries (TermSetQuery analog) — new
         "code_search_termset": code_search_termset,
         # phrase-prefix / search-as-you-type (PhrasePrefixQuery) — new
@@ -1927,6 +1964,7 @@ ORDER BY p.prefix, d.tok
     d["code_search_regex"] = _code_regex_sql()
     d["code_search_regex_sharded"] = _code_regex_sql(tiebreak="key")
     d["code_search_fuzzy"] = _code_regex_sql(fuzzy=True)
+    d["code_search_fuzzy2"] = _code_regex_sql(fuzzy=2)
     d["code_search_termset"] = _code_regex_sql(fuzzy="termset")
     d["code_search_phrase_prefix"] = _code_phrase_prefix_sql()
     tok_exp = _expand_cte("braw")
@@ -2221,6 +2259,10 @@ def _code_regex_sql(tiebreak: str = "doc", fuzzy: bool = False) -> str:
                          for i, ts in enumerate(TERMSET_QUERIES)
                          for t in ts)
         on_pred = "t.tok = q.pat"
+    elif fuzzy == 2:
+        pats = ", ".join(f"({i}, '{p}')"
+                         for i, p in enumerate(FUZZY2_QUERIES))
+        on_pred = "levenshtein(t.tok, q.pat) <= 2"
     elif fuzzy:
         pats = ", ".join(f"({i}, '{p}')" for i, p in enumerate(FUZZY_QUERIES))
         on_pred = "levenshtein(t.tok, q.pat) <= 1"

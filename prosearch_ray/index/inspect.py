@@ -139,30 +139,73 @@ def regex_terms(index_dir: str, pattern: str) -> "object":
     return tbl.filter(keep).sort_by("term")
 
 
+def _lev_band_dp(terms_np, term: str, distance: int):
+    """Vectorized banded Levenshtein: exact edit distance <= ``distance``
+    for every candidate in ``terms_np`` (numpy object array of str, ALL
+    already length-banded to ``|len - len(term)| <= distance``) against
+    ``term``.  Returns a bool keep-mask.
+
+    The DP runs column-major over ONE (N x maxlen+1) int32 matrix — each
+    query character is a handful of whole-matrix numpy ops; the horizontal
+    (insertion) dependency is resolved with the prefix-min identity
+    ``cur[j] = min_{k<=j}(nh[k] + (j-k)) = accummin(nh - j) + j``, so there
+    is no per-candidate or per-cell Python.  This is the distance-2 shape
+    tantivy gets from its Levenshtein automaton over the FST; at dict
+    scale (vocab rows, not corpus rows) the dense banded DP is the simpler
+    equivalent."""
+    import numpy as np
+
+    n = len(terms_np)
+    la = len(term)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    maxlen = la + distance
+    # fixed-width UCS4 view: one C-level pad/copy, no per-term Python.
+    # Banding guarantees every candidate fits (no truncation); pads are
+    # NUL codepoints, which never match a query char, and the answer is
+    # read at column lb so pad columns never leak into the result.
+    mat = np.array(terms_np, dtype=f"U{maxlen}").view(np.uint32)
+    mat = mat.reshape(n, maxlen)
+    q = np.array([term], dtype=f"U{la}").view(np.uint32)
+    lb = np.fromiter((len(t) for t in terms_np), dtype=np.int64, count=n)
+    jar = np.arange(maxlen + 1, dtype=np.int32)
+    prev = np.broadcast_to(jar, (n, maxlen + 1)).copy()
+    nh = np.empty_like(prev)
+    for i in range(1, la + 1):
+        nh[:, 0] = i
+        np.minimum(prev[:, 1:] + 1,                       # query-char delete
+                   prev[:, :-1] + (mat != q[i - 1]),      # sub / match
+                   out=nh[:, 1:])
+        # horizontal (candidate-char insert) via prefix-min
+        prev = np.minimum.accumulate(nh - jar, axis=1) + jar
+    return prev[np.arange(n), lb] <= distance
+
+
 def fuzzy_terms(index_dir: str, term: str, distance: int = 1) -> "object":
     """Dictionary FUZZY read — the term expansion of tantivy's
     FuzzyTermQuery (Levenshtein automaton over the dict,
     tantivy::query::FuzzyTermQuery with transposition=false): every
     indexed term within plain Levenshtein distance ``distance`` of
-    ``term`` (0 or 1 — distance 2 needs the banded-DP/automaton shape and
-    is not offered), term-sorted, with per-field dfs.
+    ``term`` (0, 1 or 2 — tantivy's own cap), term-sorted, with per-field
+    dfs.
 
     Scale shape: a one-edit match must agree with the query on all but
     one aligned position, so distance==1 reduces to ``|len diff| <= 1 AND
     common_prefix_len + common_suffix_len >= max(len) - 1`` — computed as
     O(len(term)) vectorized slice-equality kernels over the (column-
-    pruned) dict term column.  No per-term Python; the full-dict scan is
-    the same cost class as a prefix-free regex (tantivy walks the whole
-    FST against its automaton for the same reason: a substitution at
-    position 0 defeats prefix pruning)."""
+    pruned) dict term column.  distance==2 runs the vectorized banded DP
+    (``_lev_band_dp``) over the length-banded survivors.  No per-term
+    Python; the full-dict scan is the same cost class as a prefix-free
+    regex (tantivy walks the whole FST against its automaton for the same
+    reason: a substitution at position 0 defeats prefix pruning)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
     if not term:
         raise ValueError("term must be non-empty")
-    if distance not in (0, 1):
-        raise ValueError("distance must be 0 or 1")
+    if distance not in (0, 1, 2):
+        raise ValueError("distance must be 0, 1 or 2")
     d = pads.dataset(os.path.join(index_dir, "dict"))
     if distance == 0:
         tbl = d.to_table(columns=["term", "df", "df_title", "df_body"],
@@ -172,14 +215,17 @@ def fuzzy_terms(index_dir: str, term: str, distance: int = 1) -> "object":
     tbl = d.to_table(columns=["term", "df", "df_title", "df_body"])
     col = tbl.column("term").combine_chunks()
     lb = pc.utf8_length(col).to_numpy()
-    # length band first: a one-edit match has |len diff| <= 1, and the
-    # band keeps ~3 of the dict's dozens of length classes — the
-    # O(len(term)) slice-equality passes below then run over that small
-    # survivor set instead of the whole vocabulary
-    band = np.abs(lb - la) <= 1
+    # length band first: a d-edit match has |len diff| <= d, and the
+    # band keeps ~3-5 of the dict's dozens of length classes — the
+    # vectorized kernels below then run over that small survivor set
+    # instead of the whole vocabulary
+    band = np.abs(lb - la) <= distance
     tbl = tbl.filter(pa.array(band))
     col = tbl.column("term").combine_chunks()
     lb = lb[band]
+    if distance == 2:
+        keep = _lev_band_dp(col.to_numpy(zero_copy_only=False), term, 2)
+        return tbl.filter(pa.array(keep)).sort_by("term")
     # common-prefix length: count of k where term[:k] == query[:k]
     pl = np.zeros(len(col), dtype=np.int32)
     for k in range(1, la + 2):

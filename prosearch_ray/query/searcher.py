@@ -1580,9 +1580,10 @@ class IndexSearcher:
                          filter=None) -> np.ndarray:
         """Sorted live doc_ids containing an indexed term within Levenshtein
         ``distance`` of ``term`` — tantivy FuzzyTermQuery's match set (the
-        dict expansion is ``inspect.fuzzy_terms``'s vectorized one-edit
-        kernel; no expansion cap needed — a distance-1 neighborhood is
-        intrinsically small)."""
+        dict expansion is ``inspect.fuzzy_terms``: the vectorized one-edit
+        kernel at distance 1, the banded-DP kernel at distance 2 —
+        tantivy's own cap; no expansion cap needed — an edit
+        neighborhood over a real vocabulary is intrinsically small)."""
         from prosearch_ray.index.inspect import fuzzy_terms
 
         terms = fuzzy_terms(self.index_dir, term,
@@ -1613,8 +1614,8 @@ class IndexSearcher:
                      filter=None) -> Tuple[np.ndarray, np.ndarray]:
         """Fuzzy term query (tantivy FuzzyTermQuery, transposition=false):
         constant score 1.0 per doc containing a term within Levenshtein
-        ``distance`` (0 or 1), doc_id rank order, live count in
-        ``last_count``, typed-filter composition."""
+        ``distance`` (0, 1 or 2 — tantivy's cap), doc_id rank order, live
+        count in ``last_count``, typed-filter composition."""
         return self._const_score_topk(
             self.fuzzy_candidates(term, distance, filter), k)
 

@@ -77,7 +77,7 @@ class IndexService:
     # -- routes ------------------------------------------------------------
     def search(self, q: str, nhits: int = 10, filter=None,
                facet: Optional[str] = None, agg=None,
-               regex: bool = False, fuzzy: bool = False) -> dict:
+               regex: bool = False, fuzzy: int = 0) -> dict:
         """/api handler body: the reference-shaped SERP JSON, optionally
         with a typed fast-field ``filter`` (predicates ANDed with the
         query), a ``facet`` column whose per-value match counts are
@@ -86,10 +86,11 @@ class IndexService:
         (the tantivy --aggregation passthrough, search.rs:47-61) — the
         engine's extension of the /api surface (all three require a
         fastfields sidecar on the index).  ``regex=True`` treats ``q`` as
-        an anchored RE2 pattern (the RegexQuery path), ``fuzzy=True`` as a
-        term matched at Levenshtein distance 1 (the FuzzyTermQuery path);
-        both return constant scores, doc-order hits and no snippets —
-        there are no scored terms to highlight."""
+        an anchored RE2 pattern (the RegexQuery path); ``fuzzy=1`` or
+        ``fuzzy=2`` as a term matched at that Levenshtein distance (the
+        FuzzyTermQuery path, tantivy's own distance cap); both return
+        constant scores, doc-order hits and no snippets — there are no
+        scored terms to highlight."""
         with self._lock:
             if regex or fuzzy:
                 if facet or agg:
@@ -99,8 +100,12 @@ class IndexService:
                 import time as _time
 
                 t0 = _time.perf_counter()
-                run = (self._searcher.search_fuzzy if fuzzy
-                       else self._searcher.search_regex)
+                if fuzzy:
+                    def run(q, nhits, filter=None):
+                        return self._searcher.search_fuzzy(
+                            q, nhits, distance=int(fuzzy), filter=filter)
+                else:
+                    run = self._searcher.search_regex
                 if self.sharded:
                     keys, scores = run(q, nhits, filter=filter)
                     keys = list(keys)
@@ -234,11 +239,20 @@ def _make_handler(service: IndexService):
                     def _flag(name):
                         return qs.get(name, ["0"])[0].lower() not in (
                             "0", "", "false", "no")
+                    # fuzzy is a distance: 0 (off), 1, or 2 (tantivy's
+                    # cap); legacy truthy strings mean distance 1
+                    fz_raw = qs.get("fuzzy", ["0"])[0].lower()
+                    if fz_raw in ("0", "", "false", "no"):
+                        fz = 0
+                    elif fz_raw == "2":
+                        fz = 2
+                    else:
+                        fz = 1
                     try:
                         out = service.search(qs["q"][0], nhits, filter=flt,
                                              facet=facet, agg=agg,
                                              regex=_flag("regex"),
-                                             fuzzy=_flag("fuzzy"))
+                                             fuzzy=fz)
                     except (KeyError, ValueError) as e:
                         self._reply(400, str(e))
                         return

@@ -185,7 +185,8 @@ def test_search_regex_sharded_matches_unsharded(ray_session, tmp_path):
 def test_fuzzy_terms_one_edit_kernel(raw_index):
     """Vectorized Levenshtein<=1 dict expansion: substitutions, insertions,
     deletions match; transpositions (distance 2) and distance-2 edits are
-    rejected; distance=0 is exact."""
+    rejected at distance 1 but accepted at distance 2 (the banded-DP
+    kernel); distance=0 is exact; distance>2 rejected (tantivy's cap)."""
     import pytest as _pytest
 
     from prosearch_ray.index.inspect import fuzzy_terms
@@ -202,10 +203,52 @@ def test_fuzzy_terms_one_edit_kernel(raw_index):
     assert terms("beta") == ["beta"]            # 'delta' is dist 2 away
     assert "delta" in terms("delt a".replace(" ", ""))  # delta exact
     assert terms("alpha", d=0) == ["alpha"]
+    # distance 2: plain-Levenshtein transposition and double-edit matches
+    assert "alpha" in terms("lapha", d=2)       # transposition = 2 edits
+    assert "alpha" in terms("alxxa", d=2)       # two substitutions
+    assert "alpha" in terms("alp", d=2)         # two insertions
+    assert "alpha" in terms("alphaxx", d=2)     # two deletions
+    assert "delta" in terms("beta", d=2)        # d(beta, delta) == 2
+    assert terms("zzzzzzq", d=2) == []          # nothing within 2 edits
     with _pytest.raises(ValueError):
-        fuzzy_terms(idx, "x", 2)
+        fuzzy_terms(idx, "x", 3)
     with _pytest.raises(ValueError):
         fuzzy_terms(idx, "")
+
+
+def test_fuzzy_terms_distance2_bruteforce(raw_index):
+    """The banded-DP distance-2 expansion equals a brute-force Levenshtein
+    over the whole dictionary, and the DP kernel agrees with the one-edit
+    characterization kernel at distance 1, for every query shape (shorter,
+    longer, equal-length, absent)."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from prosearch_ray.index.inspect import _lev_band_dp, fuzzy_terms
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    idx = raw_index.index_dir
+    vocab = pads.dataset(idx + "/dict").to_table(
+        columns=["term"]).column("term").to_pylist()
+    for q in ("alpha", "lapha", "bet", "gammaxx", "x", "zzzzzzq", "delta"):
+        want2 = sorted(t for t in vocab if lev(q, t) <= 2)
+        got2 = fuzzy_terms(idx, q, 2).column("term").to_pylist()
+        assert got2 == want2, q
+        # DP kernel at distance 1 == the shipped one-edit kernel
+        arr = np.array(vocab, dtype=object)
+        band = np.array([abs(len(t) - len(q)) <= 1 for t in vocab])
+        dp1 = sorted(np.array(vocab, dtype=object)[band][
+            _lev_band_dp(arr[band], q, 1)].tolist())
+        got1 = sorted(fuzzy_terms(idx, q, 1).column("term").to_pylist())
+        assert dp1 == got1, q
 
 
 def test_search_fuzzy_and_sharded_parity(ray_session, tmp_path):
@@ -227,14 +270,22 @@ def test_search_fuzzy_and_sharded_parity(ray_session, tmp_path):
     s = IndexSearcher(single)
     m = ShardedSearcher(root)
     try:
-        for q, k in [("merg", 10), ("hashh", 6), ("zzzzq", 5)]:
-            ids, scs = s.search_fuzzy(q, 10 ** 6)
+        for q, k, dist in [("merg", 10, 1), ("hashh", 6, 1), ("zzzzq", 5, 1),
+                           ("mreg", 10, 2), ("hashhh", 6, 2)]:
+            ids, scs = s.search_fuzzy(q, 10 ** 6, distance=dist)
             assert np.all(scs == 1.0)
             want = sorted(str(s.doc_keys[int(i)]) for i in ids)
             count = s.last_count
-            keys, mscs = m.search_fuzzy(q, k)
+            keys, mscs = m.search_fuzzy(q, k, distance=dist)
             assert list(keys) == want[:k]
             assert m.last_count == count
+        # the transposed query matches nothing at distance 1 but recovers
+        # the distance-1 match set (and more) at distance 2
+        ids1, _ = s.search_fuzzy("mreg", 10 ** 6, distance=1)
+        ids2, _ = s.search_fuzzy("mreg", 10 ** 6, distance=2)
+        base, _ = s.search_fuzzy("merg", 10 ** 6, distance=1)
+        assert set(ids2.tolist()) >= set(base.tolist())
+        assert len(ids2) > len(ids1)
     finally:
         m.shutdown()
 

@@ -292,6 +292,17 @@ def test_api_fuzzy_mode(served_index):
     serp = json.loads(body)
     assert serp["count"] == s.last_count
     assert [h["doc"]["url"][0] for h in serp["hits"]] == want
+    # fuzzy=2 routes the distance through to the banded-DP expansion
+    ids2, _ = s.search_fuzzy("mreg", 5, distance=2)
+    want2 = [str(s.doc_keys[int(d)]) for d in ids2]
+    code, body = _get(f"{base}/api?q=mreg&fuzzy=2&nhits=5")
+    assert code == 200
+    serp2 = json.loads(body)
+    assert serp2["count"] == s.last_count
+    assert [h["doc"]["url"][0] for h in serp2["hits"]] == want2
+    # and the transposed query matches nothing at distance 1
+    code, body = _get(f"{base}/api?q=mreg&fuzzy=1&nhits=5")
+    assert code == 200 and json.loads(body)["count"] == 0
 
 
 def test_api_regex_guards(served_index):
