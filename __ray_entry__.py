@@ -860,6 +860,53 @@ def code_search_fuzzy(sf_dir: str) -> Any:
     })
 
 
+# term-range queries (tantivy RangeQuery over a str field): a letter
+# range over real identifiers, a digit-ID slice (row-group pruning on
+# the numeric vocabulary), an exclusive-lower/inclusive-upper variant,
+# an unbounded-upper tail, and an empty range
+TERM_RANGE_QUERIES = (
+    ("merge", "mesh", True, False),
+    ("0000100", "0000120", True, False),
+    ("scan", "table", False, True),
+    ("zz", None, True, False),
+    ("zzz", "zzzz", True, False),
+)
+
+
+def code_search_term_range(sf_dir: str) -> Any:
+    """Term-range query over documents-as-corpus
+    (IndexSearcher.search_term_range, the tantivy RangeQuery-over-str
+    analog): constant score, engine-doc_id rank, corpus-wide live count
+    per row — oracle recomputes each bound interval over the
+    tokenizer-SQL vocabulary with the same inclusivity flags."""
+    import pyarrow as pa
+
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    index_dir = _build_docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    out_q, out_r, out_k, out_n = [], [], [], []
+    for qid, (lo, hi, il, iu) in enumerate(TERM_RANGE_QUERIES):
+        # uncapped: the SQL oracle has no expansion guardrail, and the
+        # ("scan","table"] range legitimately covers ~5k vocabulary terms
+        # at sf0.1 (per-doc path tokens); the cap contract itself is
+        # pytest-pinned (test_search_term_range)
+        ids, _scores = s.search_term_range(lo, hi, 10, include_lower=il,
+                                           include_upper=iu,
+                                           max_expansions=10 ** 6)
+        for rank, d in enumerate(ids):
+            out_q.append(qid)
+            out_r.append(rank)
+            out_k.append(str(s.doc_keys[int(d)]))
+            out_n.append(int(s.last_count))
+    return pa.table({
+        "qid": pa.array(out_q, pa.int32()),
+        "rank": pa.array(out_r, pa.int32()),
+        "doc_key": pa.array(out_k, pa.string()),
+        "n_matches": pa.array(out_n, pa.int64()),
+    })
+
+
 def code_search_fuzzy2(sf_dir: str) -> Any:
     """Distance-2 fuzzy term query over documents-as-corpus
     (IndexSearcher.search_fuzzy(distance=2), the banded-DP dict
@@ -1000,6 +1047,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_search_fuzzy": code_search_fuzzy,
         # distance-2 fuzzy (banded-DP expansion, tantivy's cap) — new
         "code_search_fuzzy2": code_search_fuzzy2,
+        # term-range queries (RangeQuery-over-str analog) — new
+        "code_search_term_range": code_search_term_range,
         # exact term-set queries (TermSetQuery analog) — new
         "code_search_termset": code_search_termset,
         # phrase-prefix / search-as-you-type (PhrasePrefixQuery) — new
@@ -1965,6 +2014,7 @@ ORDER BY p.prefix, d.tok
     d["code_search_regex_sharded"] = _code_regex_sql(tiebreak="key")
     d["code_search_fuzzy"] = _code_regex_sql(fuzzy=True)
     d["code_search_fuzzy2"] = _code_regex_sql(fuzzy=2)
+    d["code_search_term_range"] = _code_regex_sql(fuzzy="range")
     d["code_search_termset"] = _code_regex_sql(fuzzy="termset")
     d["code_search_phrase_prefix"] = _code_phrase_prefix_sql()
     tok_exp = _expand_cte("braw")
@@ -2248,17 +2298,30 @@ ORDER BY qid, rank
 
 
 def _code_regex_sql(tiebreak: str = "doc", fuzzy: bool = False) -> str:
-    """Oracle for the regex (or, with ``fuzzy=True``, the Levenshtein-1
-    fuzzy) term query: a doc matches when ANY of its indexed tokens (body
+    """Oracle for the regex (or, per ``fuzzy``: the Levenshtein-1/2
+    fuzzy, the exact term-set, or the bounded term-range) term query: a
+    doc matches when ANY of its indexed tokens (body
     or title, the engine's single-dict contract) satisfies the term
     predicate; constant score, so rank order is pure engine doc_id
     (unsharded) / doc_key (sharded merge), with the corpus-wide match
     count on every row."""
+    q_cols = "(qid, pat)"
     if fuzzy == "termset":
         pats = ", ".join(f"({i}, '{t}')"
                          for i, ts in enumerate(TERMSET_QUERIES)
                          for t in ts)
         on_pred = "t.tok = q.pat"
+    elif fuzzy == "range":
+        def _b(x):
+            return "NULL" if x is None else f"'{x}'"
+        pats = ", ".join(
+            f"({i}, {_b(lo)}, {_b(hi)}, {str(il).upper()}, "
+            f"{str(iu).upper()})"
+            for i, (lo, hi, il, iu) in enumerate(TERM_RANGE_QUERIES))
+        q_cols = "(qid, lo, hi, il, iu)"
+        on_pred = ("(q.lo IS NULL OR t.tok > q.lo OR (q.il AND "
+                   "t.tok = q.lo)) AND (q.hi IS NULL OR t.tok < q.hi "
+                   "OR (q.iu AND t.tok = q.hi))")
     elif fuzzy == 2:
         pats = ", ".join(f"({i}, '{p}')"
                          for i, p in enumerate(FUZZY2_QUERIES))
@@ -2282,7 +2345,7 @@ alltok AS (
   UNION
   SELECT doc, unnest(toks) AS tok FROM texp
 ),
-q(qid, pat) AS (VALUES {pats}),
+q{q_cols} AS (VALUES {pats}),
 m AS (
   SELECT q.qid, t.doc
   FROM q JOIN alltok t ON {on_pred}

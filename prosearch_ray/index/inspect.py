@@ -58,6 +58,38 @@ def prefix_terms(index_dir: str, prefix: str) -> "object":
         filter=_prefix_range(prefix)).sort_by("term")
 
 
+def range_terms(index_dir: str, lower: str = None, upper: str = None,
+                include_lower: bool = True,
+                include_upper: bool = False) -> "object":
+    """Dictionary RANGE read — the term expansion of tantivy's RangeQuery
+    over a str field (tantivy::query::RangeQuery walks the FST between
+    the two bounds): returns (term, df, df_title, df_body) for every
+    indexed term in the bound interval, term-sorted.  ``None`` bounds are
+    unbounded (tantivy's Bound::Unbounded); inclusivity flags mirror
+    Bound::Included / Bound::Excluded (default: lower-inclusive,
+    upper-exclusive — the common [lo, hi) dictionary slice).
+
+    Scale shape: identical to ``prefix_terms`` — dict parts are
+    term-sorted parquet, so the bound pair prunes at parquet row-group
+    granularity per part (a point-range read, never a full scan) unless
+    both bounds are None (an explicit whole-vocabulary request)."""
+    if lower is None and upper is None:
+        raise ValueError("at least one bound must be given")
+    if lower is not None and upper is not None and not (lower <= upper):
+        raise ValueError("lower bound must sort <= upper bound")
+    f = None
+    if lower is not None:
+        f = (pads.field("term") >= lower if include_lower
+             else pads.field("term") > lower)
+    if upper is not None:
+        fu = (pads.field("term") <= upper if include_upper
+              else pads.field("term") < upper)
+        f = fu if f is None else (f & fu)
+    d = pads.dataset(os.path.join(index_dir, "dict"))
+    return d.to_table(columns=["term", "df", "df_title", "df_body"],
+                      filter=f).sort_by("term")
+
+
 _REGEX_META = set(".[]{}()*+?|\\^$")
 
 

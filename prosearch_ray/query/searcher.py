@@ -1681,6 +1681,41 @@ class IndexSearcher:
         return self._const_score_topk(
             self.phrase_prefix_candidates(text, max_expansions, filter), k)
 
+    def range_candidates(self, lower: str = None, upper: str = None,
+                         include_lower: bool = True,
+                         include_upper: bool = False,
+                         max_expansions: int = 1024,
+                         filter=None) -> np.ndarray:
+        """Sorted live doc_ids containing at least one indexed term inside
+        the bound interval — the match set of tantivy's RangeQuery over a
+        str field (FST walk between the bounds).  The dict expansion is
+        the row-group-pruned ``inspect.range_terms``; ``max_expansions``
+        bounds it exactly as the regex path (the error names the count so
+        callers can tighten the bounds)."""
+        from prosearch_ray.index.inspect import range_terms
+
+        terms = range_terms(self.index_dir, lower, upper, include_lower,
+                            include_upper).column("term").to_pylist()
+        if len(terms) > max_expansions:
+            raise ValueError(
+                f"term range [{lower!r}, {upper!r}] expands to "
+                f"{len(terms)} terms (> max_expansions={max_expansions})")
+        return self._union_candidates(terms, filter)
+
+    def search_term_range(self, lower: str = None, upper: str = None,
+                          k: int = scoring.DEFAULT_K,
+                          include_lower: bool = True,
+                          include_upper: bool = False,
+                          max_expansions: int = 1024,
+                          filter=None) -> Tuple[np.ndarray, np.ndarray]:
+        """Term-range query (tantivy RangeQuery over a str field):
+        constant score 1.0 per doc holding any in-range term, doc_id rank
+        order, live count in ``last_count``, typed-filter composition —
+        the same ConstScorer shape as regex/fuzzy/term-set."""
+        return self._const_score_topk(
+            self.range_candidates(lower, upper, include_lower,
+                                  include_upper, max_expansions, filter), k)
+
     def search_term_set(self, terms, k: int = scoring.DEFAULT_K,
                         filter=None) -> Tuple[np.ndarray, np.ndarray]:
         """Term-set query (tantivy TermSetQuery): docs containing ANY of

@@ -93,6 +93,15 @@ class _ShardWorker:
         return self._const_score_partial(
             self.s._union_candidates(sorted(set(terms)), filter), k)
 
+    def search_term_range(self, lower, upper, k: int,
+                          include_lower: bool = True,
+                          include_upper: bool = False,
+                          max_expansions: int = 1024, filter=None):
+        return self._const_score_partial(
+            self.s.range_candidates(lower, upper, include_lower,
+                                    include_upper, max_expansions, filter),
+            k)
+
     def search_phrase_prefix(self, text: str, k: int,
                              max_expansions: int = 50, filter=None):
         return self._const_score_partial(
@@ -431,6 +440,22 @@ class ShardedSearcher:
         terms = list(terms)
         res = ray.get([a.search_term_set.remote(terms, k, filter)
                        for a in self.actors])
+        self.last_count = sum(n for _, _, n in res)
+        return self._merge([(keys, scs) for keys, scs, _ in res], k)
+
+    def search_term_range(self, lower: str = None, upper: str = None,
+                          k: int = scoring.DEFAULT_K,
+                          include_lower: bool = True,
+                          include_upper: bool = False,
+                          max_expansions: int = 1024,
+                          filter=None) -> Tuple[List[str], List[float]]:
+        """Term-range scatter-gather (tantivy RangeQuery over a str field):
+        per-shard row-group-pruned dict range expansion, constant-score
+        doc_key merge, shard-additive counts.  Like regex, the
+        ``max_expansions`` guardrail binds per shard's vocabulary slice."""
+        res = ray.get([a.search_term_range.remote(
+            lower, upper, k, include_lower, include_upper, max_expansions,
+            filter) for a in self.actors])
         self.last_count = sum(n for _, _, n in res)
         return self._merge([(keys, scs) for keys, scs, _ in res], k)
 

@@ -290,6 +290,109 @@ def test_search_fuzzy_and_sharded_parity(ray_session, tmp_path):
         m.shutdown()
 
 
+def test_range_terms_bounds(raw_index):
+    """Dict range expansion (tantivy RangeQuery over a str field): bound
+    inclusivity flags mirror Bound::Included/Excluded; results equal a
+    brute-force slice of the vocabulary; bad bounds raise."""
+    import pytest as _pytest
+
+    import pyarrow.dataset as pads
+
+    from prosearch_ray.index.inspect import range_terms
+
+    idx = raw_index.index_dir
+    vocab = sorted(pads.dataset(idx + "/dict").to_table(
+        columns=["term"]).column("term").to_pylist())
+
+    def got(lo, hi, il=True, iu=False):
+        return range_terms(idx, lo, hi, il, iu).column("term").to_pylist()
+
+    def want(lo, hi, il=True, iu=False):
+        return [t for t in vocab
+                if (lo is None or (t >= lo if il else t > lo))
+                and (hi is None or (t <= hi if iu else t < hi))]
+
+    for lo, hi, il, iu in [("delta", "gamma", True, False),
+                           ("delta", "gamma", False, True),
+                           ("delta", "gamma", True, True),
+                           ("delta", "gamma", False, False),
+                           (None, "b", True, False),
+                           ("p", None, True, False),
+                           ("alpha", "alpha", True, True)]:
+        assert got(lo, hi, il, iu) == want(lo, hi, il, iu), (lo, hi, il, iu)
+    assert got("alpha", "alpha", True, False) == []  # empty [x, x)
+    with _pytest.raises(ValueError):
+        range_terms(idx, None, None)
+    with _pytest.raises(ValueError):
+        range_terms(idx, "z", "a")
+
+
+def test_search_term_range(raw_index):
+    """Doc-level term-range query: constant score, count, typed-range
+    semantics, max_expansions guardrail."""
+    import numpy as np
+    import pytest as _pytest
+
+    s = raw_index
+    ids, scs = s.search_term_range("delta", "gamma", 10)
+    # in-range terms {delta, epsilon, exact} -> d1,d2 | d3 | d4,d5
+    assert _paths(s, ids) == {"d1.txt", "d2.txt", "d3.txt", "d4.txt",
+                              "d5.txt"}
+    assert s.last_count == 5 and np.all(scs == 1.0)
+    # exclusive lower drops delta's docs (d1 keeps epsilon? no - d1 is
+    # "alpha delta"; d2 "beta delta"); d3/d4/d5 remain via epsilon/exact
+    ids2, _ = s.search_term_range("delta", "gamma", 10,
+                                  include_lower=False)
+    assert _paths(s, ids2) == {"d3.txt", "d4.txt", "d5.txt"}
+    # inclusive upper pulls gamma's docs in
+    ids3, _ = s.search_term_range("delta", "gamma", 10,
+                                  include_upper=True)
+    assert _paths(s, ids3) == {"d0.txt", "d1.txt", "d2.txt", "d3.txt",
+                               "d4.txt", "d5.txt"}
+    with _pytest.raises(ValueError):
+        s.search_term_range(None, None, 10)
+    with _pytest.raises(ValueError):
+        s.search_term_range("a", "zzzz", 10, max_expansions=2)
+
+
+def test_search_term_range_sharded_parity(ray_session, tmp_path):
+    """Sharded term-range scatter-gather: same doc_key set, same count,
+    doc_key merge order — the regex/fuzzy parity shape."""
+    from prosearch_ray.fixtures import write_corpus
+    from prosearch_ray.index.build import build_index
+    from prosearch_ray.index.sharded import build_sharded_index
+    from prosearch_ray.query.searcher import IndexSearcher
+    from prosearch_ray.query.sharded import ShardedSearcher
+
+    d = write_corpus(str(tmp_path / "corpus"), n_docs=300)
+    single = str(tmp_path / "single")
+    root = str(tmp_path / "shards")
+    build_index(d + "/corpus", single, docs_per_bucket=64)
+    build_sharded_index(d + "/corpus", root, num_shards=2,
+                        docs_per_bucket=64)
+    s = IndexSearcher(single)
+    m = ShardedSearcher(root)
+    try:
+        for lo, hi, il, iu, k in [("mer", "mes", True, False, 10),
+                                  ("hash", "hashz", False, True, 6),
+                                  (None, "a", True, False, 5),
+                                  ("zz", None, True, False, 5)]:
+            ids, _ = s.search_term_range(lo, hi, 10 ** 6,
+                                         include_lower=il,
+                                         include_upper=iu,
+                                         max_expansions=10 ** 6)
+            want = sorted(str(s.doc_keys[int(i)]) for i in ids)
+            count = s.last_count
+            keys, scs = m.search_term_range(lo, hi, k, include_lower=il,
+                                            include_upper=iu,
+                                            max_expansions=10 ** 6)
+            assert list(keys) == want[:k]
+            assert all(x == 1.0 for x in scs)
+            assert m.last_count == count
+    finally:
+        m.shutdown()
+
+
 def test_search_term_set(raw_index):
     """TermSetQuery: exact-term union, constant score, dedup of repeated
     terms, absent terms contribute nothing."""
