@@ -284,18 +284,46 @@ class IndexSearcher:
         self._fastfields = None
         self._filter_cache: Dict[tuple, np.ndarray] = {}
 
-    def prewarm(self, n_top_terms: int = 64) -> int:
+    def prewarm(self, n_top_terms: int = 64, n_pos_terms: int = 0,
+                budget_bytes: Optional[int] = None,
+                terms: Optional[Sequence[str]] = None) -> int:
         """Prefetch + decode the highest-df terms into the postings LRU
         (SearchWarmer analog, serve.rs:219-257): the expensive cold fetches
         are exactly the stopword-grade terms, which the dict identifies
-        without touching postings. Returns how many terms were warmed."""
-        dict_dir = os.path.join(self.index_dir, "dict")
-        if not os.path.isdir(dict_dir) or not os.listdir(dict_dir):
-            return 0
-        d = pads.dataset(dict_dir).to_table(columns=["term", "df"])
-        df = d.column("df").to_numpy()
-        order = np.argsort(-df, kind="stable")[:n_top_terms]
-        terms = [d.column("term")[int(i)].as_py() for i in order]
+        without touching postings. Returns how many terms were warmed.
+
+        ``n_pos_terms`` additionally builds the POSITION cumsums for the
+        top-df ``n_pos_terms`` of those terms — the first-touch cost of a
+        phrase query on a stopword-grade term is the one-time decode +
+        cumsum over its ~10^7-occurrence gap blob (minutes at envelope
+        scale), and this moves it from the first user query to warmup.
+        With the shared poscache enabled the decoded cumsums land in the
+        object store, so ONE warming actor pays the decode and every pool
+        peer maps it zero-copy.
+
+        ``budget_bytes`` caps the HEAP the warm set may occupy (decoded
+        ids+tfs+flags+score cache; top-df bundles are near-full doc lists,
+        ~25 B/posting): warming stops at the cap.  This is the
+        co-location guard — N shard actors on one node each pay their own
+        warm set, and an unbounded prewarm(64) at envelope scale (~190k
+        docs/shard × 64 terms ≈ 0.3 GB × 80 actors) OOMed the 128 GB test
+        box.  ``None`` = uncapped (single-searcher / few-shards use).
+
+        ``terms`` replaces the df-ranked selection with CONFIGURED hot
+        terms (the operator knows the query log; df rank does not) —
+        ``n_top_terms`` / ``n_pos_terms`` still slice the given list in
+        order, so put phrase-hot terms first."""
+        if terms is not None:
+            terms = list(terms)[:max(n_top_terms, n_pos_terms)]
+        else:
+            dict_dir = os.path.join(self.index_dir, "dict")
+            if not os.path.isdir(dict_dir) or not os.listdir(dict_dir):
+                return 0
+            d = pads.dataset(dict_dir).to_table(columns=["term", "df"])
+            df = d.column("df").to_numpy()
+            order = np.argsort(-df, kind="stable")[:max(n_top_terms,
+                                                        n_pos_terms)]
+            terms = [d.column("term")[int(i)].as_py() for i in order]
         # prewarm decodes locally and publishes NOTHING while warming: the
         # whole pool warms concurrently while early-ready actors already
         # serve queries, so object-store churn here would tax live query
@@ -303,13 +331,53 @@ class IndexSearcher:
         # bundles are NOT lost to sharing: publish gating is per-bundle
         # (tp.published), so the first query-time USE of a prewarmed term
         # offers it to the registry (fire-and-forget).
+        spent = 0
+        warmed = 0
+        postings: Dict[str, _TermPostings] = {}
+
+        def _bundle_bytes(tp):
+            return (tp.doc_ids.nbytes + tp.tfs.nbytes + tp.flags.nbytes
+                    + tp.scores.nbytes)
+
         self._share_publish = False
         try:
-            for tp in self.fetch_postings(terms).values():
-                self._term_contrib(tp)  # precompute the score cache
+            # stage 1 — POSITION cumsums first, term by term: they are the
+            # expensive first-touch (minutes per hot term at envelope
+            # scale) AND the largest warm-set artifacts, so under a budget
+            # they take priority and are counted like everything else
+            for t in terms[:n_pos_terms]:
+                if budget_bytes is not None and spent >= budget_bytes:
+                    break
+                got = self.fetch_postings([t])
+                tp = got.get(t)
+                if tp is None:
+                    continue
+                self._term_contrib(tp)
+                postings[t] = tp
+                spent += _bundle_bytes(tp)
+                warmed += 1
+                c = self._cached_pos_cumsum([t], {t: tp}).get(t)
+                if c is not None:
+                    spent += c.nbytes
+            # stage 2 — remaining top-df postings with the leftover
+            # budget; chunked fetch bounds the decode temporaries (the
+            # peak, not the steady state) when a whole pool warms at once
+            rest = [t for t in terms if t not in postings]
+            for i in range(0, len(rest), 8):
+                if budget_bytes is not None and spent >= budget_bytes:
+                    break
+                got = self.fetch_postings(rest[i:i + 8])
+                for t in rest[i:i + 8]:
+                    tp = got.get(t)
+                    if tp is None:
+                        continue
+                    self._term_contrib(tp)  # precompute the score cache
+                    postings[t] = tp
+                    spent += _bundle_bytes(tp)
+                    warmed += 1
         finally:
             self._share_publish = True
-        return len(terms)
+        return warmed
 
     # ------------------------------------------------------------------ fetch
     def _part_handle(self, part: int):
@@ -1125,7 +1193,13 @@ class IndexSearcher:
         if missing:
             from prosearch_ray.state import poscache
 
-            shared_on = poscache.enabled()
+            # per-shard searchers (global_stats_dir set) skip the shared
+            # cache entirely: cumsum keys carry the shard's merge
+            # fingerprint, no OTHER actor ever serves this shard, so a
+            # publish is a pure plasma copy nobody reads (80 co-located
+            # shards × 8 hot cumsums measured +13 GB of dead object store)
+            shared_on = (poscache.enabled()
+                         and self._global_dict_path is None)
             if shared_on:
                 # another actor may have decoded these already — shared
                 # plasma arrays are zero-copy read-only views, so a hit

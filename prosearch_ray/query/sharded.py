@@ -58,6 +58,11 @@ class _ShardWorker:
         ids, scs = self.s.search(query, int(k), filter=filter)
         return self._keys(ids), [float(x) for x in scs], int(self.s.last_count)
 
+    def prewarm(self, n_top_terms: int = 64, n_pos_terms: int = 0,
+                budget_bytes=None, terms=None) -> int:
+        return self.s.prewarm(n_top_terms, n_pos_terms, budget_bytes,
+                              terms=terms)
+
     def facet_counts(self, query: str, column: str, filter=None):
         return self.s.facet_counts(query, column, filter=filter)
 
@@ -442,6 +447,35 @@ class ShardedSearcher:
                        for a in self.actors])
         self.last_count = sum(n for _, _, n in res)
         return self._merge([(keys, scs) for keys, scs, _ in res], k)
+
+    # pool-wide postings-warm heap budget (split across shard actors):
+    # co-located pools pay N × per-actor warm RSS on one box, so the TOTAL
+    # is what must be bounded — 80 uncapped prewarm(64) actors at the 16M
+    # envelope each grew to ~1 GB and OOMed a 128 GB node.  On a real
+    # cluster with few shards per node the per-actor slice grows
+    # automatically as the pool shrinks per node... conservatively NOT
+    # modeled here: the split assumes worst-case full co-location.
+    PREWARM_POOL_BUDGET = 4 << 30
+
+    def prewarm(self, n_top_terms: int = 64, n_pos_terms: int = 0,
+                budget_bytes: Optional[int] = None,
+                terms: Optional[List[str]] = None) -> int:
+        """Warm every shard's postings LRU (and, with ``n_pos_terms``,
+        position cumsums — the phrase first-touch cost) in parallel: each
+        shard warms its OWN top-df terms — or the CONFIGURED ``terms``
+        (query-log hot terms) on every shard — the per-shard analog of
+        the SearchWarmer.  Returns the total terms warmed across shards.
+
+        ``budget_bytes`` is the per-ACTOR heap cap for the warm set; the
+        default splits ``PREWARM_POOL_BUDGET`` evenly across the pool
+        (floor 32 MB), so warming a many-shard co-located pool cannot OOM
+        the node."""
+        if budget_bytes is None:
+            budget_bytes = max(32 << 20,
+                               self.PREWARM_POOL_BUDGET // len(self.actors))
+        return sum(ray.get([a.prewarm.remote(n_top_terms, n_pos_terms,
+                                             budget_bytes, terms)
+                            for a in self.actors]))
 
     def search_term_range(self, lower: str = None, upper: str = None,
                           k: int = scoring.DEFAULT_K,

@@ -38,18 +38,30 @@ class IndexService:
     mutations use the sharded delta routing."""
 
     def __init__(self, index_dir: str, sharded: bool = False,
-                 lazy_index: bool = False):
+                 lazy_index: bool = False, prewarm: int = 0,
+                 prewarm_pos: int = 0, prewarm_terms=None):
         """``lazy_index=True`` (sharded roots only) lands each POST /index
         delta as a lazy segment (``add_documents_lazy``) instead of the
         eager per-shard fold — the tantivy serve analog, where a commit
         writes a fresh segment and the merge policy folds later.  Ingest
         latency stays flat in corpus size; the auto-fold cap
-        (``LAZY_MAX_SEGS``) bounds searcher fan-out."""
+        (``LAZY_MAX_SEGS``) bounds searcher fan-out.
+
+        ``prewarm`` warms the top-df postings per (shard) searcher at
+        open; ``prewarm_pos`` additionally builds position cumsums for
+        the hottest terms — moving the phrase first-touch decode
+        (minutes at envelope scale) from the first user query to open
+        time; ``prewarm_terms`` replaces df rank with configured
+        query-log hot terms.  All re-apply on every reopen (delta fold /
+        delete)."""
         if lazy_index and not sharded:
             raise ValueError("lazy_index requires a sharded root")
         self.index_dir = index_dir
         self.sharded = sharded
         self.lazy_index = lazy_index
+        self.prewarm = int(prewarm)
+        self.prewarm_pos = int(prewarm_pos)
+        self.prewarm_terms = list(prewarm_terms) if prewarm_terms else None
         self._lock = threading.RLock()
         self._searcher = None
         self._open()
@@ -67,6 +79,9 @@ class IndexService:
             from prosearch_ray.query.searcher import IndexSearcher
 
             self._searcher = IndexSearcher(self.index_dir)
+        if self.prewarm or self.prewarm_pos:
+            self._searcher.prewarm(self.prewarm, self.prewarm_pos,
+                                   terms=self.prewarm_terms)
 
     def close(self) -> None:
         with self._lock:
@@ -297,6 +312,7 @@ def _make_handler(service: IndexService):
 
 def make_server(index_dir: str, host: str = "127.0.0.1", port: int = 0,
                 sharded: bool = False, lazy_index: bool = False,
+                prewarm: int = 0, prewarm_pos: int = 0, prewarm_terms=None,
                 service: Optional[IndexService] = None
                 ) -> tuple[ThreadingHTTPServer, IndexService]:
     """Build (but don't start) the HTTP server; port 0 binds an ephemeral
@@ -304,6 +320,8 @@ def make_server(index_dir: str, host: str = "127.0.0.1", port: int = 0,
     ``server.serve_forever()`` / ``server.shutdown()`` + ``service.close()``.
     """
     svc = service or IndexService(index_dir, sharded=sharded,
-                                  lazy_index=lazy_index)
+                                  lazy_index=lazy_index, prewarm=prewarm,
+                                  prewarm_pos=prewarm_pos,
+                                  prewarm_terms=prewarm_terms)
     srv = ThreadingHTTPServer((host, port), _make_handler(svc))
     return srv, svc

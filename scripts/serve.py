@@ -33,6 +33,16 @@ def main() -> None:
                         " flat ingest latency, merge policy folds later")
     p.add_argument("--num-cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    p.add_argument("--prewarm", type=int, default=0,
+                   help="warm the top-N-df postings per searcher at open "
+                        "(SearchWarmer analog)")
+    p.add_argument("--prewarm-pos", type=int, default=0,
+                   help="also build position cumsums for the top-N-df "
+                        "terms (moves the phrase first-touch decode to "
+                        "open time)")
+    p.add_argument("--prewarm-terms", default=None,
+                   help="comma-separated CONFIGURED hot terms to warm "
+                        "instead of the df-ranked top (query-log driven)")
     args = p.parse_args()
 
     import ray
@@ -45,8 +55,13 @@ def main() -> None:
 
     from prosearch_ray.serve import make_server
 
+    pw_terms = (args.prewarm_terms.split(",") if args.prewarm_terms
+                else None)
     server, service = make_server(args.index, host=args.host, port=args.port,
-                                  sharded=args.sharded, lazy_index=args.lazy)
+                                  sharded=args.sharded, lazy_index=args.lazy,
+                                  prewarm=args.prewarm,
+                                  prewarm_pos=args.prewarm_pos,
+                                  prewarm_terms=pw_terms)
     host, port = server.server_address[:2]
     print(f"listening on http://{host}:{port}", flush=True)
     try:

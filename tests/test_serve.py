@@ -305,6 +305,29 @@ def test_api_fuzzy_mode(served_index):
     assert code == 200 and json.loads(body)["count"] == 0
 
 
+def test_service_prewarm_options(served_index):
+    """IndexService prewarm flags warm the searcher at open (and at every
+    reopen) without changing results."""
+    from prosearch_ray.serve import IndexService
+
+    _, index_dir = served_index
+    svc = IndexService(index_dir, prewarm=4, prewarm_pos=2)
+    try:
+        assert len(svc._searcher._postings_lru) >= 4
+        assert len(svc._searcher._pos_gaps_lru) == 2
+        base = IndexService(index_dir)
+        a = svc.search("merge hash", 3)
+        b = base.search("merge hash", 3)
+        assert a["count"] == b["count"] and a["hits"] == b["hits"]
+        svc2 = IndexService(index_dir, prewarm=2, prewarm_pos=2,
+                            prewarm_terms=["merge", "hash"])
+        assert set(svc2._searcher._pos_gaps_lru) == {"merge", "hash"}
+    finally:
+        svc.close()
+        base.close()
+        svc2.close()
+
+
 def test_api_regex_guards(served_index):
     """regex=False/FALSE stays in BM25 mode; facet/agg with regex -> 400."""
     base, _ = served_index

@@ -92,6 +92,29 @@ def test_phrase_matches_unsharded(both_indexes):
         m.shutdown()
 
 
+def test_sharded_prewarm_positions(both_indexes):
+    """ShardedSearcher.prewarm warms every shard (postings + position
+    cumsums) and phrase results stay bit-identical to a cold pool."""
+    from prosearch_ray.query.searcher import IndexSearcher
+    from prosearch_ray.query.sharded import ShardedSearcher
+
+    single_dir, root, _, _ = both_indexes
+    s = IndexSearcher(single_dir)
+    m = ShardedSearcher(root)
+    try:
+        total = m.prewarm(8, n_pos_terms=8)
+        assert total == 3 * 8  # every shard warmed its own top-8
+        for q in ("merge hash", "the parse"):
+            ids, scs = s.search_phrase(q)
+            skeys = [s.doc_keys[int(i)].as_py() for i in ids]
+            count_s = s.last_count
+            mkeys, mscores = m.search_phrase(q)
+            _compare(skeys, list(map(float, scs)), mkeys, mscores,
+                     count_s, m.last_count)
+    finally:
+        m.shutdown()
+
+
 def test_sharded_delta_matches_unsharded(both_indexes, tmp_path):
     """Upsert + delete folded into the sharded index must match the same
     delta applied to the unsharded index: identical counts and scores."""

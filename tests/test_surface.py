@@ -118,6 +118,41 @@ def test_prewarm_fills_lru(tiny_index):
     assert len(s._postings_lru) >= 16
 
 
+def test_prewarm_positions(tiny_index, tiny_oracle):
+    """n_pos_terms prewarms the phrase-side position cumsums: the LRU
+    holds the top-df terms' cumsums after warmup, and a phrase query on a
+    warmed term returns the same hits as a cold searcher."""
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    index_dir, _ = tiny_index
+    s = IndexSearcher(index_dir)
+    assert len(s._pos_gaps_lru) == 0
+    s.prewarm(8, n_pos_terms=8)
+    warmed = set(s._pos_gaps_lru)
+    assert len(warmed) == 8
+    # warmed == top-8 df terms of the dict
+    import numpy as np
+    import pyarrow.dataset as pads
+    d = pads.dataset(index_dir + "/dict").to_table(columns=["term", "df"])
+    order = np.argsort(-d.column("df").to_numpy(), kind="stable")[:8]
+    assert warmed == {d.column("term")[int(i)].as_py() for i in order}
+    # phrase results identical to a cold searcher
+    cold = IndexSearcher(index_dir)
+    for q in ('"merge hash"', '"the merge"'):
+        wi, ws = s.search_phrase(q, 10)
+        ci, cs = cold.search_phrase(q, 10)
+        assert list(wi) == list(ci) and list(ws) == list(cs)
+    # configured hot terms override the df ranking
+    s2 = IndexSearcher(index_dir)
+    n2 = s2.prewarm(4, n_pos_terms=4, terms=["merge", "hash", "zzznone"])
+    assert n2 == 2  # absent terms are skipped, not counted
+    assert set(s2._pos_gaps_lru) == {"merge", "hash"}
+    # a byte budget truncates the warm set deterministically
+    s3 = IndexSearcher(index_dir)
+    n3 = s3.prewarm(8, n_pos_terms=8, budget_bytes=1)
+    assert n3 == 1  # first term exceeds the budget; warming stops after it
+
+
 def test_serp_total_hit_count(tiny_index, tiny_oracle):
     """serp() surfaces the corpus-wide live match count (the (TopDocs, Count)
     multicollector analog, serve.rs:413-419) — equal to the oracle's full
