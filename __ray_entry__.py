@@ -907,6 +907,48 @@ def code_search_term_range(sf_dir: str) -> Any:
     })
 
 
+# proximity-phrase queries ('"a b"~N', ordered slop semantics): slop 0
+# pins the exact-phrase equivalence, slop 1-2 admit one-to-two-word gaps,
+# a 3-token chain exercises the bidirectional greedy, a single token
+# degenerates to body presence, and an absent token matches nothing
+PHRASE_SLOP_QUERIES = (
+    ("merge batch", 0),
+    ("merge batch", 1),
+    ("hash value", 2),
+    ("merge the batch", 2),
+    ("table", 1),
+    ("merge zzznothing", 3),
+)
+
+
+def code_search_phrase_slop(sf_dir: str) -> Any:
+    """Proximity-phrase query over documents-as-corpus
+    (IndexSearcher.search_phrase_slop — PhraseQuery-with-slop analog,
+    ordered semantics): constant score, engine-doc_id rank, corpus-wide
+    live count per row — oracle recomputes each match set with a
+    position join chain over the tokenizer-SQL body positions."""
+    import pyarrow as pa
+
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    index_dir = _build_docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    out_q, out_r, out_k, out_n = [], [], [], []
+    for qid, (q, slop) in enumerate(PHRASE_SLOP_QUERIES):
+        ids, _scores = s.search_phrase_slop(q, 10, slop=slop)
+        for rank, d in enumerate(ids):
+            out_q.append(qid)
+            out_r.append(rank)
+            out_k.append(str(s.doc_keys[int(d)]))
+            out_n.append(int(s.last_count))
+    return pa.table({
+        "qid": pa.array(out_q, pa.int32()),
+        "rank": pa.array(out_r, pa.int32()),
+        "doc_key": pa.array(out_k, pa.string()),
+        "n_matches": pa.array(out_n, pa.int64()),
+    })
+
+
 def code_search_fuzzy2(sf_dir: str) -> Any:
     """Distance-2 fuzzy term query over documents-as-corpus
     (IndexSearcher.search_fuzzy(distance=2), the banded-DP dict
@@ -1049,6 +1091,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_search_fuzzy2": code_search_fuzzy2,
         # term-range queries (RangeQuery-over-str analog) — new
         "code_search_term_range": code_search_term_range,
+        # proximity phrase ('"a b"~N', ordered slop) — new
+        "code_search_phrase_slop": code_search_phrase_slop,
         # exact term-set queries (TermSetQuery analog) — new
         "code_search_termset": code_search_termset,
         # phrase-prefix / search-as-you-type (PhrasePrefixQuery) — new
@@ -2015,6 +2059,7 @@ ORDER BY p.prefix, d.tok
     d["code_search_fuzzy"] = _code_regex_sql(fuzzy=True)
     d["code_search_fuzzy2"] = _code_regex_sql(fuzzy=2)
     d["code_search_term_range"] = _code_regex_sql(fuzzy="range")
+    d["code_search_phrase_slop"] = _code_phrase_slop_sql()
     d["code_search_termset"] = _code_regex_sql(fuzzy="termset")
     d["code_search_phrase_prefix"] = _code_phrase_prefix_sql()
     tok_exp = _expand_cte("braw")
@@ -2356,6 +2401,67 @@ ranked AS (
   SELECT m.qid, m.doc,
          row_number() OVER (PARTITION BY m.qid ORDER BY {tb}) - 1 AS rank
   FROM m JOIN ids i2 ON i2.doc = m.doc
+)
+SELECT r.qid::INTEGER AS qid, r.rank::INTEGER AS rank, i.doc_key,
+       c.n_matches
+FROM ranked r JOIN ids i ON i.doc = r.doc JOIN cnt c ON c.qid = r.qid
+WHERE r.rank < 10
+ORDER BY qid, rank
+"""
+
+
+def _code_phrase_slop_sql() -> str:
+    """Oracle for the proximity-phrase query ('"a b"~N', ORDERED slop
+    semantics: body positions p_0 < p_1 < ... < p_{n-1} with span
+    p_{n-1} - p_0 <= (n-1)+slop; slop=0 == the exact phrase): a per-query
+    position join chain over the expanded-token body positions — exactly
+    the engine's contract, independently expressed.  Constant score, so
+    rank order is engine doc_id with the corpus-wide count per row.
+    Single-token queries degenerate to body presence (the engine's
+    single-token phrase contract)."""
+    toks_all = sorted({t for q, _ in PHRASE_SLOP_QUERIES
+                       for t in q.split()})
+    tok_list = ", ".join(f"('{t}')" for t in toks_all)
+    selects = []
+    for qid, (q, slop) in enumerate(PHRASE_SLOP_QUERIES):
+        toks = q.split()
+        n = len(toks)
+        if n == 1:
+            selects.append(
+                f"SELECT DISTINCT {qid} AS qid, doc FROM pm "
+                f"WHERE tok = '{toks[0]}'")
+            continue
+        bound = n - 1 + slop
+        joins = []
+        for j in range(1, n):
+            joins.append(
+                f"JOIN pm p{j} ON p{j}.doc = p0.doc AND "
+                f"p{j}.tok = '{toks[j]}' AND p{j}.pos > p{j - 1}.pos "
+                f"AND p{j}.pos - p0.pos <= {bound}")
+        selects.append(
+            f"SELECT DISTINCT {qid} AS qid, p0.doc FROM pm p0 "
+            + " ".join(joins) + f" WHERE p0.tok = '{toks[0]}'")
+    m_body = " UNION ALL ".join(selects)
+    return f"""
+WITH {_CODE_IDS_CTES},
+qtok(tok) AS (VALUES {tok_list}),
+rawpos AS (
+  SELECT i.doc, u.i - 1 AS pos, arr[u.i] AS raw
+  FROM (SELECT doc, string_split_regex(text, '\\s+') AS arr FROM ids) i,
+       unnest(generate_series(1, len(i.arr))) u(i)
+),
+pexp AS {_expand_cte('rawpos', 'pos')},
+pm AS (
+  SELECT DISTINCT doc, pos, tok
+  FROM (SELECT doc, pos, unnest(toks) AS tok FROM pexp)
+  WHERE tok IN (SELECT tok FROM qtok)
+),
+m AS ({m_body}),
+cnt AS (SELECT qid, count(*)::BIGINT AS n_matches FROM m GROUP BY 1),
+ranked AS (
+  SELECT m.qid, m.doc,
+         row_number() OVER (PARTITION BY m.qid ORDER BY m.doc) - 1 AS rank
+  FROM m
 )
 SELECT r.qid::INTEGER AS qid, r.rank::INTEGER AS rank, i.doc_key,
        c.n_matches

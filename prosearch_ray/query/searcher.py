@@ -1790,6 +1790,217 @@ class IndexSearcher:
             self.range_candidates(lower, upper, include_lower,
                                   include_upper, max_expansions, filter), k)
 
+    def slop_phrase_candidates(self, text: str, slop: int = 0,
+                               filter=None) -> np.ndarray:
+        """Sorted live doc_ids matching the phrase WITH SLOP — the analog
+        of tantivy's PhraseQuery slop (query_parser '"a b"~N').  Semantics
+        (documented, ORDERED variant): the doc matches when positions
+        p_0 < p_1 < ... < p_{n-1} exist for the query tokens IN ORDER with
+        span ``p_{n-1} - p_0 <= (n-1) + slop``; slop=0 therefore reduces
+        exactly to the adjacent phrase.  This is deliberately the ordered
+        subset of Lucene/tantivy's sloppy matcher (whose slop also buys
+        TRANSPOSITIONS) — order-preserving slop is the common proximity
+        contract and the one an exact SQL oracle can pin.
+
+        Scale shape: same cost class as the exact phrase probe — the
+        SPARSEST token in the candidate docs materializes its occurrences
+        (the pivot), and each other token resolves with ONE vectorized
+        nearest-position searchsorted per chain step over the shared
+        position cumsums (no per-doc Python, no full occurrence
+        materialization for stopword-grade tokens).  Greedy
+        nearest-position chaining outward from the pivot is exact for
+        exists-semantics: backward steps maximize earlier positions,
+        forward steps minimize later ones, so the pivot-anchored span is
+        minimal and the bound check loses nothing."""
+        from prosearch_ray.text.tokenizer import phrase_tokens
+
+        tokens = phrase_tokens(text)
+        if not tokens:
+            return np.empty(0, np.int64)
+        if slop < 0:
+            raise ValueError("slop must be >= 0")
+        uniq = list(dict.fromkeys(tokens))
+        postings = self.fetch_postings(uniq)
+        if any(t not in postings for t in uniq):
+            return np.empty(0, np.int64)
+        if len(tokens) == 1:
+            # degenerate: body presence (the single-token phrase contract)
+            tp = postings[tokens[0]]
+            cand = tp.doc_ids[tp.tfs > 0]
+        else:
+            cand = self._phrase_candidates_and(uniq, postings)
+            if len(cand):
+                cand = (self._slop_probe(tokens, uniq, postings, cand,
+                                         slop)
+                        if self._has_pos_parts()
+                        else self._slop_probe_keys(tokens, uniq, slop))
+        if len(self.tombstones) and len(cand):
+            cand = cand[~np.isin(cand, self.tombstones, assume_unique=True)]
+        if filter and len(cand):
+            cand = cand[self._filter_mask(filter)[cand]]
+        return cand
+
+    def _phrase_candidates_and(self, uniq, postings) -> np.ndarray:
+        """AND of the tokens' posting lists — the exact candidate step of
+        ``_phrase_doc_tfs`` (title-only docs survive here and are
+        rejected by the positions probe, which indexes body only)."""
+        order = sorted(uniq, key=lambda t: len(postings[t].doc_ids))
+        cand = postings[order[0]].doc_ids
+        for t in order[1:]:
+            cand = cand[np.isin(cand, postings[t].doc_ids,
+                                assume_unique=True)]
+            if len(cand) == 0:
+                break
+        return cand
+
+    def _slop_probe(self, tokens, uniq, postings, cand,
+                    slop: int) -> np.ndarray:
+        """Docs in ``cand`` holding an ordered token sequence with span
+        <= (n-1)+slop (see ``slop_phrase_candidates``).  Pivot = sparsest
+        token in cand; greedy bidirectional nearest-position chaining."""
+        cumsums = self._cached_pos_cumsum(uniq, postings)
+        prep = {}
+        occ_in_cand = {}
+        for t in uniq:
+            c = cumsums.get(t)
+            if c is None:
+                return np.empty(0, np.int64)
+            tp = postings[t]
+            starts = np.cumsum(tp.tfs) - tp.tfs
+            sel = np.searchsorted(tp.doc_ids, cand)
+            prep[t] = (c, starts, sel)
+            occ_in_cand[t] = int(tp.tfs[sel].sum())
+        pivot = min(range(len(tokens)), key=lambda j: occ_in_cand[tokens[j]])
+
+        # materialize the pivot's occurrences over cand (the exact-phrase
+        # pivot block: cumsum values -> per-doc positions)
+        tp_p = postings[tokens[pivot]]
+        c_p, starts_p, sel_p = prep[tokens[pivot]]
+        tf_sel = tp_p.tfs[sel_p]
+        nz = tf_sel > 0
+        v_lo = starts_p[sel_p[nz]]
+        tf_nz = tf_sel[nz]
+        total = int(tf_nz.sum())
+        if total == 0:
+            return np.empty(0, np.int64)
+        out_starts = np.cumsum(tf_nz) - tf_nz
+        idx = (np.arange(total, dtype=np.int64)
+               - np.repeat(out_starts, tf_nz) + np.repeat(v_lo, tf_nz))
+        base = np.where(v_lo > 0, c_p[np.maximum(v_lo - 1, 0)], np.uint64(0))
+        pos = (c_p[idx] - np.repeat(base, tf_nz)).astype(np.int64)
+        docs = np.repeat(cand[nz], tf_nz)
+        if len(pos) > 1:
+            keep = np.concatenate(
+                ([True], (docs[1:] != docs[:-1]) | (pos[1:] != pos[:-1])))
+            docs, pos = docs[keep], pos[keep]
+
+        ci = np.searchsorted(cand, docs)
+        lo_pos = pos.copy()   # position of the EARLIEST chained token
+        hi_pos = pos.copy()   # position of the LATEST chained token
+        prev = pos
+
+        def _step(j, prev_pos, docs, ci, forward):
+            """Nearest in-order occurrence of token ``j`` per survivor:
+            forward = smallest position > prev, backward = largest
+            position < prev.  Returns (ok_mask, new_positions)."""
+            t = tokens[j]
+            c_j, starts_j, sel_j = prep[t]
+            tp_j = postings[t]
+            sj = sel_j[ci]
+            v_lo_j = starts_j[sj]
+            v_hi_j = v_lo_j + tp_j.tfs[sj]
+            base_j = np.where(v_lo_j > 0, c_j[np.maximum(v_lo_j - 1, 0)],
+                              np.uint64(0))
+            key = base_j + prev_pos.astype(np.uint64)
+            if forward:
+                # first in-doc key > key: clamp UP to the doc's range —
+                # every index >= the global searchsorted point holds
+                # c > key, so the clamped value stays valid
+                i = np.searchsorted(c_j, key, side="right")
+                i = np.maximum(i, v_lo_j)
+                ok = i < v_hi_j
+            else:
+                # last in-doc key < key: the global "last < key" index can
+                # land in a LATER doc's range (whose keys are still < key
+                # when this doc's occurrences all sit below prev) — clamp
+                # DOWN to the doc's last occurrence; every index <= the
+                # unclamped point holds c < key, so the clamp stays valid
+                i = np.searchsorted(c_j, key, side="left") - 1
+                i = np.minimum(i, v_hi_j - 1)
+                ok = i >= v_lo_j
+            newp = (c_j[np.clip(i, 0, len(c_j) - 1)]
+                    - base_j).astype(np.int64)
+            return ok, newp
+
+        # chain backward (pivot-1 .. 0), then forward (pivot+1 .. n-1);
+        # each step drops dead survivors before the next searchsorted
+        for j in range(pivot - 1, -1, -1):
+            ok, newp = _step(j, lo_pos, docs, ci, forward=False)
+            docs, ci, lo_pos, hi_pos = (docs[ok], ci[ok], newp[ok],
+                                        hi_pos[ok])
+            if len(docs) == 0:
+                return np.empty(0, np.int64)
+        for j in range(pivot + 1, len(tokens)):
+            ok, newp = _step(j, hi_pos, docs, ci, forward=True)
+            docs, ci, lo_pos, hi_pos = (docs[ok], ci[ok], lo_pos[ok],
+                                        newp[ok])
+            if len(docs) == 0:
+                return np.empty(0, np.int64)
+        ok = (hi_pos - lo_pos) <= (len(tokens) - 1 + slop)
+        return np.unique(docs[ok])
+
+    def _slop_probe_keys(self, tokens, uniq, slop: int) -> np.ndarray:
+        """Legacy (pre-positions-merge indexes) sloppy probe: the same
+        bidirectional greedy over full (doc << POS_SHIFT | pos) occurrence
+        key arrays from the segment scan."""
+        keys = self.fetch_position_keys(uniq)
+        if any(t not in keys for t in uniq):
+            return np.empty(0, np.int64)
+        shift = self._POS_SHIFT
+        mask = np.uint64((1 << shift) - 1)
+        pivot = min(range(len(tokens)), key=lambda j: len(keys[tokens[j]]))
+        kp = keys[tokens[pivot]]
+        docs = (kp >> np.uint64(shift)).astype(np.int64)
+        lo_pos = (kp & mask).astype(np.int64)
+        hi_pos = lo_pos.copy()
+
+        def _step(j, prev_pos, docs, forward):
+            karr = keys[tokens[j]]
+            key = ((docs.astype(np.uint64) << np.uint64(shift))
+                   + prev_pos.astype(np.uint64))
+            if forward:
+                i = np.searchsorted(karr, key, side="right")
+                ok = i < len(karr)
+            else:
+                i = np.searchsorted(karr, key, side="left") - 1
+                ok = i >= 0
+            got = karr[np.clip(i, 0, len(karr) - 1)]
+            ok &= (got >> np.uint64(shift)).astype(np.int64) == docs
+            return ok, (got & mask).astype(np.int64)
+
+        for j in range(pivot - 1, -1, -1):
+            ok, newp = _step(j, lo_pos, docs, forward=False)
+            docs, lo_pos, hi_pos = docs[ok], newp[ok], hi_pos[ok]
+            if len(docs) == 0:
+                return np.empty(0, np.int64)
+        for j in range(pivot + 1, len(tokens)):
+            ok, newp = _step(j, hi_pos, docs, forward=True)
+            docs, lo_pos, hi_pos = docs[ok], lo_pos[ok], newp[ok]
+            if len(docs) == 0:
+                return np.empty(0, np.int64)
+        ok = (hi_pos - lo_pos) <= (len(tokens) - 1 + slop)
+        return np.unique(docs[ok])
+
+    def search_phrase_slop(self, text: str, k: int = scoring.DEFAULT_K,
+                           slop: int = 0,
+                           filter=None) -> Tuple[np.ndarray, np.ndarray]:
+        """Proximity phrase query ('"a b"~N' — PhraseQuery-with-slop
+        analog, ordered semantics per ``slop_phrase_candidates``):
+        constant score 1.0 over the match set, doc_id rank order, live
+        count in ``last_count``, typed-filter composition."""
+        return self._const_score_topk(
+            self.slop_phrase_candidates(text, slop, filter), k)
+
     def search_term_set(self, terms, k: int = scoring.DEFAULT_K,
                         filter=None) -> Tuple[np.ndarray, np.ndarray]:
         """Term-set query (tantivy TermSetQuery): docs containing ANY of

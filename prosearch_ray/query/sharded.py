@@ -107,6 +107,11 @@ class _ShardWorker:
                                     include_upper, max_expansions, filter),
             k)
 
+    def search_phrase_slop(self, text: str, k: int, slop: int = 0,
+                           filter=None):
+        return self._const_score_partial(
+            self.s.slop_phrase_candidates(text, slop, filter), k)
+
     def search_phrase_prefix(self, text: str, k: int,
                              max_expansions: int = 50, filter=None):
         return self._const_score_partial(
@@ -490,6 +495,18 @@ class ShardedSearcher:
         res = ray.get([a.search_term_range.remote(
             lower, upper, k, include_lower, include_upper, max_expansions,
             filter) for a in self.actors])
+        self.last_count = sum(n for _, _, n in res)
+        return self._merge([(keys, scs) for keys, scs, _ in res], k)
+
+    def search_phrase_slop(self, text: str, k: int = scoring.DEFAULT_K,
+                           slop: int = 0,
+                           filter=None) -> Tuple[List[str], List[float]]:
+        """Proximity-phrase scatter-gather ('"a b"~N', ordered slop
+        semantics — see IndexSearcher.slop_phrase_candidates):
+        constant-score doc_key merge, shard-additive counts.  Phrase
+        matching is doc-local, so sharding cannot change the match set."""
+        res = ray.get([a.search_phrase_slop.remote(text, k, slop, filter)
+                       for a in self.actors])
         self.last_count = sum(n for _, _, n in res)
         return self._merge([(keys, scs) for keys, scs, _ in res], k)
 

@@ -282,3 +282,120 @@ def test_phrase_prefix_sharded_parity(ray_session, tmp_path):
             assert np.all(np.asarray(scs) == 1.0)
     finally:
         m.shutdown()
+
+
+def test_phrase_slop_matches_bruteforce(phrase_setup):
+    """Sloppy phrase ('"a b"~N', ORDERED semantics: increasing positions
+    with span <= n-1+slop) vs an exhaustive brute-force over the corpus,
+    on BOTH probe paths (cumsum greedy + key-array fallback); slop=0
+    must equal the exact phrase match set."""
+    import itertools
+
+    import numpy as np
+
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    s, _oracle, corpus = phrase_setup
+    s_keys = IndexSearcher(s.index_dir)
+    s_keys._pos_parts_present = False  # force the key-based fallback
+    texts = {f"r/a/f{i}.py": c
+             for i, c in enumerate(corpus.column("content").to_pylist())}
+
+    def brute(q, slop):
+        toks = q.lower().split()
+        hits = set()
+        for key, text in texts.items():
+            words = text.split()
+            poss = [[p for p, w in enumerate(words) if w == t]
+                    for t in toks]
+            if any(not p for p in poss):
+                continue
+            for combo in itertools.product(*poss):
+                if (all(combo[j] < combo[j + 1]
+                        for j in range(len(combo) - 1))
+                        and combo[-1] - combo[0] <= len(toks) - 1 + slop):
+                    hits.add(key)
+                    break
+        return hits
+
+    queries = ["beta gamma", "beta x gamma", "alpha gamma", "gamma alpha",
+               "beta beta", "beta gamma beta", "alpha beta gamma",
+               "prefix suffix", "beta zzznothing"]
+    nonempty = 0
+    for q in queries:
+        for slop in (0, 1, 2, 5):
+            want = brute(q, slop)
+            for eng in (s, s_keys):
+                ids, scs = eng.search_phrase_slop(q, 10 ** 6, slop=slop)
+                got = {str(eng.doc_keys[int(i)]) for i in ids}
+                assert got == want, (q, slop, eng is s_keys)
+                assert np.all(np.asarray(scs) == 1.0)
+                assert eng.last_count == len(want)
+            nonempty += bool(want)
+        # slop=0 == exact phrase match set
+        ids0, _ = s.search_phrase_slop(q, 10 ** 6, slop=0)
+        r = s._phrase_ids_tfs(q)
+        exact = set() if r is None else set(int(x) for x in r[0])
+        assert set(int(x) for x in ids0) == exact, q
+    assert nonempty >= 8
+    with pytest.raises(ValueError):
+        s.search_phrase_slop("beta gamma", 10, slop=-1)
+
+
+def test_phrase_slop_randomized(ray_session, tiny_index):
+    """Seeded random 2-4 token phrases over the fixture corpus: the
+    cumsum-greedy probe must agree with the key-array fallback for every
+    slop — two independent implementations of the ordered-slop contract."""
+    import numpy as np
+
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    rng = np.random.default_rng(11)
+    s_probe = IndexSearcher(tiny_index[0])
+    s_keys = IndexSearcher(tiny_index[0])
+    s_keys._pos_parts_present = False
+    vocab = list(STOPWORDISH[:6]) + list(WORD_POOL[:10]) + ["zzznothing"]
+    agreed_nonempty = 0
+    for _ in range(40):
+        n = int(rng.integers(2, 5))
+        toks = " ".join(vocab[int(i)]
+                        for i in rng.integers(0, len(vocab), n))
+        slop = int(rng.integers(0, 4))
+        a = s_probe.slop_phrase_candidates(toks, slop)
+        b = s_keys.slop_phrase_candidates(toks, slop)
+        assert np.array_equal(a, b), (toks, slop)
+        # slop grows monotonically: every slop-s match also matches s+1
+        a2 = s_probe.slop_phrase_candidates(toks, slop + 1)
+        assert set(a.tolist()) <= set(a2.tolist()), (toks, slop)
+        agreed_nonempty += bool(len(a))
+    assert agreed_nonempty >= 5
+
+
+def test_phrase_slop_sharded_parity(ray_session, tmp_path):
+    import numpy as np
+
+    from prosearch_ray.fixtures import write_corpus
+    from prosearch_ray.index.build import build_index
+    from prosearch_ray.index.sharded import build_sharded_index
+    from prosearch_ray.query.searcher import IndexSearcher
+    from prosearch_ray.query.sharded import ShardedSearcher
+
+    d = write_corpus(str(tmp_path / "corpus"), n_docs=300)
+    single = str(tmp_path / "single")
+    root = str(tmp_path / "shards")
+    build_index(d + "/corpus", single, docs_per_bucket=64)
+    build_sharded_index(d + "/corpus", root, num_shards=2, docs_per_bucket=64)
+    s = IndexSearcher(single)
+    m = ShardedSearcher(root)
+    try:
+        for q, slop, k in [("merge hash", 1, 10), ("the parse", 2, 8),
+                           ("merge the hash", 3, 10), ("zzq zz", 1, 5)]:
+            ids, _ = s.search_phrase_slop(q, 10 ** 6, slop=slop)
+            want = sorted(str(s.doc_keys[int(i)]) for i in ids)
+            count = s.last_count
+            keys, scs = m.search_phrase_slop(q, k, slop=slop)
+            assert list(keys) == want[:k]
+            assert m.last_count == count
+            assert np.all(np.asarray(scs) == 1.0)
+    finally:
+        m.shutdown()
