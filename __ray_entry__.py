@@ -907,6 +907,39 @@ def code_search_term_range(sf_dir: str) -> Any:
     })
 
 
+# wildcard term queries (Lucene WildcardQuery; engine translates onto
+# the regex path, oracle uses DuckDB GLOB — an independent wildcard
+# matcher): prefix-pruned, suffix, single-char holes, mixed, empty
+WILDCARD_QUERIES = ("mer*", "b?tch", "*able", "?ash", "m*g?", "zz*q")
+
+
+def code_search_wildcard(sf_dir: str) -> Any:
+    """Wildcard term query over documents-as-corpus
+    (IndexSearcher.search_wildcard): constant score, engine-doc_id rank,
+    corpus-wide live count per row — the oracle matches tokens with
+    DuckDB's GLOB operator (independent * / ? semantics)."""
+    import pyarrow as pa
+
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    index_dir = _build_docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    out_q, out_r, out_k, out_n = [], [], [], []
+    for qid, q in enumerate(WILDCARD_QUERIES):
+        ids, _scores = s.search_wildcard(q, 10)
+        for rank, d in enumerate(ids):
+            out_q.append(qid)
+            out_r.append(rank)
+            out_k.append(str(s.doc_keys[int(d)]))
+            out_n.append(int(s.last_count))
+    return pa.table({
+        "qid": pa.array(out_q, pa.int32()),
+        "rank": pa.array(out_r, pa.int32()),
+        "doc_key": pa.array(out_k, pa.string()),
+        "n_matches": pa.array(out_n, pa.int64()),
+    })
+
+
 # proximity-phrase queries ('"a b"~N', ordered slop semantics): slop 0
 # pins the exact-phrase equivalence, slop 1-2 admit one-to-two-word gaps,
 # a 3-token chain exercises the bidirectional greedy, a single token
@@ -1093,6 +1126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_search_term_range": code_search_term_range,
         # proximity phrase ('"a b"~N', ordered slop) — new
         "code_search_phrase_slop": code_search_phrase_slop,
+        # wildcard term queries (WildcardQuery -> regex path) — new
+        "code_search_wildcard": code_search_wildcard,
         # exact term-set queries (TermSetQuery analog) — new
         "code_search_termset": code_search_termset,
         # phrase-prefix / search-as-you-type (PhrasePrefixQuery) — new
@@ -2060,6 +2095,7 @@ ORDER BY p.prefix, d.tok
     d["code_search_fuzzy2"] = _code_regex_sql(fuzzy=2)
     d["code_search_term_range"] = _code_regex_sql(fuzzy="range")
     d["code_search_phrase_slop"] = _code_phrase_slop_sql()
+    d["code_search_wildcard"] = _code_regex_sql(fuzzy="wildcard")
     d["code_search_termset"] = _code_regex_sql(fuzzy="termset")
     d["code_search_phrase_prefix"] = _code_phrase_prefix_sql()
     tok_exp = _expand_cte("braw")
@@ -2367,6 +2403,10 @@ def _code_regex_sql(tiebreak: str = "doc", fuzzy: bool = False) -> str:
         on_pred = ("(q.lo IS NULL OR t.tok > q.lo OR (q.il AND "
                    "t.tok = q.lo)) AND (q.hi IS NULL OR t.tok < q.hi "
                    "OR (q.iu AND t.tok = q.hi))")
+    elif fuzzy == "wildcard":
+        pats = ", ".join(f"({i}, '{p}')"
+                         for i, p in enumerate(WILDCARD_QUERIES))
+        on_pred = "t.tok GLOB q.pat"
     elif fuzzy == 2:
         pats = ", ".join(f"({i}, '{p}')"
                          for i, p in enumerate(FUZZY2_QUERIES))

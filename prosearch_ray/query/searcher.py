@@ -1650,6 +1650,29 @@ class IndexSearcher:
             cand = cand[self._filter_mask(filter)[cand]]
         return cand
 
+    @staticmethod
+    def wildcard_pattern(wc: str) -> str:
+        """Translate a Lucene-style wildcard term (``*`` = any run, ``?``
+        = any one char) to the anchored-RE2 pattern the regex path
+        evaluates.  Everything else is escaped literally, so the regex
+        literal-prefix pruning applies to the wildcard's literal prefix
+        automatically (``mer*`` prunes the dict to the ``mer`` range,
+        exactly like Lucene's WildcardQuery prefix optimization)."""
+        import re as _re
+
+        return "".join(".*" if ch == "*" else "." if ch == "?"
+                       else _re.escape(ch) for ch in wc)
+
+    def search_wildcard(self, wc: str, k: int = scoring.DEFAULT_K,
+                        max_expansions: int = 1024,
+                        filter=None) -> Tuple[np.ndarray, np.ndarray]:
+        """Wildcard term query (Lucene WildcardQuery; tantivy expresses
+        the same through RegexQuery): constant score 1.0, doc_id rank
+        order, live count, typed-filter composition — a pure translation
+        onto the regex path."""
+        return self.search_regex(self.wildcard_pattern(wc), k,
+                                 max_expansions, filter)
+
     def fuzzy_candidates(self, term: str, distance: int = 1,
                          filter=None) -> np.ndarray:
         """Sorted live doc_ids containing an indexed term within Levenshtein

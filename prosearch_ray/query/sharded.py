@@ -417,6 +417,17 @@ class ShardedSearcher:
         self.last_count = sum(n for _, _, n in res)
         return self._merge([(keys, scs) for keys, scs, _ in res], k)
 
+    def search_wildcard(self, wc: str, k: int = scoring.DEFAULT_K,
+                        max_expansions: int = 1024,
+                        filter=None) -> Tuple[List[str], List[float]]:
+        """Wildcard scatter-gather (Lucene WildcardQuery analog): one
+        driver-side translation, then the regex scatter-gather verbatim."""
+        from prosearch_ray.query.searcher import IndexSearcher
+
+        return self.search_regex(IndexSearcher.wildcard_pattern(wc), k,
+                                 max_expansions=max_expansions,
+                                 filter=filter)
+
     def search_fuzzy(self, term: str, k: int = scoring.DEFAULT_K,
                      distance: int = 1,
                      filter=None) -> Tuple[List[str], List[float]]:

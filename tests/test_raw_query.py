@@ -393,6 +393,32 @@ def test_search_term_range_sharded_parity(ray_session, tmp_path):
         m.shutdown()
 
 
+def test_search_wildcard(raw_index):
+    """WildcardQuery translation onto the regex path: * / ? semantics,
+    literal escaping, prefix pruning equivalence, fnmatch parity."""
+    import fnmatch
+
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    s = raw_index
+    vocab = pads.dataset(s.index_dir + "/dict").to_table(
+        columns=["term"]).column("term").to_pylist()
+    for wc in ("alp*", "?eta", "g*a", "*ta", "a?pha", "zz*", "alpha"):
+        ids, scs = s.search_wildcard(wc, 10 ** 6)
+        # independent semantics: fnmatch over the vocabulary, then docs
+        terms = [t for t in vocab if fnmatch.fnmatchcase(t, wc)]
+        want = s._union_candidates(terms)
+        assert np.array_equal(ids, want[:len(ids)]) and len(ids) == len(
+            want), wc
+        assert np.all(scs == 1.0)
+    # translation escapes regex metachars ('.' must not match 'any')
+    assert IndexSearcher.wildcard_pattern("a.c*") == r"a\.c.*"
+    assert IndexSearcher.wildcard_pattern("x?y") == "x.y"
+
+
 def test_search_term_set(raw_index):
     """TermSetQuery: exact-term union, constant score, dedup of repeated
     terms, absent terms contribute nothing."""
