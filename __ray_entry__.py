@@ -489,8 +489,9 @@ def code_search_or_filtered(sf_dir: str) -> Any:
     s = IndexSearcher(index_dir)
     return _topk_table(
         (qid, [str(s.doc_keys[int(d)]) for d in ids], scores)
-        for qid, q in enumerate(OR_QUERIES)
-        for ids, scores in [s.search_raw(q, 10, filter=FILTERED_PRED)])
+        for qid, (q, msm) in enumerate(OR_QUERIES)
+        for ids, scores in [s.search_raw(q, 10, filter=FILTERED_PRED,
+                                         min_should_match=msm)])
 
 
 def code_phrase_filtered(sf_dir: str) -> Any:
@@ -524,9 +525,21 @@ def code_search_topk(sf_dir: str) -> Any:
         for ids, scores in [s.search(q, 10)])
 
 
-OR_QUERIES = ("table scan", "hash value merge", "sort zzznothing")
-OR_QTERMS = ("(0, 'table'), (0, 'scan'), (1, 'hash'), (1, 'value'), "
-             "(1, 'merge'), (2, 'sort'), (2, 'zzznothing')")
+# (query, min_should_match) pairs: qid 3 exercises
+# BooleanQuery::with_minimum_required_clauses (docs matching >= 2 of the 3
+# terms); qid 4 exercises QueryParser field scoping (body:-scoped term OR a
+# title:-scoped term — '0000007' is a doc_key path token, so the title
+# clause matches exactly the docs whose key carries that digit run)
+OR_QUERIES = (("table scan", 0), ("hash value merge", 0),
+              ("sort zzznothing", 0), ("hash merge scan", 2),
+              ("body:table title:0000007", 0))
+OR_QTERMS = ("(0, 'table', 'both'), (0, 'scan', 'both'), "
+             "(1, 'hash', 'both'), (1, 'value', 'both'), "
+             "(1, 'merge', 'both'), (2, 'sort', 'both'), "
+             "(2, 'zzznothing', 'both'), (3, 'hash', 'both'), "
+             "(3, 'merge', 'both'), (3, 'scan', 'both'), "
+             "(4, 'table', 'body'), (4, '0000007', 'title')")
+OR_MSM_VALS = "(0, 1), (1, 1), (2, 1), (3, 2), (4, 1)"
 
 
 def code_search_or_topk_sharded(sf_dir: str) -> Any:
@@ -535,8 +548,8 @@ def code_search_or_topk_sharded(sf_dir: str) -> Any:
     root = _build_docs_sharded(sf_dir)
     m = _shared_sharded(root)
     results = []
-    for qid, q in enumerate(OR_QUERIES):
-        keys, scores = m.search_raw(q, 10)
+    for qid, (q, msm) in enumerate(OR_QUERIES):
+        keys, scores = m.search_raw(q, 10, min_should_match=msm)
         results.append((qid, keys, scores))
     return _topk_table(results)
 
@@ -564,15 +577,45 @@ def code_search_or_topk(sf_dir: str) -> Any:
     rewrite — that is the serve path's, serve.rs:362-369).  Exercises
     searcher.search_raw end-to-end against the full DuckDB BM25 oracle with
     the conjunctive filter relaxed; absent terms ('zzznothing') contribute
-    nothing, exactly as tantivy's should-clause semantics."""
+    nothing, exactly as tantivy's should-clause semantics.  qid 3 adds
+    minimum_should_match=2 (with_minimum_required_clauses analog); qid 4
+    field-scopes its clauses (title:/body: QueryParser syntax) — matching
+    AND scoring restricted per field."""
     from prosearch_ray.query.searcher import IndexSearcher
 
     index_dir = _build_docs_index(sf_dir)
     s = IndexSearcher(index_dir)
     return _topk_table(
         (qid, [str(s.doc_keys[int(d)]) for d in ids], scores)
-        for qid, q in enumerate(OR_QUERIES)
-        for ids, scores in [s.search_raw(q, 10)])
+        for qid, (q, msm) in enumerate(OR_QUERIES)
+        for ids, scores in [s.search_raw(q, 10, min_should_match=msm)])
+
+
+# dismax query tokens are kept ALPHABETICAL: the engine accumulates the
+# tie-breaker residual sum in clause order, the oracle in term order —
+# identical accumulation order keeps equal-score ties bitwise-exact
+DISMAX_QUERIES = (("hash merge table", 0.0), ("batch merge scan", 0.3),
+                  ("table zzznothing", 1.0))
+DISMAX_QTERMS = {0: ("hash", "merge", "table"),
+                 1: ("batch", "merge", "scan"),
+                 2: ("table", "zzznothing")}
+
+
+def code_search_dismax(sf_dir: str) -> Any:
+    """Disjunction-max search (tantivy/Lucene DisjunctionMaxQuery): per doc,
+    the best clause's BM25 dominates and the rest contribute
+    ``tie_breaker`` fractionally — the multi-field/synonym ranking
+    combinator BooleanQuery's sum over-rewards.  tie=0 is pure max, tie=1
+    degenerates to the OR sum (both pinned); the oracle recomputes
+    ``max + tie * (sum - max)`` over the same per-term contributions."""
+    from prosearch_ray.query.searcher import IndexSearcher
+
+    index_dir = _build_docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    return _topk_table(
+        (qid, [str(s.doc_keys[int(d)]) for d in ids], scores)
+        for qid, (q, tie) in enumerate(DISMAX_QUERIES)
+        for ids, scores in [s.search_dismax(q, 10, tie_breaker=tie)])
 
 
 MLT_SRC_IDS = (7, 123, 321)  # dedup keepers at every sf (checked)
@@ -1132,6 +1175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_search_termset": code_search_termset,
         # phrase-prefix / search-as-you-type (PhrasePrefixQuery) — new
         "code_search_phrase_prefix": code_search_phrase_prefix,
+        # disjunction-max scoring (DisjunctionMaxQuery analog) — new
+        "code_search_dismax": code_search_dismax,
         # integer-cents money sums (engine + oracle changed this round)
         "tpch_q1": relational.tpch_q1,
         # unsharded full-engine entries: their shared ORACLE kernels
@@ -2050,9 +2095,20 @@ def oracle_sql() -> dict[str, str]:
     d["code_search_aggs"] = _code_search_sql(agg=True)
     d["code_search_aggs_sharded"] = _code_search_sql(agg=True)
     d["code_search_or_topk"] = _code_search_sql(
-        conjunctive=False, qterms=OR_QTERMS)
+        conjunctive=False, qterms=OR_QTERMS, qterms_fld=True,
+        msm_vals=OR_MSM_VALS)
     d["code_search_or_topk_sharded"] = _code_search_sql(
-        conjunctive=False, qterms=OR_QTERMS, tiebreak="key")
+        conjunctive=False, qterms=OR_QTERMS, qterms_fld=True,
+        msm_vals=OR_MSM_VALS, tiebreak="key")
+    d["code_search_dismax"] = _code_search_sql(
+        conjunctive=False,
+        qterms=", ".join(f"({qid}, '{t}', 'both')"
+                         for qid, terms in DISMAX_QTERMS.items()
+                         for t in terms),
+        qterms_fld=True,
+        dismax_tie_vals=", ".join(
+            f"({qid}, {tie!r})"
+            for qid, (_, tie) in enumerate(DISMAX_QUERIES)))
     d["more_like_this"] = _code_search_sql(conjunctive=False,
                                            mlt_src_ids=MLT_SRC_IDS)
     # dictionary prefix-range reads: body df per token under the full
@@ -2085,8 +2141,8 @@ ORDER BY p.prefix, d.tok
     d["code_phrase_topk"] = _code_phrase_sql()
     d["code_phrase_topk_sharded"] = _code_phrase_sql(tiebreak="key")
     d["code_search_or_filtered"] = _code_search_sql(
-        conjunctive=False, qterms=OR_QTERMS,
-        filter_src_sql=FILTER_SQL_PRED)
+        conjunctive=False, qterms=OR_QTERMS, qterms_fld=True,
+        msm_vals=OR_MSM_VALS, filter_src_sql=FILTER_SQL_PRED)
     d["code_phrase_filtered"] = _code_phrase_sql(
         filter_src_sql=FILTER_SQL_PRED)
     d["code_search_regex"] = _code_regex_sql()
@@ -2232,11 +2288,44 @@ FROM aggd ORDER BY qid, n_docs DESC, doc_lang
 '''
 
 
+def _term_contrib_sql() -> str:
+    """One query term's BM25 contribution to one doc (body + title parts,
+    added as ONE expression — the engine's LUT gather does the same single
+    addition), with field scoping: a clause restricted to one field keeps
+    only that field's branch (searcher._match_terms_field)."""
+    return """(
+           CASE WHEN c.tf > 0 AND c.fld <> 'title' THEN
+             ln(1 + ((SELECT n FROM stats) - d.df_b + 0.5) / (d.df_b + 0.5))
+             * (c.tf * 2.2 / (c.tf + 1.2 * (0.25 + 0.75 * nm.qlen_b
+                 / (SELECT avgdl_b FROM stats))))
+           ELSE 0 END
+           + CASE WHEN c.in_title AND c.fld <> 'body' THEN
+             ln(1 + ((SELECT n FROM stats) - d.df_t + 0.5) / (d.df_t + 0.5))
+             * (2.2 / (1 + 1.2 * (0.25 + 0.75 * nm.qlen_t
+                 / (SELECT avgdl_t FROM stats)))) * 1.5
+           ELSE 0 END)"""
+
+
+def _combine_sql(dismax: bool) -> str:
+    """Per-doc combination of term contributions: the BooleanQuery ordered
+    sum by default, DisjunctionMaxQuery ``max + tie * (sum - max)`` in
+    dismax mode (per-qid tie from the dt VALUES table; max is
+    order-independent, the residual sum stays ordered for bitwise-stable
+    ties)."""
+    c = _term_contrib_sql()
+    if not dismax:
+        return f"sum({c} ORDER BY c.term)"
+    return (f"(max({c}) + (SELECT dt.tie FROM dt WHERE dt.qid = c.qid) * "
+            f"(sum({c} ORDER BY c.term) - max({c})))")
+
+
 def _code_search_sql(tiebreak: str = "doc", conjunctive: bool = True,
                      qterms: str = None, mlt_src_ids=None,
                      filter_src_sql: str = None,
                      facet: bool = False, agg: bool = False,
-                     extra_docs_vals: str = None) -> str:
+                     extra_docs_vals: str = None,
+                     qterms_fld: bool = False, msm_vals: str = None,
+                     dismax_tie_vals: str = None) -> str:
     """tiebreak="doc": equal scores rank by engine doc_id (unsharded
     searcher).  tiebreak="key": by doc_key (the sharded merge's order).
     conjunctive=False ranks every doc matching ANY query term (the raw-CLI
@@ -2248,7 +2337,18 @@ def _code_search_sql(tiebreak: str = "doc", conjunctive: bool = True,
     into the corpus verbatim — the oracle for an ADDITIONS-ONLY delta
     (brand-new doc_keys, so no upsert shadowing and no tombstones): the
     engine's lazy-segment contract makes delta docs participate in the
-    corpus-wide stats exactly like a fresh rebuild over base ∪ delta."""
+    corpus-wide stats exactly like a fresh rebuild over base ∪ delta.
+    qterms_fld=True: ``qterms`` rows are (qid, term, fld) with fld in
+    {'both','title','body'} — a field-scoped term (QueryParser
+    ``title:``/``body:`` syntax) matches and scores in that field only.
+    msm_vals: a VALUES list of per-qid (qid, m) minimum-should-match
+    thresholds (BooleanQuery::with_minimum_required_clauses analog) —
+    replaces the bare-OR ``>= 1`` with ``>= m``; only meaningful with
+    conjunctive=False.  dismax_tie_vals: a VALUES list of per-qid (qid,
+    tie) tie-breakers — combine per-term contributions as ``max + tie *
+    (sum - max)`` (DisjunctionMaxQuery) instead of the BooleanQuery sum;
+    term contributions keep the exact per-branch BM25 arithmetic, and the
+    residual sum stays an ORDERED aggregate."""
     tb = "i2.doc_key" if tiebreak == "key" else "s.doc"
     ids_ctes = _CODE_IDS_CTES
     if extra_docs_vals is not None:
@@ -2268,12 +2368,25 @@ ids AS (
     if qterms is None:
         qterms = ("(0, 'table'), (1, 'hash'), (1, 'value'), (2, 'merge'), "
                   "(2, 'batch'), (3, 'scan')")
-    match_pred = ("s.n_matched = nq.n_terms" if conjunctive
-                  else "s.n_matched >= 1")
+    if conjunctive:
+        match_pred = "s.n_matched = nq.n_terms"
+    elif msm_vals is not None:
+        match_pred = ("s.n_matched >= (SELECT mm.m FROM mm "
+                      "WHERE mm.qid = s.qid)")
+    else:
+        match_pred = "s.n_matched >= 1"
     if filter_src_sql is not None:
         match_pred += f" AND i2.src_id IN ({filter_src_sql})"
+    mm_block = (f"\nmm(qid, m) AS (VALUES {msm_vals})," if msm_vals else "")
+    if dismax_tie_vals is not None:
+        mm_block += f"\ndt(qid, tie) AS (VALUES {dismax_tie_vals}),"
     if mlt_src_ids is None:
-        q_block = f"""q(qid, term) AS (VALUES {qterms}),
+        if qterms_fld:
+            q_block = f"""q(qid, term, fld) AS (VALUES {qterms}),{mm_block}
+nq AS (SELECT qid, count(*)::BIGINT AS n_terms FROM q GROUP BY 1),"""
+        else:
+            q_block = f"""q0(qid, term) AS (VALUES {qterms}),
+q AS (SELECT qid, term, 'both' AS fld FROM q0),{mm_block}
 nq AS (SELECT qid, count(*)::BIGINT AS n_terms FROM q GROUP BY 1),"""
     else:
         # more-like-this: query terms are the source doc's top-3 body tokens
@@ -2282,7 +2395,7 @@ nq AS (SELECT qid, count(*)::BIGINT AS n_terms FROM q GROUP BY 1),"""
                              for i, sid in enumerate(mlt_src_ids))
         q_block = f"""srcq(qid, sid) AS (VALUES {src_vals}),
 srcdoc AS (SELECT s.qid, i.doc FROM srcq s JOIN ids i ON i.src_id = s.sid),
-q AS (SELECT qid, tok AS term FROM (
+q AS (SELECT qid, tok AS term, 'both' AS fld FROM (
         SELECT sd.qid, b.tok,
                row_number() OVER (PARTITION BY sd.qid
                                   ORDER BY count(*) DESC, b.tok) AS rn
@@ -2327,14 +2440,15 @@ df AS (
   FROM (SELECT DISTINCT term FROM q)
 ),
 contrib AS (
-  SELECT q.qid, i.doc, q.term,
+  SELECT q.qid, i.doc, q.term, q.fld,
          coalesce(f.tf, 0) AS tf,
          (t.doc IS NOT NULL) AS in_title
   FROM q
   CROSS JOIN ids i
   LEFT JOIN tfb f ON f.doc = i.doc AND f.tok = q.term
   LEFT JOIN intit t ON t.doc = i.doc AND t.tok = q.term
-  WHERE coalesce(f.tf, 0) > 0 OR t.doc IS NOT NULL
+  WHERE (coalesce(f.tf, 0) > 0 AND q.fld <> 'title')
+     OR (t.doc IS NOT NULL AND q.fld <> 'body')
 ),
 scored AS (
   -- the sum is an ORDERED aggregate: DuckDB's parallel float summation
@@ -2345,19 +2459,7 @@ scored AS (
   -- >> 1 ulp, so ordering by term cannot reorder them.
   SELECT c.qid, c.doc,
          count(*)::BIGINT AS n_matched,
-         sum(
-           CASE WHEN c.tf > 0 THEN
-             ln(1 + ((SELECT n FROM stats) - d.df_b + 0.5) / (d.df_b + 0.5))
-             * (c.tf * 2.2 / (c.tf + 1.2 * (0.25 + 0.75 * nm.qlen_b
-                 / (SELECT avgdl_b FROM stats))))
-           ELSE 0 END
-           + CASE WHEN c.in_title THEN
-             ln(1 + ((SELECT n FROM stats) - d.df_t + 0.5) / (d.df_t + 0.5))
-             * (2.2 / (1 + 1.2 * (0.25 + 0.75 * nm.qlen_t
-                 / (SELECT avgdl_t FROM stats)))) * 1.5
-           ELSE 0 END
-           ORDER BY c.term
-         ) AS score
+         {_combine_sql(dismax_tie_vals is not None)} AS score
   FROM contrib c
   JOIN df d ON d.term = c.term
   JOIN norms nm ON nm.doc = c.doc

@@ -1458,6 +1458,91 @@ class IndexSearcher:
             scores += self._term_scores(tp, pos, boost)
         return cand, scores
 
+    def _match_terms_field(self, terms, field: str):
+        """Field-scoped conjunctive term match (QueryParser ``title:foo`` /
+        ``body:foo``): docs must contain every term IN THAT FIELD, scored by
+        that field's BM25 component only — term statistics (df, avgdl,
+        norms) are the field's own, exactly a tantivy TermQuery on the
+        field.  Field boosts (title x1.5 / body x1.0, serve.rs:348-351)
+        still apply: the parser attaches them per field, so an explicitly
+        scoped term carries its field's boost."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        if not terms or field not in ("title", "body"):
+            return empty
+        postings = self.fetch_postings(terms)
+        if any(t not in postings for t in terms):
+            return empty
+
+        def field_ids(tp):
+            ids = (tp.doc_ids[tp.flags > 0] if field == "title"
+                   else tp.doc_ids[tp.tfs > 0])
+            if len(self.tombstones):
+                ids = ids[~np.isin(ids, self.tombstones, assume_unique=True)]
+            return ids
+
+        matched = {t: field_ids(postings[t]) for t in terms}
+        order = sorted(terms, key=lambda t: len(matched[t]))
+        cand = matched[order[0]]
+        for t in order[1:]:
+            cand = cand[np.isin(cand, matched[t], assume_unique=True)]
+            if len(cand) == 0:
+                return empty
+        if len(cand) == 0:
+            return empty
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for t in terms:
+            tp = postings[t]
+            if field == "title":
+                idf_t = scoring.idf([tp.df_title], self.score_n_docs)[0]
+                scores += (idf_t * scoring.tf_factor(
+                    1.0, self.norm_title[cand], self.avgdl_title)
+                    * scoring.TITLE_BOOST)
+            else:
+                pos = np.searchsorted(tp.doc_ids, cand)
+                idf_b = scoring.idf([tp.df_body], self.score_n_docs)[0]
+                scores += (idf_b * scoring.tf_factor(
+                    tp.tfs[pos].astype(np.float64), self.norm_body[cand],
+                    self.avgdl_body) * scoring.BODY_BOOST)
+        return cand, scores
+
+    def search_dismax(self, query: str, k: int = scoring.DEFAULT_K,
+                      tie_breaker: float = 0.0,
+                      filter=None) -> Tuple[np.ndarray, np.ndarray]:
+        """Disjunction-max search (tantivy/Lucene DisjunctionMaxQuery):
+        every whitespace clause of ``query`` is evaluated as a should
+        clause (field-scoped and +/- syntax NOT part of this surface —
+        dismax is a scoring combinator, not boolean algebra), and a doc
+        scores ``max(clause scores) + tie_breaker * (sum - max)`` — the
+        best clause dominates, others contribute fractionally.  Candidates
+        are docs matching ANY clause; clause contributions accumulate in
+        QUERY ORDER (deterministic float sums).  Live match count lands in
+        ``last_count``."""
+        from prosearch_ray.text.tokenizer import tokenize
+
+        self.last_count = 0
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+        results = [self._match_terms_full(tokenize(tok))
+                   for tok in query.split()]
+        results = [r for r in results if len(r[0])]
+        if not results:
+            return empty
+        cand = np.unique(np.concatenate([ids for ids, _ in results]))
+        best = np.zeros(len(cand), dtype=np.float64)
+        total = np.zeros(len(cand), dtype=np.float64)
+        for ids, scs in results:
+            pos = np.searchsorted(cand, ids)
+            np.maximum.at(best, pos, scs)
+            total[pos] += scs
+        scores = best + tie_breaker * (total - best)
+        if filter:
+            keep = self._filter_mask(filter)[cand]
+            cand, scores = cand[keep], scores[keep]
+            if len(cand) == 0:
+                return empty
+        self.last_count = len(cand)
+        top = self._topk(scores, cand, k)
+        return cand[top], scores[top]
+
     def _phrase_ids_tfs(self, text: str
                         ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         """Evaluate a phrase clause: (sorted live doc_ids, phrase tfs) or
@@ -1518,32 +1603,48 @@ class IndexSearcher:
         """Parse the raw-CLI syntax (tantivy QueryParser subset the
         reference exposes via `tantivy search`, search.rs:41-42):
         ``+term`` must, ``-term`` must-not, ``"a b"`` phrase, bare terms
-        should (OR).  Returns [(occur, kind, text)] with occur in
-        {'must','must_not','should'} and kind in {'term','phrase'}.  The
-        PRODUCT path neutralizes this syntax (serve.rs:270-299) — search()
-        keeps those semantics; search_raw() is the CLI-parity surface."""
+        should (OR), ``title:term`` / ``body:term`` field-scoped terms
+        (QueryParser field syntax; an unknown field prefix stays literal
+        text — the lenient contract).  Returns [(occur, kind, text, field)]
+        with occur in {'must','must_not','should'}, kind in
+        {'term','phrase'} and field in {None,'title','body'} (None = the
+        two default fields).  The PRODUCT path neutralizes this syntax
+        (serve.rs:270-299) — search() keeps those semantics; search_raw()
+        is the CLI-parity surface."""
         import re
 
         out = []
-        for m in re.finditer(r'([+-]?)("([^"]*)"|\S+)', query):
-            sign, body, quoted = m.group(1), m.group(2), m.group(3)
+        for m in re.finditer(
+                r'([+-]?)(?:(title|body):)?("([^"]*)"|\S+)', query):
+            sign, field, body, quoted = (m.group(1), m.group(2),
+                                         m.group(3), m.group(4))
             occur = {"+": "must", "-": "must_not"}.get(sign, "should")
             if quoted is not None:
                 if quoted.strip():
-                    out.append((occur, "phrase", quoted))
+                    out.append((occur, "phrase", quoted, field))
             else:
-                out.append((occur, "term", body))
+                out.append((occur, "term", body, field))
         return out
 
     def search_raw(self, query: str, k: int = scoring.DEFAULT_K,
                    phrase_df_overrides: Optional[dict] = None,
                    collect_phrase_dfs: Optional[dict] = None,
                    phrase_cache: Optional[dict] = None,
-                   filter=None) -> Tuple[np.ndarray, np.ndarray]:
-        """Raw-syntax search: +must / -must_not / "phrase" / bare-OR, scored
-        by summed clause BM25 (boost set not applied — that is the serve
-        path's rewrite).  Returns (doc_ids, scores) rank-ordered; the live
-        match count lands in ``last_count``.
+                   filter=None,
+                   min_should_match: int = 0
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+        """Raw-syntax search: +must / -must_not / "phrase" / bare-OR /
+        ``title:``/``body:`` field-scoped terms, scored by summed clause
+        BM25 (boost set not applied — that is the serve path's rewrite).
+        Returns (doc_ids, scores) rank-ordered; the live match count lands
+        in ``last_count``.
+
+        ``min_should_match`` (tantivy
+        BooleanQuery::with_minimum_required_clauses / Lucene
+        minNrShouldMatch): a doc must match at least this many SHOULD
+        clauses to qualify — on top of every must clause, and independent
+        of must-clause count; 0 keeps the default algebra (any should
+        suffices when no musts exist, shoulds are optional otherwise).
 
         ``phrase_df_overrides`` maps phrase clause text -> corpus-wide df_p
         (sharded two-phase protocol); ``collect_phrase_dfs`` records each
@@ -1557,24 +1658,34 @@ class IndexSearcher:
         if not clauses:
             return empty
 
-        def eval_clause(kind, text):
+        def eval_clause(kind, text, field):
             if kind == "phrase":
+                if field == "title":
+                    # record: basic (meta.json:13) — no positions on title;
+                    # tantivy's QueryParser errors the same way
+                    raise ValueError(
+                        "phrase query on 'title': field has no positions")
                 ov = (phrase_df_overrides.get(text)
                       if phrase_df_overrides else None)
                 return self._match_phrase_full(
                     text, df_override=ov, collect_dfs=collect_phrase_dfs,
                     cache=phrase_cache)
+            if field is not None:
+                return self._match_terms_field(tokenize(text), field)
             return self._match_terms_full(tokenize(text))
 
         musts, shoulds, nots = [], [], []
-        for occur, kind, text in clauses:
+        for occur, kind, text, field in clauses:
             if occur == "must_not":
-                nots.append(eval_clause(kind, text)[0])
+                nots.append(eval_clause(kind, text, field)[0])
             elif occur == "must":
-                musts.append(eval_clause(kind, text))
+                musts.append(eval_clause(kind, text, field))
             else:
-                shoulds.append(eval_clause(kind, text))
+                shoulds.append(eval_clause(kind, text, field))
 
+        msm = int(min_should_match)
+        if msm > len(shoulds):
+            return empty
         if musts:
             cand = musts[0][0]
             for ids, _ in musts[1:]:
@@ -1582,11 +1693,19 @@ class IndexSearcher:
             if len(cand) == 0:
                 return empty
             scores = np.zeros(len(cand), dtype=np.float64)
-            for ids, scs in musts + shoulds:
+            n_should = np.zeros(len(cand), dtype=np.int64)
+            for ci, (ids, scs) in enumerate(musts + shoulds):
                 pos = np.searchsorted(ids, cand)
                 pos_c = np.minimum(pos, max(len(ids) - 1, 0))
                 hit = (len(ids) > 0) & (ids[pos_c] == cand) if len(ids) else                     np.zeros(len(cand), dtype=bool)
                 scores[hit] += scs[pos_c[hit]]
+                if ci >= len(musts):
+                    n_should[hit] += 1
+            if msm > 0:
+                keep = n_should >= msm
+                cand, scores = cand[keep], scores[keep]
+                if len(cand) == 0:
+                    return empty
         else:
             if not shoulds:
                 return empty
@@ -1595,9 +1714,17 @@ class IndexSearcher:
                 return empty
             cand = np.unique(all_ids)
             scores = np.zeros(len(cand), dtype=np.float64)
+            n_should = np.zeros(len(cand), dtype=np.int64)
             for ids, scs in shoulds:
                 if len(ids):
-                    np.add.at(scores, np.searchsorted(cand, ids), scs)
+                    pos = np.searchsorted(cand, ids)
+                    np.add.at(scores, pos, scs)
+                    n_should[pos] += 1
+            if msm > 1:
+                keep = n_should >= msm
+                cand, scores = cand[keep], scores[keep]
+                if len(cand) == 0:
+                    return empty
         for ids in nots:
             if len(ids):
                 keep = ~np.isin(cand, ids, assume_unique=True)

@@ -149,7 +149,7 @@ class _ShardWorker:
 
         cache: dict = {}
         dfs: dict = {}
-        for _, kind, text in IndexSearcher.parse_raw_query(query):
+        for _, kind, text, _fld in IndexSearcher.parse_raw_query(query):
             if kind == "phrase" and text not in dfs:
                 r = (cache[text] if text in cache
                      else self.s._phrase_ids_tfs(text))
@@ -158,13 +158,22 @@ class _ShardWorker:
         self._raw_cache = (query, cache)
         return dfs
 
-    def search_raw(self, query: str, k: int, overrides=None, filter=None):
+    def search_raw(self, query: str, k: int, overrides=None, filter=None,
+                   min_should_match: int = 0):
         cq, cache = getattr(self, "_raw_cache", (None, None))
         if cq != query:
             cache = None  # actor restarted / different query: evaluate fresh
         ids, scs = self.s.search_raw(query, int(k),
                                      phrase_df_overrides=overrides,
-                                     phrase_cache=cache, filter=filter)
+                                     phrase_cache=cache, filter=filter,
+                                     min_should_match=min_should_match)
+        return self._keys(ids), [float(x) for x in scs], int(self.s.last_count)
+
+    def search_dismax(self, query: str, k: int, tie_breaker: float,
+                      filter=None):
+        ids, scs = self.s.search_dismax(query, int(k),
+                                        tie_breaker=tie_breaker,
+                                        filter=filter)
         return self._keys(ids), [float(x) for x in scs], int(self.s.last_count)
 
     def phrase_candidates(self, query: str) -> int:
@@ -373,25 +382,44 @@ class ShardedSearcher:
                  "snip": snips.get(key, "")} for key, sc, _ in rows]
 
     def search_raw(self, query: str, k: int = scoring.DEFAULT_K,
-                   filter=None) -> Tuple[List[str], List[float]]:
-        """Raw-syntax (+must / -must_not / "phrase" / bare-OR) scatter-gather
-        search, bit-identical to the unsharded ``IndexSearcher.search_raw``:
-        term clauses already score under the corpus-wide stats every shard
-        opens with; phrase clauses get the two-phase global-df_p treatment
-        (each shard reports its local phrase df, the driver sums, shards
-        score under the sum) — the same DFS protocol as ``search_phrase``.
-        Phrase-free queries skip phase 1 entirely (parse is driver-side)."""
+                   filter=None, min_should_match: int = 0
+                   ) -> Tuple[List[str], List[float]]:
+        """Raw-syntax (+must / -must_not / "phrase" / bare-OR / field-scoped
+        / min_should_match) scatter-gather search, bit-identical to the
+        unsharded ``IndexSearcher.search_raw``: term clauses already score
+        under the corpus-wide stats every shard opens with; phrase clauses
+        get the two-phase global-df_p treatment (each shard reports its
+        local phrase df, the driver sums, shards score under the sum) — the
+        same DFS protocol as ``search_phrase``.  Clause MATCHING is
+        doc-local (a doc lives in exactly one shard), so min_should_match
+        filtering per shard is globally exact.  Phrase-free queries skip
+        phase 1 entirely (parse is driver-side)."""
         from prosearch_ray.query.searcher import IndexSearcher
 
         clauses = IndexSearcher.parse_raw_query(query)
         overrides = None
-        if any(kind == "phrase" for _, kind, _ in clauses):
+        if any(kind == "phrase" for _, kind, _, _ in clauses):
             overrides = {}
             for d in ray.get([a.raw_phrase_dfs.remote(query)
                               for a in self.actors]):
                 for text, c in d.items():
                     overrides[text] = overrides.get(text, 0) + int(c)
-        res = ray.get([a.search_raw.remote(query, k, overrides, filter)
+        res = ray.get([a.search_raw.remote(query, k, overrides, filter,
+                                           min_should_match)
+                       for a in self.actors])
+        self.last_count = sum(c for _, _, c in res)
+        return self._merge([(keys, scs) for keys, scs, _ in res], k)
+
+    def search_dismax(self, query: str, k: int = scoring.DEFAULT_K,
+                      tie_breaker: float = 0.0,
+                      filter=None) -> Tuple[List[str], List[float]]:
+        """Disjunction-max scatter-gather (DisjunctionMaxQuery analog):
+        dismax combination is per-doc over clause scores, every clause
+        scores under the corpus-wide stats each shard opens with, and a doc
+        lives in exactly one shard — so per-shard dismax + the (score,
+        doc_key) merge is bit-identical to the unsharded scoring; counts
+        are shard-additive."""
+        res = ray.get([a.search_dismax.remote(query, k, tie_breaker, filter)
                        for a in self.actors])
         self.last_count = sum(c for _, _, c in res)
         return self._merge([(keys, scs) for keys, scs, _ in res], k)

@@ -43,8 +43,19 @@ def test_parse_raw_query():
     from prosearch_ray.query.searcher import IndexSearcher
 
     got = IndexSearcher.parse_raw_query('+must -not "a phrase" bare')
-    assert got == [("must", "term", "must"), ("must_not", "term", "not"),
-                   ("should", "phrase", "a phrase"), ("should", "term", "bare")]
+    assert got == [("must", "term", "must", None),
+                   ("must_not", "term", "not", None),
+                   ("should", "phrase", "a phrase", None),
+                   ("should", "term", "bare", None)]
+    # QueryParser field syntax: title:/body: scope a clause to one field;
+    # unknown field prefixes stay literal text (lenient contract)
+    got2 = IndexSearcher.parse_raw_query(
+        'title:foo +body:bar -title:baz body:"a b" other:qux')
+    assert got2 == [("should", "term", "foo", "title"),
+                    ("must", "term", "bar", "body"),
+                    ("must_not", "term", "baz", "title"),
+                    ("should", "phrase", "a b", "body"),
+                    ("should", "term", "other:qux", None)]
 
 
 def test_bare_terms_are_or(raw_index):
@@ -77,6 +88,97 @@ def test_should_scores_boost_musts(raw_index):
     assert _paths(raw_index, ids) >= {"d0.txt", "d1.txt", "d4.txt"}
     first = str(raw_index.doc_keys[int(ids[0])])
     assert first.endswith(("d0.txt", "d4.txt"))
+
+
+def test_min_should_match(raw_index):
+    """minimum_should_match (BooleanQuery::with_minimum_required_clauses):
+    bare-OR keeps docs matching >= m should clauses; with musts present the
+    should threshold applies on top of every must."""
+    s = raw_index
+    # docs matching >=2 of {alpha, beta, delta}: d0(a,b) d1(a,d) d2(b,d)
+    # d4(a,b); >=3: none
+    ids, _ = s.search_raw("alpha beta delta", 10, min_should_match=2)
+    assert _paths(s, ids) == {"d0.txt", "d1.txt", "d2.txt", "d4.txt"}
+    assert s.last_count == 4
+    ids3, _ = s.search_raw("alpha beta delta", 10, min_should_match=3)
+    assert len(ids3) == 0 and s.last_count == 0
+    # msm > clause count can never match
+    ids4, _ = s.search_raw("alpha", 10, min_should_match=2)
+    assert len(ids4) == 0
+    # with a must: gamma docs {d0, d3}; d0 matches both shoulds, d3 none
+    ids5, _ = s.search_raw("+gamma alpha beta", 10, min_should_match=1)
+    assert _paths(s, ids5) == {"d0.txt"}
+    # msm=0 keeps the default algebra (shoulds optional under musts)
+    ids6, _ = s.search_raw("+gamma alpha beta", 10)
+    assert _paths(s, ids6) == {"d0.txt", "d3.txt"}
+    # scores under msm equal the plain OR scores of the surviving docs
+    base_ids, base_scs = s.search_raw("alpha beta delta", 10)
+    base = {int(i): float(x) for i, x in zip(base_ids, base_scs)}
+    for i, x in zip(*s.search_raw("alpha beta delta", 10,
+                                  min_should_match=2)):
+        assert base[int(i)] == float(x)
+
+
+def test_field_scoped_clauses(raw_index):
+    """QueryParser field syntax: title:/body: scope matching AND scoring to
+    one field; title phrases error (record: basic, no positions)."""
+    import numpy as np
+
+    s = raw_index
+    # 'alpha' never appears in a title, so body-scoping changes nothing —
+    # sets AND scores equal (the unscoped score has a zero title part)
+    u_ids, u_scs = s.search_raw("alpha", 10)
+    b_ids, b_scs = s.search_raw("body:alpha", 10)
+    assert np.array_equal(u_ids, b_ids)
+    assert np.array_equal(u_scs, b_scs)
+    assert len(s.search_raw("title:alpha", 10)[0]) == 0
+    # title tokens come from the doc_key path: the code-aware tokenizer
+    # splits 'r/raw/d3.txt' -> [full key, r, raw, d, 3, txt], so the digit
+    # uniquely identifies one title
+    t_ids, t_scs = s.search_raw("title:3", 10)
+    assert _paths(s, t_ids) == {"d3.txt"}
+    assert np.all(t_scs > 0)
+    # every title shares 'raw'; scoping to title matches all docs
+    all_ids, _ = s.search_raw("title:raw", 10)
+    assert len(all_ids) == 6
+    # mixed algebra: must body + should title ranks the title hit first
+    m_ids, _ = s.search_raw("+body:alpha title:4", 10)
+    assert str(s.doc_keys[int(m_ids[0])]).endswith("d4.txt")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        s.search_raw('title:"alpha beta"', 10)
+
+
+def test_search_dismax(raw_index):
+    """DisjunctionMaxQuery: max clause score + tie_breaker * rest; combined
+    from single-clause searches exactly; tie=1.0 equals the OR sum."""
+    import numpy as np
+
+    s = raw_index
+    terms = ["alpha", "beta", "delta"]
+    per = {t: s.search_raw(t, 10 ** 6) for t in terms}
+    union = np.unique(np.concatenate([ids for ids, _ in per.values()]))
+    best = np.zeros(len(union))
+    total = np.zeros(len(union))
+    for t in terms:
+        ids, scs = per[t]
+        pos = np.searchsorted(union, ids)
+        np.maximum.at(best, pos, scs)
+        total[pos] += scs
+    for tie in (0.0, 0.3, 1.0):
+        ids, scs = s.search_dismax(" ".join(terms), 10 ** 6,
+                                   tie_breaker=tie)
+        assert s.last_count == len(union)
+        want = best + tie * (total - best)
+        order = np.lexsort((union, -want))
+        assert np.array_equal(ids, union[order])
+        assert np.array_equal(scs, want[order])
+    # tie=1.0 == plain OR sum (same docs, same scores)
+    o_ids, o_scs = s.search_raw(" ".join(terms), 10 ** 6)
+    d_ids, d_scs = s.search_dismax(" ".join(terms), 10 ** 6,
+                                   tie_breaker=1.0)
+    assert np.array_equal(np.sort(o_ids), np.sort(d_ids))
+    assert np.allclose(np.sort(o_scs), np.sort(d_scs))
 
 
 def test_prefix_terms_range_read(raw_index):

@@ -671,6 +671,33 @@ def test_search_raw_matches_unsharded(both_indexes):
                      count_s, m.last_count)
             n_nonempty += bool(len(mkeys))
         assert n_nonempty >= 5
+        # min_should_match: doc-local matching, so per-shard filtering is
+        # globally exact
+        for q, msm in [("alpha merge hash", 2), ("+merge alpha hash", 1)]:
+            ids, scs = s.search_raw(q, 10, min_should_match=msm)
+            skeys = [s.doc_keys[int(i)].as_py() for i in ids]
+            count_s = s.last_count
+            mkeys, mscores = m.search_raw(q, 10, min_should_match=msm)
+            _compare(skeys, list(map(float, scs)), mkeys, mscores,
+                     count_s, m.last_count)
+        # field-scoped clauses ride the same clause evaluator per shard
+        for q in ("body:merge title:docs", "+body:merge -title:docs"):
+            ids, scs = s.search_raw(q, 10)
+            skeys = [s.doc_keys[int(i)].as_py() for i in ids]
+            count_s = s.last_count
+            mkeys, mscores = m.search_raw(q, 10)
+            _compare(skeys, list(map(float, scs)), mkeys, mscores,
+                     count_s, m.last_count)
+        # dismax: per-doc combination, shard-additive counts
+        for tie in (0.0, 0.35):
+            ids, scs = s.search_dismax("merge hash alpha", 10,
+                                       tie_breaker=tie)
+            skeys = [s.doc_keys[int(i)].as_py() for i in ids]
+            count_s = s.last_count
+            mkeys, mscores = m.search_dismax("merge hash alpha", 10,
+                                             tie_breaker=tie)
+            _compare(skeys, list(map(float, scs)), mkeys, mscores,
+                     count_s, m.last_count)
     finally:
         m.shutdown()
 
