@@ -591,6 +591,12 @@ def code_search_or_topk(sf_dir: str) -> Any:
         for ids, scores in [s.search_raw(q, 10, min_should_match=msm)])
 
 
+# count-min-sketch probes: common, mid, rare and ABSENT terms (an absent
+# term's estimate is whatever its min cell collided to — still exact vs
+# the oracle, the point of deterministic md5 cells)
+CMS_PROBE_TERMS = ("batch", "hash", "merge", "scan", "table", "zzznothing")
+
+
 # dismax query tokens are kept ALPHABETICAL: the engine accumulates the
 # tie-breaker residual sum in clause order, the oracle in term order —
 # identical accumulation order keeps equal-score ties bitwise-exact
@@ -1177,6 +1183,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_search_phrase_prefix": code_search_phrase_prefix,
         # disjunction-max scoring (DisjunctionMaxQuery analog) — new
         "code_search_dismax": code_search_dismax,
+        # count-min-sketch term counts (additive mergeable sketch;
+        # deterministic md5 cells make the ESTIMATES oracle-checkable) — new
+        "cms_counts": lambda sf_dir: textstats.cms_counts(
+            sf_dir, CMS_PROBE_TERMS),
         # integer-cents money sums (engine + oracle changed this round)
         "tpch_q1": relational.tpch_q1,
         # unsharded full-engine entries: their shared ORACLE kernels
@@ -1579,6 +1589,27 @@ def oracle_sql() -> dict[str, str]:
             FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
                     LEFT JOIN s3 ON s1.user_id = s3.user_id
             ORDER BY s1.user_id
+        """,
+        "cms_counts": f"""
+            WITH toks AS (SELECT unnest({TOK_SQL}) AS term FROM documents),
+            dd(d) AS (VALUES (0), (1), (2), (3)),
+            cells AS (
+              SELECT dd.d,
+                     md5_number_lower(concat(dd.d, ':', t.term)) % 1024
+                       AS cell,
+                     count(*)::BIGINT AS cnt
+              FROM toks t CROSS JOIN dd GROUP BY 1, 2),
+            p(term) AS (VALUES {", ".join(f"('{t}')"
+                                          for t in CMS_PROBE_TERMS)}),
+            probe AS (
+              SELECT p.term, dd.d,
+                     md5_number_lower(concat(dd.d, ':', p.term)) % 1024
+                       AS cell
+              FROM p CROSS JOIN dd)
+            SELECT pr.term, min(coalesce(c.cnt, 0))::BIGINT AS est_count
+            FROM probe pr
+            LEFT JOIN cells c ON c.d = pr.d AND c.cell = pr.cell
+            GROUP BY pr.term ORDER BY pr.term
         """,
         "distinct_sketch": f"""
             WITH toks AS (SELECT source, unnest({TOK_SQL}) AS term

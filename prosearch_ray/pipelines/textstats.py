@@ -379,3 +379,86 @@ def distinct_sketch(sf_dir: str, k: int = SKETCH_K) -> pa.Table:
         "kth_hash": pa.array(out_hk, pa.uint64()),
         "est_distinct": pa.array(out_est, pa.float64()),
     }).sort_by("source")
+
+
+CMS_WIDTH = 1024   # cells per hash row
+CMS_DEPTH = 4      # independent hash rows
+
+
+def cms_counts(sf_dir: str, probe_terms, width: int = CMS_WIDTH,
+               depth: int = CMS_DEPTH) -> pa.Table:
+    """Count-min-sketch term-frequency estimates (Cormode & Muthukrishnan
+    2005) — the ADDITIVE mergeable sketch next to the KMV distinct sketch
+    (``distinct_sketch``): a fixed (depth x width) counter grid where row d
+    buckets a term at ``md5_number_lower(d || ':' || term) % width``, and a
+    term's estimate is the MIN of its ``depth`` cells.  Estimates
+    overestimate only (collisions add, never subtract): est >= true count,
+    with error <= 2 * total_tokens / width at 1 - (1/2)^depth probability.
+    The md5 convention makes every cell and estimate deterministic, so the
+    DuckDB oracle replicates the ESTIMATES exactly — the sketch itself is
+    verified, not a tolerance band.
+
+    Scale shape: per-batch partials scatter-add token counts into a local
+    (depth x width) grid (one md5 per distinct term per row — terms
+    dict-encode first), each batch emits <= depth * width (d, cell, cnt)
+    rows, and grids MERGE BY ADDITION — associative, commutative, bounded
+    state (depth*width cells regardless of corpus size), the map-side
+    combiner shape that at 100 TB needs no vocabulary-sized shuffle at
+    all."""
+    import hashlib
+
+    docs = read(sf_dir, "documents", columns=["text"])
+    w, dth = int(width), int(depth)
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _doc_of, _n = _split_tokens(t.column("text"))
+        enc = flat.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        nd = len(enc.dictionary)
+        if not nd:
+            return pa.table({"d": pa.array([], pa.int32()),
+                             "cell": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        term_counts = np.bincount(codes, minlength=nd)
+        terms = enc.dictionary.to_pylist()
+        out_d, out_cell, out_cnt = [], [], []
+        for d in range(dth):
+            hv = np.fromiter(
+                (int.from_bytes(
+                    hashlib.md5(f"{d}:{s}".encode()).digest()[8:], "little")
+                 for s in terms),
+                dtype=np.uint64, count=nd)
+            cells = (hv % np.uint64(w)).astype(np.int64)
+            grid = np.zeros(w, dtype=np.int64)
+            np.add.at(grid, cells, term_counts)
+            nz = np.flatnonzero(grid)
+            out_d.append(np.full(len(nz), d, dtype=np.int32))
+            out_cell.append(nz)
+            out_cnt.append(grid[nz])
+        return pa.table({"d": pa.array(np.concatenate(out_d)),
+                         "cell": pa.array(np.concatenate(out_cell)),
+                         "cnt": pa.array(np.concatenate(out_cnt))})
+
+    grid = np.zeros((dth, w), dtype=np.int64)
+    for b in docs.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        # sketch merge = addition: bounded (depth x width) state.  add.at,
+        # not fancy +=: iter_batches re-chunks rows, so one batch can carry
+        # the SAME (d, cell) from two map partials — buffered fancy
+        # indexing would apply only one of them
+        np.add.at(grid, (b.column("d").to_numpy(),
+                         b.column("cell").to_numpy()),
+                  b.column("cnt").to_numpy())
+
+    import hashlib as _h
+    terms = list(probe_terms)
+    ests = []
+    for s in terms:
+        cells = [int.from_bytes(_h.md5(f"{d}:{s}".encode()).digest()[8:],
+                                "little") % w for d in range(dth)]
+        ests.append(int(min(grid[d, c] for d, c in enumerate(cells))))
+    return pa.table({"term": pa.array(terms, pa.string()),
+                     "est_count": pa.array(ests, pa.int64())}
+                    ).sort_by("term")

@@ -807,6 +807,39 @@ def test_distinct_sketch_exact_semantics_and_accuracy():
             assert abs(est - true) / true < 0.5
 
 
+def test_cms_counts_overestimates_and_converges():
+    """Count-min sketch invariants: estimates never UNDERestimate (cells
+    only add), a very wide sketch is collision-free on this corpus (est ==
+    true count, absent term == 0), and the default-width sketch is
+    deterministic across runs."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from prosearch_ray.pipelines.textstats import cms_counts
+
+    probes = ("batch", "merge", "table", "zzznothing")
+    t = pq.read_table(SF + "/documents.parquet", columns=["text"])
+    true = {p: 0 for p in probes}
+    for txt in t.column("text").to_pylist():
+        for w in re.split(r"[^a-z0-9]+", txt.lower()):
+            if w in true:
+                true[w] += 1
+
+    got = cms_counts(SF, probes).to_pandas().set_index("term")["est_count"]
+    for p in probes:
+        assert got[p] >= true[p], p
+    # wide sketch: no collisions left -> exact, including the absent term
+    wide = cms_counts(SF, probes, width=1 << 20).to_pandas().set_index(
+        "term")["est_count"]
+    for p in probes:
+        assert wide[p] == true[p], p
+    assert wide["zzznothing"] == 0
+    # deterministic: same grid, same estimates
+    again = cms_counts(SF, probes).to_pandas().set_index("term")["est_count"]
+    assert (got == again).all()
+
+
 def test_funnel_stages_greedy_semantics():
     """Earliest-greedy funnel must match a single-process recomputation:
     first 'view', first 'click' strictly after it, first 'purchase'
