@@ -529,17 +529,20 @@ def code_search_topk(sf_dir: str) -> Any:
 # BooleanQuery::with_minimum_required_clauses (docs matching >= 2 of the 3
 # terms); qid 4 exercises QueryParser field scoping (body:-scoped term OR a
 # title:-scoped term — '0000007' is a doc_key path token, so the title
-# clause matches exactly the docs whose key carries that digit run)
+# clause matches exactly the docs whose key carries that digit run);
+# qid 5 exercises QueryParser ^boost syntax (2.5 — the serve path's
+# tech-term boost value, applied here through the raw-CLI surface)
 OR_QUERIES = (("table scan", 0), ("hash value merge", 0),
               ("sort zzznothing", 0), ("hash merge scan", 2),
-              ("body:table title:0000007", 0))
-OR_QTERMS = ("(0, 'table', 'both'), (0, 'scan', 'both'), "
-             "(1, 'hash', 'both'), (1, 'value', 'both'), "
-             "(1, 'merge', 'both'), (2, 'sort', 'both'), "
-             "(2, 'zzznothing', 'both'), (3, 'hash', 'both'), "
-             "(3, 'merge', 'both'), (3, 'scan', 'both'), "
-             "(4, 'table', 'body'), (4, '0000007', 'title')")
-OR_MSM_VALS = "(0, 1), (1, 1), (2, 1), (3, 2), (4, 1)"
+              ("body:table title:0000007", 0), ("merge^2.5 table", 0))
+OR_QTERMS = ("(0, 'table', 'both', 1.0), (0, 'scan', 'both', 1.0), "
+             "(1, 'hash', 'both', 1.0), (1, 'value', 'both', 1.0), "
+             "(1, 'merge', 'both', 1.0), (2, 'sort', 'both', 1.0), "
+             "(2, 'zzznothing', 'both', 1.0), (3, 'hash', 'both', 1.0), "
+             "(3, 'merge', 'both', 1.0), (3, 'scan', 'both', 1.0), "
+             "(4, 'table', 'body', 1.0), (4, '0000007', 'title', 1.0), "
+             "(5, 'merge', 'both', 2.5), (5, 'table', 'both', 1.0)")
+OR_MSM_VALS = "(0, 1), (1, 1), (2, 1), (3, 2), (4, 1), (5, 1)"
 
 
 def code_search_or_topk_sharded(sf_dir: str) -> Any:
@@ -2139,7 +2142,7 @@ def oracle_sql() -> dict[str, str]:
         msm_vals=OR_MSM_VALS, tiebreak="key")
     d["code_search_dismax"] = _code_search_sql(
         conjunctive=False,
-        qterms=", ".join(f"({qid}, '{t}', 'both')"
+        qterms=", ".join(f"({qid}, '{t}', 'both', 1.0)"
                          for qid, terms in DISMAX_QTERMS.items()
                          for t in terms),
         qterms_fld=True,
@@ -2327,10 +2330,13 @@ FROM aggd ORDER BY qid, n_docs DESC, doc_lang
 
 def _term_contrib_sql() -> str:
     """One query term's BM25 contribution to one doc (body + title parts,
-    added as ONE expression — the engine's LUT gather does the same single
-    addition), with field scoping: a clause restricted to one field keeps
-    only that field's branch (searcher._match_terms_field)."""
-    return """(
+    added as ONE expression then multiplied by the clause boost — the
+    engine's LUT gather does the same single addition and multiply,
+    searcher._term_scores), with field scoping: a clause restricted to one
+    field keeps only that field's branch (searcher._match_terms_field).
+    boost=1.0 is an exact identity (x * 1.0 == x in IEEE), so unboosted
+    entries are bit-unchanged."""
+    return """((
            CASE WHEN c.tf > 0 AND c.fld <> 'title' THEN
              ln(1 + ((SELECT n FROM stats) - d.df_b + 0.5) / (d.df_b + 0.5))
              * (c.tf * 2.2 / (c.tf + 1.2 * (0.25 + 0.75 * nm.qlen_b
@@ -2340,7 +2346,7 @@ def _term_contrib_sql() -> str:
              ln(1 + ((SELECT n FROM stats) - d.df_t + 0.5) / (d.df_t + 0.5))
              * (2.2 / (1 + 1.2 * (0.25 + 0.75 * nm.qlen_t
                  / (SELECT avgdl_t FROM stats)))) * 1.5
-           ELSE 0 END)"""
+           ELSE 0 END) * c.boost)"""
 
 
 def _combine_sql(dismax: bool) -> str:
@@ -2419,11 +2425,11 @@ ids AS (
         mm_block += f"\ndt(qid, tie) AS (VALUES {dismax_tie_vals}),"
     if mlt_src_ids is None:
         if qterms_fld:
-            q_block = f"""q(qid, term, fld) AS (VALUES {qterms}),{mm_block}
+            q_block = f"""q(qid, term, fld, boost) AS (VALUES {qterms}),{mm_block}
 nq AS (SELECT qid, count(*)::BIGINT AS n_terms FROM q GROUP BY 1),"""
         else:
             q_block = f"""q0(qid, term) AS (VALUES {qterms}),
-q AS (SELECT qid, term, 'both' AS fld FROM q0),{mm_block}
+q AS (SELECT qid, term, 'both' AS fld, 1.0 AS boost FROM q0),{mm_block}
 nq AS (SELECT qid, count(*)::BIGINT AS n_terms FROM q GROUP BY 1),"""
     else:
         # more-like-this: query terms are the source doc's top-3 body tokens
@@ -2432,7 +2438,7 @@ nq AS (SELECT qid, count(*)::BIGINT AS n_terms FROM q GROUP BY 1),"""
                              for i, sid in enumerate(mlt_src_ids))
         q_block = f"""srcq(qid, sid) AS (VALUES {src_vals}),
 srcdoc AS (SELECT s.qid, i.doc FROM srcq s JOIN ids i ON i.src_id = s.sid),
-q AS (SELECT qid, tok AS term, 'both' AS fld FROM (
+q AS (SELECT qid, tok AS term, 'both' AS fld, 1.0 AS boost FROM (
         SELECT sd.qid, b.tok,
                row_number() OVER (PARTITION BY sd.qid
                                   ORDER BY count(*) DESC, b.tok) AS rn
@@ -2477,7 +2483,7 @@ df AS (
   FROM (SELECT DISTINCT term FROM q)
 ),
 contrib AS (
-  SELECT q.qid, i.doc, q.term, q.fld,
+  SELECT q.qid, i.doc, q.term, q.fld, q.boost,
          coalesce(f.tf, 0) AS tf,
          (t.doc IS NOT NULL) AS in_title
   FROM q

@@ -1458,7 +1458,7 @@ class IndexSearcher:
             scores += self._term_scores(tp, pos, boost)
         return cand, scores
 
-    def _match_terms_field(self, terms, field: str):
+    def _match_terms_field(self, terms, field: str, boost: float = 1.0):
         """Field-scoped conjunctive term match (QueryParser ``title:foo`` /
         ``body:foo``): docs must contain every term IN THAT FIELD, scored by
         that field's BM25 component only — term statistics (df, avgdl,
@@ -1494,15 +1494,21 @@ class IndexSearcher:
             tp = postings[t]
             if field == "title":
                 idf_t = scoring.idf([tp.df_title], self.score_n_docs)[0]
-                scores += (idf_t * scoring.tf_factor(
+                contrib = (idf_t * scoring.tf_factor(
                     1.0, self.norm_title[cand], self.avgdl_title)
                     * scoring.TITLE_BOOST)
             else:
                 pos = np.searchsorted(tp.doc_ids, cand)
                 idf_b = scoring.idf([tp.df_body], self.score_n_docs)[0]
-                scores += (idf_b * scoring.tf_factor(
+                contrib = (idf_b * scoring.tf_factor(
                     tp.tfs[pos].astype(np.float64), self.norm_body[cand],
                     self.avgdl_body) * scoring.BODY_BOOST)
+            if boost != 1.0:
+                # per-term, like _match_terms_full: the clause score is a
+                # sum of BOOSTED contributions (matches the oracle's
+                # per-row multiply before its ordered sum)
+                contrib = contrib * boost
+            scores += contrib
         return cand, scores
 
     def search_dismax(self, query: str, k: int = scoring.DEFAULT_K,
@@ -1568,7 +1574,8 @@ class IndexSearcher:
 
     def _match_phrase_full(self, text: str, df_override: Optional[int] = None,
                            collect_dfs: Optional[dict] = None,
-                           cache: Optional[dict] = None):
+                           cache: Optional[dict] = None,
+                           boost: float = 1.0):
         """Full phrase match: (sorted doc_ids, phrase BM25 scores).
 
         ``df_override`` replaces the locally-observed phrase df in the idf
@@ -1594,6 +1601,8 @@ class IndexSearcher:
         scores = (scoring.idf([df_p], self.score_n_docs)[0]
                   * scoring.tf_factor(tfs.astype(np.float64),
                                       self.norm_body[ids], self.avgdl_body))
+        if boost != 1.0:
+            scores = scores * boost
         return ids, scores
 
     _RAW_CLAUSE_RE = None  # compiled lazily (module import order)
@@ -1605,25 +1614,31 @@ class IndexSearcher:
         ``+term`` must, ``-term`` must-not, ``"a b"`` phrase, bare terms
         should (OR), ``title:term`` / ``body:term`` field-scoped terms
         (QueryParser field syntax; an unknown field prefix stays literal
-        text — the lenient contract).  Returns [(occur, kind, text, field)]
-        with occur in {'must','must_not','should'}, kind in
-        {'term','phrase'} and field in {None,'title','body'} (None = the
-        two default fields).  The PRODUCT path neutralizes this syntax
+        text — the lenient contract), and ``term^2.5`` / ``"a b"^2``
+        clause boosts (QueryParser boost syntax; the boost multiplies the
+        clause's BM25 contribution).  Returns [(occur, kind, text, field,
+        boost)] with occur in {'must','must_not','should'}, kind in
+        {'term','phrase'}, field in {None,'title','body'} (None = the
+        two default fields) and boost a float (1.0 when absent).  The
+        PRODUCT path neutralizes this syntax
         (serve.rs:270-299) — search() keeps those semantics; search_raw()
         is the CLI-parity surface."""
         import re
 
         out = []
         for m in re.finditer(
-                r'([+-]?)(?:(title|body):)?("([^"]*)"|\S+)', query):
-            sign, field, body, quoted = (m.group(1), m.group(2),
-                                         m.group(3), m.group(4))
+                r'([+-]?)(?:(title|body):)?'
+                r'("([^"]*)"|(?:[^\s^"]|\^(?!\d))+)'
+                r'(?:\^(\d+(?:\.\d+)?))?', query):
+            sign, field, body, quoted, boost = (
+                m.group(1), m.group(2), m.group(3), m.group(4), m.group(5))
             occur = {"+": "must", "-": "must_not"}.get(sign, "should")
+            b = float(boost) if boost is not None else 1.0
             if quoted is not None:
                 if quoted.strip():
-                    out.append((occur, "phrase", quoted, field))
+                    out.append((occur, "phrase", quoted, field, b))
             else:
-                out.append((occur, "term", body, field))
+                out.append((occur, "term", body, field, b))
         return out
 
     def search_raw(self, query: str, k: int = scoring.DEFAULT_K,
@@ -1658,7 +1673,7 @@ class IndexSearcher:
         if not clauses:
             return empty
 
-        def eval_clause(kind, text, field):
+        def eval_clause(kind, text, field, boost):
             if kind == "phrase":
                 if field == "title":
                     # record: basic (meta.json:13) — no positions on title;
@@ -1669,19 +1684,20 @@ class IndexSearcher:
                       if phrase_df_overrides else None)
                 return self._match_phrase_full(
                     text, df_override=ov, collect_dfs=collect_phrase_dfs,
-                    cache=phrase_cache)
+                    cache=phrase_cache, boost=boost)
             if field is not None:
-                return self._match_terms_field(tokenize(text), field)
-            return self._match_terms_full(tokenize(text))
+                return self._match_terms_field(tokenize(text), field,
+                                               boost=boost)
+            return self._match_terms_full(tokenize(text), boost=boost)
 
         musts, shoulds, nots = [], [], []
-        for occur, kind, text, field in clauses:
+        for occur, kind, text, field, boost in clauses:
             if occur == "must_not":
-                nots.append(eval_clause(kind, text, field)[0])
+                nots.append(eval_clause(kind, text, field, boost)[0])
             elif occur == "must":
-                musts.append(eval_clause(kind, text, field))
+                musts.append(eval_clause(kind, text, field, boost))
             else:
-                shoulds.append(eval_clause(kind, text, field))
+                shoulds.append(eval_clause(kind, text, field, boost))
 
         msm = int(min_should_match)
         if msm > len(shoulds):

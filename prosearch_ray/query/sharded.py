@@ -149,7 +149,7 @@ class _ShardWorker:
 
         cache: dict = {}
         dfs: dict = {}
-        for _, kind, text, _fld in IndexSearcher.parse_raw_query(query):
+        for _, kind, text, _fld, _b in IndexSearcher.parse_raw_query(query):
             if kind == "phrase" and text not in dfs:
                 r = (cache[text] if text in cache
                      else self.s._phrase_ids_tfs(text))
@@ -398,7 +398,7 @@ class ShardedSearcher:
 
         clauses = IndexSearcher.parse_raw_query(query)
         overrides = None
-        if any(kind == "phrase" for _, kind, _, _ in clauses):
+        if any(kind == "phrase" for _, kind, _, _, _ in clauses):
             overrides = {}
             for d in ray.get([a.raw_phrase_dfs.remote(query)
                               for a in self.actors]):

@@ -43,19 +43,28 @@ def test_parse_raw_query():
     from prosearch_ray.query.searcher import IndexSearcher
 
     got = IndexSearcher.parse_raw_query('+must -not "a phrase" bare')
-    assert got == [("must", "term", "must", None),
-                   ("must_not", "term", "not", None),
-                   ("should", "phrase", "a phrase", None),
-                   ("should", "term", "bare", None)]
+    assert got == [("must", "term", "must", None, 1.0),
+                   ("must_not", "term", "not", None, 1.0),
+                   ("should", "phrase", "a phrase", None, 1.0),
+                   ("should", "term", "bare", None, 1.0)]
     # QueryParser field syntax: title:/body: scope a clause to one field;
     # unknown field prefixes stay literal text (lenient contract)
     got2 = IndexSearcher.parse_raw_query(
         'title:foo +body:bar -title:baz body:"a b" other:qux')
-    assert got2 == [("should", "term", "foo", "title"),
-                    ("must", "term", "bar", "body"),
-                    ("must_not", "term", "baz", "title"),
-                    ("should", "phrase", "a b", "body"),
-                    ("should", "term", "other:qux", None)]
+    assert got2 == [("should", "term", "foo", "title", 1.0),
+                    ("must", "term", "bar", "body", 1.0),
+                    ("must_not", "term", "baz", "title", 1.0),
+                    ("should", "phrase", "a b", "body", 1.0),
+                    ("should", "term", "other:qux", None, 1.0)]
+    # QueryParser boost syntax: term^N / "phrase"^N / field-scoped + boost;
+    # a non-numeric '^' stays inside the term text (lenient contract)
+    got3 = IndexSearcher.parse_raw_query(
+        'foo^2.5 +title:bar^3 "a b"^2 odd^x plain')
+    assert got3 == [("should", "term", "foo", None, 2.5),
+                    ("must", "term", "bar", "title", 3.0),
+                    ("should", "phrase", "a b", None, 2.0),
+                    ("should", "term", "odd^x", None, 1.0),
+                    ("should", "term", "plain", None, 1.0)]
 
 
 def test_bare_terms_are_or(raw_index):
@@ -147,6 +156,35 @@ def test_field_scoped_clauses(raw_index):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         s.search_raw('title:"alpha beta"', 10)
+
+
+def test_clause_boost(raw_index):
+    """^boost multiplies the clause's BM25 contribution exactly: a
+    single-clause boosted query scores boost x the unboosted scores; in a
+    multi-clause query only the boosted clause scales; phrase and
+    field-scoped clauses boost the same way."""
+    import numpy as np
+
+    s = raw_index
+    ids, scs = s.search_raw("alpha", 10)
+    bids, bscs = s.search_raw("alpha^2.5", 10)
+    assert np.array_equal(ids, bids)
+    assert np.array_equal(np.asarray(scs) * 2.5, bscs)
+    # multi-clause: boosted(beta) + plain(alpha) == per-doc sum of parts
+    a = {int(i): float(x) for i, x in zip(*s.search_raw("alpha", 10))}
+    b = {int(i): float(x) for i, x in zip(*s.search_raw("beta^3", 10))}
+    for i, x in zip(*s.search_raw("alpha beta^3", 10)):
+        assert float(x) == a.get(int(i), 0.0) + b.get(int(i), 0.0)
+    # phrase boost
+    pids, pscs = s.search_raw('"exact phrase"', 10)
+    qids, qscs = s.search_raw('"exact phrase"^2', 10)
+    assert np.array_equal(pids, qids)
+    assert np.array_equal(np.asarray(pscs) * 2.0, qscs)
+    # field-scoped boost
+    fids, fscs = s.search_raw("title:3", 10)
+    gids, gscs = s.search_raw("title:3^4", 10)
+    assert np.array_equal(fids, gids)
+    assert np.array_equal(np.asarray(fscs) * 4.0, gscs)
 
 
 def test_search_dismax(raw_index):
