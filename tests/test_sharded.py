@@ -702,6 +702,16 @@ def test_search_raw_matches_unsharded(both_indexes):
         m.shutdown()
 
 
+def test_auto_shard_parallelism_single_node(ray_session):
+    """The node-aware co-scheduling default resolves to the measured
+    single-box optimum (2) on a one-node session, and scales with node
+    count on a real cluster (floor 2, capped at num_shards by the
+    caller)."""
+    from prosearch_ray.index.sharded import _auto_shard_parallelism
+
+    assert _auto_shard_parallelism() == 2
+
+
 def test_more_shards_than_cpus_schedules(ray_session, tmp_path):
     """S shard actors each pinning num_cpus=1 on a node with fewer than S
     cores can never all schedule and the first ray.get blocks forever
