@@ -596,7 +596,11 @@ def code_search_or_topk(sf_dir: str) -> Any:
 
 # count-min-sketch probes: common, mid, rare and ABSENT terms (an absent
 # term's estimate is whatever its min cell collided to — still exact vs
-# the oracle, the point of deterministic md5 cells)
+# the oracle, the point of deterministic md5 cells).  Width/depth are
+# imported from the engine so the oracle can never desynchronize.
+from prosearch_ray.pipelines.textstats import (CMS_DEPTH as _CMS_DEPTH,
+                                               CMS_WIDTH as _CMS_WIDTH)
+
 CMS_PROBE_TERMS = ("batch", "hash", "merge", "scan", "table", "zzznothing")
 
 
@@ -1601,19 +1605,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cms_counts": f"""
             WITH toks AS (SELECT unnest({TOK_SQL}) AS term FROM documents),
-            dd(d) AS (VALUES (0), (1), (2), (3)),
+            dd(d) AS (VALUES {", ".join(f"({d})"
+                                        for d in range(_CMS_DEPTH))}),
             cells AS (
               SELECT dd.d,
-                     md5_number_lower(concat(dd.d, ':', t.term)) % 1024
-                       AS cell,
+                     md5_number_lower(concat(dd.d, ':', t.term))
+                       % {_CMS_WIDTH} AS cell,
                      count(*)::BIGINT AS cnt
               FROM toks t CROSS JOIN dd GROUP BY 1, 2),
             p(term) AS (VALUES {", ".join(f"('{t}')"
                                           for t in CMS_PROBE_TERMS)}),
             probe AS (
               SELECT p.term, dd.d,
-                     md5_number_lower(concat(dd.d, ':', p.term)) % 1024
-                       AS cell
+                     md5_number_lower(concat(dd.d, ':', p.term))
+                       % {_CMS_WIDTH} AS cell
               FROM p CROSS JOIN dd)
             SELECT pr.term, min(coalesce(c.cnt, 0))::BIGINT AS est_count
             FROM probe pr

@@ -1241,18 +1241,26 @@ def _fused_corpus_spill(source: str, root: str, num_shards: int,
             "dedup_sec": round(t_end - t_map, 3)}
 
 
+_CPUS_PER_BUILD = 8  # the measured knee: a build pipeline below ~8 cores
+#                      pays more in stage barriers than co-scheduling buys
+
+
 def _auto_shard_parallelism() -> int:
-    """Node-aware default for co-scheduled shard builds: one concurrent
-    build pipeline per alive Ray node, floor 2 (the single-box measured
-    optimum — one build's barrier overlaps the other's compute without
-    oversubscribing).  On an N-node cluster this keeps all N nodes busy
-    across per-build barriers; the per-build Ray Data stages themselves
-    already span the whole cluster, so this is overlap, not placement."""
+    """Cluster-aware default for co-scheduled shard builds: one concurrent
+    build pipeline per alive Ray node, CAPPED so each pipeline still has
+    ~_CPUS_PER_BUILD cores (node count alone would recreate the
+    oversubscription this default exists to avoid — e.g. 4 small 2-CPU
+    nodes must not run 4 cluster-spanning pipelines over 8 cores), floor 2
+    (the single-box measured optimum — one build's barrier overlaps the
+    other's compute).  The per-build Ray Data stages themselves already
+    span the whole cluster, so this is overlap, not placement."""
     try:
         n_nodes = sum(1 for n in ray.nodes() if n.get("Alive"))
+        total_cpus = int(ray.cluster_resources().get("CPU", 0))
     except Exception:
-        n_nodes = 1
-    return max(2, n_nodes)
+        n_nodes, total_cpus = 1, 0
+    width_cap = max(1, total_cpus // _CPUS_PER_BUILD) if total_cpus else 1
+    return max(2, min(n_nodes, width_cap))
 
 
 def build_sharded_index(

@@ -452,11 +452,10 @@ def cms_counts(sf_dir: str, probe_terms, width: int = CMS_WIDTH,
                          b.column("cell").to_numpy()),
                   b.column("cnt").to_numpy())
 
-    import hashlib as _h
     terms = list(probe_terms)
     ests = []
     for s in terms:
-        cells = [int.from_bytes(_h.md5(f"{d}:{s}".encode()).digest()[8:],
+        cells = [int.from_bytes(hashlib.md5(f"{d}:{s}".encode()).digest()[8:],
                                 "little") % w for d in range(dth)]
         ests.append(int(min(grid[d, c] for d, c in enumerate(cells))))
     return pa.table({"term": pa.array(terms, pa.string()),

@@ -1605,8 +1605,6 @@ class IndexSearcher:
             scores = scores * boost
         return ids, scores
 
-    _RAW_CLAUSE_RE = None  # compiled lazily (module import order)
-
     @staticmethod
     def parse_raw_query(query: str):
         """Parse the raw-CLI syntax (tantivy QueryParser subset the
@@ -1626,18 +1624,25 @@ class IndexSearcher:
         import re
 
         out = []
+        # token grammar matches the pre-boost parser exactly (quoted phrase
+        # else \S+ — stray quotes/carets INSIDE a token stay literal); the
+        # boost is an optional ^FLOAT strictly at token end, recognized on
+        # the quoted form here and split off unquoted terms below
         for m in re.finditer(
                 r'([+-]?)(?:(title|body):)?'
-                r'("([^"]*)"|(?:[^\s^"]|\^(?!\d))+)'
-                r'(?:\^(\d+(?:\.\d+)?))?', query):
+                r'("([^"]*)"(?:\^(\d+(?:\.\d+)?)(?=\s|$))?|\S+)', query):
             sign, field, body, quoted, boost = (
                 m.group(1), m.group(2), m.group(3), m.group(4), m.group(5))
             occur = {"+": "must", "-": "must_not"}.get(sign, "should")
-            b = float(boost) if boost is not None else 1.0
             if quoted is not None:
+                b = float(boost) if boost is not None else 1.0
                 if quoted.strip():
                     out.append((occur, "phrase", quoted, field, b))
             else:
+                b = 1.0
+                tb = re.fullmatch(r'(.+?)\^(\d+(?:\.\d+)?)', body)
+                if tb is not None:
+                    body, b = tb.group(1), float(tb.group(2))
                 out.append((occur, "term", body, field, b))
         return out
 
@@ -1649,10 +1654,12 @@ class IndexSearcher:
                    min_should_match: int = 0
                    ) -> Tuple[np.ndarray, np.ndarray]:
         """Raw-syntax search: +must / -must_not / "phrase" / bare-OR /
-        ``title:``/``body:`` field-scoped terms, scored by summed clause
-        BM25 (boost set not applied — that is the serve path's rewrite).
-        Returns (doc_ids, scores) rank-ordered; the live match count lands
-        in ``last_count``.
+        ``title:``/``body:`` field-scoped terms / ``^N`` clause boosts,
+        scored by summed clause BM25.  Explicit ``^N`` boosts ARE honored
+        (they multiply the clause's contribution); the serve path's
+        TECH-TERM boost SET is not applied here — that rewrite belongs to
+        the product path (serve.rs:362-369).  Returns (doc_ids, scores)
+        rank-ordered; the live match count lands in ``last_count``.
 
         ``min_should_match`` (tantivy
         BooleanQuery::with_minimum_required_clauses / Lucene
@@ -1671,6 +1678,12 @@ class IndexSearcher:
         clauses = self.parse_raw_query(query)
         empty = (np.empty(0, np.int64), np.empty(0, np.float64))
         if not clauses:
+            return empty
+        msm = int(min_should_match)
+        # can-never-match short-circuit BEFORE clause evaluation: a phrase
+        # clause's first-touch position decode is seconds at scale — don't
+        # pay it for a degenerate threshold
+        if msm > sum(1 for occ, _, _, _, _ in clauses if occ == "should"):
             return empty
 
         def eval_clause(kind, text, field, boost):
@@ -1699,9 +1712,6 @@ class IndexSearcher:
             else:
                 shoulds.append(eval_clause(kind, text, field, boost))
 
-        msm = int(min_should_match)
-        if msm > len(shoulds):
-            return empty
         if musts:
             cand = musts[0][0]
             for ids, _ in musts[1:]:

@@ -397,6 +397,13 @@ class ShardedSearcher:
         from prosearch_ray.query.searcher import IndexSearcher
 
         clauses = IndexSearcher.parse_raw_query(query)
+        # validate title-scoped phrases DRIVER-side: the unsharded path
+        # raises before any evaluation, and phase 1 would otherwise pay
+        # each shard's positional first-touch before failing in the actors
+        if any(kind == "phrase" and fld == "title"
+               for _, kind, _, fld, _ in clauses):
+            raise ValueError(
+                "phrase query on 'title': field has no positions")
         overrides = None
         if any(kind == "phrase" for _, kind, _, _, _ in clauses):
             overrides = {}

@@ -65,6 +65,13 @@ def test_parse_raw_query():
                     ("should", "phrase", "a b", None, 2.0),
                     ("should", "term", "odd^x", None, 1.0),
                     ("should", "term", "plain", None, 1.0)]
+    # token grammar stays the pre-boost \S+: a mid-token ^digits run or a
+    # stray quote does NOT split the token (only a ^FLOAT strictly at
+    # token end is a boost)
+    got4 = IndexSearcher.parse_raw_query('foo^2bar say"hello x^^3')
+    assert got4 == [("should", "term", "foo^2bar", None, 1.0),
+                    ("should", "term", 'say"hello', None, 1.0),
+                    ("should", "term", "x^", None, 3.0)]
 
 
 def test_bare_terms_are_or(raw_index):

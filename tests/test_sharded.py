@@ -688,6 +688,11 @@ def test_search_raw_matches_unsharded(both_indexes):
             mkeys, mscores = m.search_raw(q, 10)
             _compare(skeys, list(map(float, scs)), mkeys, mscores,
                      count_s, m.last_count)
+        # title-scoped phrases fail fast DRIVER-side (the unsharded path's
+        # ValueError, not a RayTaskError after phase-1 positional work)
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="title"):
+            m.search_raw('title:"merge hash"', 10)
         # dismax: per-doc combination, shard-additive counts
         for tie in (0.0, 0.35):
             ids, scs = s.search_dismax("merge hash alpha", 10,
