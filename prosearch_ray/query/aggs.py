@@ -21,10 +21,12 @@ and the sharded scatter-gather path:
       global min and max keys, avg = sum/count).
 
 Supported aggregation types (the subset of tantivy's agg_req that a typed
-columnar sidecar can answer): ``terms``, ``histogram``, ``range``,
-``stats``, ``avg``, ``min``, ``max``, ``sum``, ``value_count`` — each
-bucket agg accepts nested ``aggs`` recursively, exactly the request JSON
-shape tantivy accepts.
+columnar sidecar can answer): ``terms``, ``histogram``, ``date_histogram``
+(``fixed_interval`` over a timestamp fast field; bucket keys are exact
+int64 epoch-micro floors, reported as ES-style epoch-milli ``key`` +
+``key_as_string``), ``range``, ``stats``, ``avg``, ``min``, ``max``,
+``sum``, ``value_count`` — each bucket agg accepts nested ``aggs``
+recursively, exactly the request JSON shape tantivy accepts.
 """
 
 from __future__ import annotations
@@ -34,7 +36,22 @@ from typing import Dict, Optional, Sequence, Tuple
 import numpy as np
 
 _METRICS = ("stats", "avg", "min", "max", "sum", "value_count")
-_BUCKETS = ("terms", "histogram", "range")
+_BUCKETS = ("terms", "histogram", "range", "date_histogram")
+
+_INTERVAL_US = {"ms": 1000, "s": 10 ** 6, "m": 60 * 10 ** 6,
+                "h": 3600 * 10 ** 6, "d": 86400 * 10 ** 6}
+
+
+def _fixed_interval_us(s) -> int:
+    """Parse an elasticsearch/tantivy ``fixed_interval`` ("30s", "1d", …)
+    to microseconds (the sidecar's timestamp unit)."""
+    import re
+
+    m = re.fullmatch(r"(\d+)(ms|s|m|h|d)", str(s))
+    if not m or int(m.group(1)) == 0:
+        raise ValueError(
+            f"bad fixed_interval {s!r}: expected <N>(ms|s|m|h|d)")
+    return int(m.group(1)) * _INTERVAL_US[m.group(2)]
 
 
 def _parse_one(name: str, spec: dict) -> Tuple[str, dict, Optional[dict]]:
@@ -57,6 +74,8 @@ def _parse_one(name: str, spec: dict) -> Tuple[str, dict, Optional[dict]]:
         raise ValueError(f"aggregation {name!r}: metric aggs take no sub-aggs")
     if typ == "histogram" and not float(body.get("interval", 0)) > 0:
         raise ValueError(f"aggregation {name!r}: histogram needs interval>0")
+    if typ == "date_histogram":
+        _fixed_interval_us(body.get("fixed_interval", ""))  # validate early
     if typ == "range" and not body.get("ranges"):
         raise ValueError(f"aggregation {name!r}: range needs 'ranges'")
     return typ, body, sub
@@ -125,6 +144,17 @@ def agg_partial(ff: Dict[str, np.ndarray], cand: np.ndarray,
             offset = float(body.get("offset", 0.0))
             keys = (np.floor((vals.astype(np.float64) - offset) / interval)
                     * interval + offset)
+            segs = _bucket_segments(cand, keys)
+        elif typ == "date_histogram":
+            if vals.dtype.kind != "M":
+                raise ValueError(
+                    f"aggregation {name!r}: date_histogram needs a "
+                    "date/timestamp fast field")
+            iv = _fixed_interval_us(body["fixed_interval"])
+            epoch = vals.astype("datetime64[us]").astype(np.int64)
+            # int64 floor division: exact bucket keys (epoch micros),
+            # floors toward -inf for pre-1970 stamps like ES
+            keys = (epoch // iv) * iv
             segs = _bucket_segments(cand, keys)
         else:  # range: buckets keyed by range index (request order)
             v = vals.astype(np.float64)
@@ -222,6 +252,17 @@ def agg_finalize(aggs: dict, partial: dict) -> dict:
                 "sum_other_doc_count": sum(
                     b["doc_count"] for _, b in other),
             }
+        elif typ == "date_histogram":
+            iv = _fixed_interval_us(body["fixed_interval"])
+            rows = []
+            if buckets:
+                lo, hi = int(min(buckets)), int(max(buckets))
+                for k in range(lo, hi + 1, iv):  # gap-fill, exact int keys
+                    b = buckets.get(k, {"doc_count": 0})
+                    rows.append(_bucket_out(
+                        {"key": k // 1000,  # epoch millis, the ES wire unit
+                         "key_as_string": str(np.datetime64(k, "us"))}, b))
+            out[name] = {"buckets": rows}
         elif typ == "histogram":
             interval = float(body["interval"])
             rows = []

@@ -241,3 +241,40 @@ def test_date_field_aggregations(agg_index):
         s.aggregate("merge hash", {"x": {"sum": {"field": "day"}}})
     with pytest.raises(ValueError):
         s.aggregate("merge hash", {"x": {"avg": {"field": "day"}}})
+
+    # date_histogram (fixed_interval over the timestamp field): exact
+    # int64 epoch-micro bucket floors, ES-style epoch-milli keys,
+    # gap-filled between min and max, nested sub-aggs work
+    res = s.aggregate("merge hash", {
+        "per_2d": {"date_histogram": {"field": "day",
+                                      "fixed_interval": "2d"},
+                   "aggs": {"n": {"value_count": {"field": "day"}}}},
+    })
+    iv = 2 * 86400 * 10 ** 6
+    epoch = days.astype("datetime64[us]").astype(np.int64)
+    bkeys = (epoch // iv) * iv
+    uniq_b, counts_b = np.unique(bkeys, return_counts=True)
+    want = {int(k) // 1000: int(c) for k, c in zip(uniq_b, counts_b)}
+    got_rows = res["per_2d"]["buckets"]
+    got = {b["key"]: b["doc_count"] for b in got_rows}
+    assert {k: v for k, v in got.items() if v} == want
+    # gap-fill: keys advance by exactly the interval, zero-count gaps kept
+    keys_ms = [b["key"] for b in got_rows]
+    assert keys_ms == list(range(keys_ms[0], keys_ms[-1] + 1,
+                                 iv // 1000))
+    # nested metric equals the bucket count; key_as_string is the bucket
+    # start in ISO form
+    for b in got_rows:
+        assert b["n"]["value"] == b["doc_count"]
+        assert b["key_as_string"].startswith("2026-")
+    # non-date fields and bad intervals are rejected (the day-only sidecar
+    # rebuilt above no longer carries n_chars, so probe the kernel direct)
+    from prosearch_ray.query.aggs import agg_partial
+    with pytest.raises(ValueError, match="date/timestamp"):
+        agg_partial({"num": np.arange(5), "_valid": np.ones(5, bool)},
+                    np.arange(5),
+                    {"x": {"date_histogram": {"field": "num",
+                                              "fixed_interval": "1d"}}})
+    with pytest.raises(ValueError):
+        s.aggregate("merge hash", {"x": {"date_histogram": {
+            "field": "day", "fixed_interval": "0d"}}})
