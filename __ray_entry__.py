@@ -1196,6 +1196,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf_dir, CMS_PROBE_TERMS),
         # integer-cents money sums (engine + oracle changed this round)
         "tpch_q1": relational.tpch_q1,
+        # multi-join revenue rollup (TPC-H Q5 analog): the big-big
+        # lineitem⋈orders bucketed co-group showcase — new this round
+        "tpch_q5": relational.tpch_q5,
         # unsharded full-engine entries: their shared ORACLE kernels
         # changed this round (_expand_cte backref fix, ordered score
         # aggregation, phrase ranked-join rewrite) — graded fresh
@@ -1352,6 +1355,38 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_disc,
                    count(*)::BIGINT AS count_order
             FROM c GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q5": """
+            -- money in exact integer 1e-4 dollars end-to-end (see tpch_q1's
+            -- rationale); both engines sum associatively-exact int64 and
+            -- finalize with the same single double division
+            WITH reg_nations AS (
+                SELECT n_nationkey, n_name FROM nation
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA'
+            ),
+            o2 AS (
+                SELECT o_orderkey, c_nationkey FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate <  TIMESTAMP '1997-01-01'
+                  AND c_nationkey IN (SELECT n_nationkey FROM reg_nations)
+            ),
+            l2 AS (
+                SELECT l_orderkey, s_nationkey,
+                       round(l_extendedprice * 100.0)::BIGINT
+                           * (100 - round(l_discount * 100.0)::BIGINT)
+                           AS rev_e4
+                FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                WHERE s_nationkey IN (SELECT n_nationkey FROM reg_nations)
+            )
+            SELECT n.n_name,
+                   round(sum(l2.rev_e4)::DOUBLE / 10000.0, 2) AS revenue
+            FROM l2
+            JOIN o2 ON l2.l_orderkey = o2.o_orderkey
+                   AND l2.s_nationkey = o2.c_nationkey
+            JOIN reg_nations n ON n.n_nationkey = l2.s_nationkey
+            GROUP BY n.n_name
         """,
         "union_counts": """
             SELECT nationkey, count(*)::BIGINT AS n_members FROM (

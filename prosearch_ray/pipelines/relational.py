@@ -361,6 +361,198 @@ def join_orders_customers(sf_dir: str,
     return agg.map_batches(round_rev, batch_format="pyarrow")
 
 
+def tpch_q5(sf_dir: str, region_name: str = "ASIA",
+            date_lo: str = "1996-01-01", date_hi: str = "1997-01-01",
+            bcast_max: int = JOIN_BCAST_MAX_DIM_ROWS,
+            n_buckets: int = 64) -> "rd.Dataset":
+    """TPC-H Q5 analog: revenue per nation for one region + order-date year,
+    requiring supplier nation == customer nation — the multi-join rollup
+    shape (A6 family; the reference's crawl-state queries never exceed two
+    tables, so this is the engine's big-join showcase).
+
+    Scale plan (100 TB): nation/region are constant-size -> driver dicts;
+    supplier -> broadcast (suppkey, nationkey) arrays via ray.put (TPC-H
+    supplier is 10k rows/SF — at sizes beyond ``bcast_max`` it would take
+    the same bucketed fallback customer uses); customer⋈orders follows
+    ``join_orders_customers``'s dual path (broadcast below ``bcast_max``,
+    else ONE bounded-bucket co-group on hash(custkey)); the only
+    unavoidably big-big exchange — lineitem⋈orders — is ONE co-group on
+    hash(orderkey) % n_buckets whose buckets emit per-nation PARTIAL
+    revenue rows (never joined line rows).  Money is exact integer 1e-4
+    dollars end-to-end (see tpch_q1's rationale); partial sums use int64
+    np.add.at, immune to float order-dependence at any scale."""
+    from prosearch_ray.pipelines.dedup import _mix64
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    nation = read(sf_dir, "nation").take_all()
+    region = read(sf_dir, "region").take_all()
+    rkeys = {r["r_regionkey"] for r in region if r["r_name"] == region_name}
+    nat_name = {int(r["n_nationkey"]): r["n_name"] for r in nation
+                if r["n_regionkey"] in rkeys}
+    in_region = pa.array(sorted(nat_name), pa.int64())
+
+    supp = read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_nationkey"]).take_all()
+    sk = pa.array([int(r["s_suppkey"]) for r in supp], pa.int64())
+    sn = pa.array([int(r["s_nationkey"]) for r in supp], pa.int64())
+    supp_ref = bput((sk, sn, in_region))
+
+    nb = np.uint64(n_buckets)
+    orders = read(sf_dir, "orders",
+                  columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    cust_ds = read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    # ---- phase 1: orders (date-filtered) -> (o_orderkey, cust nationkey),
+    # customers restricted to the region ----
+    if cust_ds.count() <= bcast_max:
+        cust = cust_ds.take_all()
+        ck = pa.array([int(r["c_custkey"]) for r in cust], pa.int64())
+        cn = pa.array([int(r["c_nationkey"]) for r in cust], pa.int64())
+        cust_ref = bput((ck, cn, in_region))
+
+        def order_nat(t: pa.Table) -> pa.Table:
+            ckeys, cnats, reg = bget(cust_ref)
+            d = t.column("o_orderdate")
+            t = t.filter(pc.and_(pc.greater_equal(d, pa.scalar(lo)),
+                                 pc.less(d, pa.scalar(hi))))
+            pos = pc.index_in(pc.cast(t.column("o_custkey"), pa.int64()),
+                              value_set=ckeys)
+            nat = cnats.take(pos)
+            keep = pc.and_(pc.is_valid(nat), pc.is_in(nat, value_set=reg))
+            return pa.table({
+                "okey": pc.cast(t.column("o_orderkey"),
+                                pa.int64()).filter(keep),
+                "nat": nat.filter(keep)})
+
+        onat = orders.map_batches(order_nat, batch_format="pyarrow")
+    else:
+        def o_rows(t: pa.Table) -> pa.Table:
+            d = t.column("o_orderdate")
+            t = t.filter(pc.and_(pc.greater_equal(d, pa.scalar(lo)),
+                                 pc.less(d, pa.scalar(hi))))
+            k = pc.cast(t.column("o_custkey"), pa.int64()).to_numpy()
+            return pa.table({
+                "bkt": pa.array((_mix64(k) % nb).astype(np.int64), pa.int64()),
+                "kind": pa.array(np.ones(len(k), np.int8), pa.int8()),
+                "key": pa.array(k, pa.int64()),
+                "val": pc.cast(t.column("o_orderkey"), pa.int64())})
+
+        reg_set = in_region
+
+        def c_rows(t: pa.Table) -> pa.Table:
+            nat = pc.cast(t.column("c_nationkey"), pa.int64())
+            keep = pc.is_in(nat, value_set=reg_set)
+            t = t.filter(keep)
+            k = pc.cast(t.column("c_custkey"), pa.int64()).to_numpy()
+            return pa.table({
+                "bkt": pa.array((_mix64(k) % nb).astype(np.int64), pa.int64()),
+                "kind": pa.array(np.zeros(len(k), np.int8), pa.int8()),
+                "key": pa.array(k, pa.int64()),
+                "val": pc.cast(t.column("c_nationkey"), pa.int64())})
+
+        def cust_bucket(g: pa.Table) -> pa.Table:
+            kind = g.column("kind").to_numpy()
+            key = g.column("key").to_numpy()
+            val = g.column("val").to_numpy()
+            dm = kind == 0
+            dk, dn = key[dm], val[dm]
+            order = np.argsort(dk)
+            dk_s, dn_s = dk[order], dn[order]
+            ok, okey = key[~dm], val[~dm]
+            if not len(dk_s) or not len(ok):
+                return pa.table({"okey": pa.array([], pa.int64()),
+                                 "nat": pa.array([], pa.int64())})
+            pos = np.searchsorted(dk_s, ok)
+            pos_c = np.minimum(pos, len(dk_s) - 1)
+            hit = dk_s[pos_c] == ok
+            return pa.table({
+                "okey": pa.array(okey[hit], pa.int64()),
+                "nat": pa.array(dn_s[pos_c[hit]], pa.int64())})
+
+        onat = orders.map_batches(o_rows, batch_format="pyarrow").union(
+            cust_ds.map_batches(c_rows, batch_format="pyarrow")).groupby(
+            "bkt").map_groups(cust_bucket, batch_format="pyarrow")
+
+    # ---- phase 2: the big-big co-group on hash(orderkey) ----
+    def li_rows(t: pa.Table) -> pa.Table:
+        skeys, snats, reg = bget(supp_ref)
+        pos = pc.index_in(pc.cast(t.column("l_suppkey"), pa.int64()),
+                          value_set=skeys)
+        nat = snats.take(pos)
+        keep = pc.and_(pc.is_valid(nat), pc.is_in(nat, value_set=reg))
+        t = t.filter(keep)
+        nat = nat.filter(keep)
+        i64 = pa.int64()
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), pa.scalar(100.0))), i64)
+        disc_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), pa.scalar(100.0))), i64)
+        rev_e4 = pc.multiply(price_c,
+                             pc.subtract(pa.scalar(100, type=i64), disc_c))
+        k = pc.cast(t.column("l_orderkey"), pa.int64()).to_numpy()
+        return pa.table({
+            "bkt": pa.array((_mix64(k) % nb).astype(np.int64), pa.int64()),
+            "kind": pa.array(np.ones(len(k), np.int8), pa.int8()),
+            "key": pa.array(k, pa.int64()),
+            "nat": nat,
+            "rev": rev_e4})
+
+    def onat_rows(t: pa.Table) -> pa.Table:
+        k = t.column("okey").to_numpy()
+        return pa.table({
+            "bkt": pa.array((_mix64(k.astype(np.int64)) % nb
+                             ).astype(np.int64), pa.int64()),
+            "kind": pa.array(np.zeros(len(k), np.int8), pa.int8()),
+            "key": pa.array(k, pa.int64()),
+            "nat": t.column("nat"),
+            "rev": pa.array(np.zeros(len(k), np.int64), pa.int64())})
+
+    def rev_bucket(g: pa.Table) -> pa.Table:
+        """Per-nation int64 revenue partials — one row per nation per
+        bucket, never a joined line row."""
+        kind = g.column("kind").to_numpy()
+        key = g.column("key").to_numpy()
+        nat = g.column("nat").to_numpy()
+        om = kind == 0
+        ok, onatv = key[om], nat[om]
+        lk, lnat = key[~om], nat[~om]
+        lrev = g.column("rev").to_numpy()[~om]
+        if not len(ok) or not len(lk):
+            return pa.table({"nationkey": pa.array([], pa.int64()),
+                             "rev_p": pa.array([], pa.int64())})
+        order = np.argsort(ok)
+        ok_s, onat_s = ok[order], onatv[order]
+        pos = np.searchsorted(ok_s, lk)
+        pos_c = np.minimum(pos, len(ok_s) - 1)
+        hit = (ok_s[pos_c] == lk) & (onat_s[pos_c] == lnat)
+        nk = lnat[hit]
+        un, inv = np.unique(nk, return_inverse=True)
+        sums = np.zeros(len(un), np.int64)
+        np.add.at(sums, inv, lrev[hit])
+        return pa.table({"nationkey": pa.array(un, pa.int64()),
+                         "rev_p": pa.array(sums, pa.int64())})
+
+    li = read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                       "l_discount"])
+    parts = li.map_batches(li_rows, batch_format="pyarrow").union(
+        onat.map_batches(onat_rows, batch_format="pyarrow")).groupby(
+        "bkt").map_groups(rev_bucket, batch_format="pyarrow")
+    agg = parts.groupby("nationkey").aggregate(
+        Sum("rev_p", alias_name="rev_e4"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        keys = t.column("nationkey").to_pylist()  # <= 25 rows
+        return pa.table({
+            "n_name": pa.array([nat_name[int(k)] for k in keys], pa.string()),
+            "revenue": pa.array(sql_round(
+                t.column("rev_e4").to_numpy() / 10000.0, 2), pa.float64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def events_window_stats(sf_dir: str) -> "rd.Dataset":
     """Tumbling-window aggregate over the events stream table (streaming
     analog per guide: groupby key, window = floor(ts/1h)): per (event_type,

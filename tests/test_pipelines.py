@@ -984,3 +984,17 @@ def test_skipgram_counts_matches_bruteforce():
     got = skipgram_counts(SF).to_pylist()
     assert [((r["w1"], r["w2"]), r["n"]) for r in got] == ranked
     assert len(got) == min(SKIP_TOP_K, len(want))
+
+
+def test_tpch_q5_shuffle_matches_broadcast():
+    """Forcing the bounded-bucket customer join (bcast_max=0) must produce
+    the broadcast path's exact per-nation revenue; the lineitem⋈orders
+    co-group is identical in both configurations."""
+    from prosearch_ray.pipelines.relational import tpch_q5
+
+    bc = tpch_q5(SF).to_pandas().sort_values("n_name").reset_index(drop=True)
+    sj = tpch_q5(SF, bcast_max=0).to_pandas().sort_values(
+        "n_name").reset_index(drop=True)
+    assert list(bc.columns) == list(sj.columns)
+    assert bc.equals(sj)
+    assert len(bc) > 0
