@@ -1199,6 +1199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-join revenue rollup (TPC-H Q5 analog): the big-big
         # lineitem⋈orders bucketed co-group showcase — new this round
         "tpch_q5": relational.tpch_q5,
+        # exact frequent terms (Misra-Gries candidates + exact recount) — new
+        "heavy_hitters": textstats.heavy_hitters,
         # unsharded full-engine entries: their shared ORACLE kernels
         # changed this round (_expand_cte backref fix, ordered score
         # aggregation, phrase ranked-join rewrite) — graded fresh
@@ -1637,6 +1639,16 @@ def oracle_sql() -> dict[str, str]:
             FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
                     LEFT JOIN s3 ON s1.user_id = s3.user_id
             ORDER BY s1.user_id
+        """,
+        "heavy_hitters": f"""
+            -- exact frequent terms: the engine's Misra-Gries candidate
+            -- pass is a strict superset filter, the recount is exact, so
+            -- the whole pipeline equals the brute-force GROUP BY
+            WITH toks AS (SELECT unnest({TOK_SQL}) AS term FROM documents),
+            tot AS (SELECT count(*)::BIGINT AS n FROM toks)
+            SELECT term, count(*)::BIGINT AS cnt
+            FROM toks GROUP BY term
+            HAVING count(*) * 200 > (SELECT n FROM tot)
         """,
         "cms_counts": f"""
             WITH toks AS (SELECT unnest({TOK_SQL}) AS term FROM documents),

@@ -19,6 +19,7 @@ import ray.data as rd
 
 from prosearch_ray.pipelines.common import read, sql_round
 from prosearch_ray.pipelines.trainprep import _split_tokens
+from prosearch_ray.state.broadcast import bget, bput
 
 # Tiny per-language marker lexicons (n-gram/stopword heuristic). The testdata
 # text is synthetic English-ish for every lang value, so this demonstrates the
@@ -461,3 +462,89 @@ def cms_counts(sf_dir: str, probe_terms, width: int = CMS_WIDTH,
     return pa.table({"term": pa.array(terms, pa.string()),
                      "est_count": pa.array(ests, pa.int64())}
                     ).sort_by("term")
+
+
+HH_M = 200  # Misra-Gries counter budget: finds every term with freq > N/m
+
+
+def heavy_hitters(sf_dir: str, m: int = HH_M) -> pa.Table:
+    """EXACT frequent-terms mining (space-saving / Misra-Gries shape,
+    Misra & Gries 1982): every term whose corpus frequency is strictly
+    above ``N / m`` tokens, with its exact count.
+
+    Scale shape — two bounded corpus passes, never a vocabulary-sized
+    exchange:
+
+    1. **Candidate pass** (the distributed MG argument): each batch counts
+       its own tokens (dict-encode + bincount) and emits only terms with
+       ``batch_count * m > batch_tokens`` — at most ``m`` rows per batch.
+       If a term's GLOBAL count exceeds ``N/m`` it must exceed ``n_b/m``
+       in at least one batch (else summing the per-batch bounds would cap
+       its global count at ``N/m``), so the union of batch candidates is a
+       superset of the true answer.  Batch token totals ride along as a
+       ``""`` sentinel row (the tokenizer never yields an empty string).
+    2. **Exact recount**: the (<= m per batch, deduped) candidate set
+       broadcasts via ray.put; a second pass filters tokens to candidates
+       (``pc.is_in``), emits per-batch partial counts, and a tiny
+       ``groupby(term).sum`` finalizes.  The driver filters by the exact
+       global threshold — no approximation survives to the output.
+    """
+    docs = read(sf_dir, "documents", columns=["text"])
+    mm = int(m)
+
+    def cand_partial(t: pa.Table) -> pa.Table:
+        flat, _doc_of, _n = _split_tokens(t.column("text"))
+        enc = flat.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        nd = len(enc.dictionary)
+        n_tok = len(flat)
+        if not nd:
+            return pa.table({"term": pa.array([""], pa.string()),
+                             "cnt": pa.array([0], pa.int64())})
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.bincount(codes, minlength=nd)
+        keep = np.flatnonzero(counts * mm > n_tok)
+        return pa.table({
+            "term": pa.concat_arrays([
+                enc.dictionary.take(pa.array(keep, pa.int64())),
+                pa.array([""], pa.string())]),
+            "cnt": pa.array(np.append(counts[keep], n_tok), pa.int64())})
+
+    cand = pa.concat_tables(list(docs.map_batches(
+        cand_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow")))
+    terms = cand.column("term").to_numpy(zero_copy_only=False)
+    cnts = cand.column("cnt").to_numpy()
+    total = int(cnts[terms == ""].sum())
+    cand_terms = pa.array(sorted(set(terms[terms != ""].tolist())),
+                          pa.string())
+    if not len(cand_terms):
+        return pa.table({"term": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    ref = bput(cand_terms)
+
+    def recount(t: pa.Table) -> pa.Table:
+        cset = bget(ref)
+        flat, _doc_of, _n = _split_tokens(t.column("text"))
+        hit = flat.filter(pc.is_in(flat, value_set=cset))
+        enc = hit.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        nd = len(enc.dictionary)
+        if not nd:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.bincount(codes, minlength=nd)
+        return pa.table({"term": enc.dictionary,
+                         "cnt": pa.array(counts, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    agg = docs.map_batches(recount, batch_format="pyarrow").groupby(
+        "term").aggregate(Sum("cnt", alias_name="cnt"))
+    out = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    keep = out.column("cnt").to_numpy() * mm > total
+    out = out.filter(pa.array(keep))
+    return out.sort_by([("cnt", "descending"), ("term", "ascending")])

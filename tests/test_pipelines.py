@@ -998,3 +998,28 @@ def test_tpch_q5_shuffle_matches_broadcast():
     assert list(bc.columns) == list(sj.columns)
     assert bc.equals(sj)
     assert len(bc) > 0
+
+
+def test_heavy_hitters_matches_bruteforce_counter():
+    """heavy_hitters == the brute-force Counter answer: every term with
+    freq * m > N, exact counts, ordered (cnt desc, term asc); smaller m
+    (coarser threshold) yields a superset of larger m's rows."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+    from prosearch_ray.pipelines.textstats import heavy_hitters
+
+    texts = pq.read_table(SF + "/documents.parquet", columns=["text"]
+                          ).column("text").to_pylist()
+    cnt = Counter(w for tx in texts
+                  for w in re.split(r"[^a-z0-9]+", tx.lower()) if w)
+    n = sum(cnt.values())
+    for m in (50, 200):
+        want = sorted(((t, c) for t, c in cnt.items() if c * m > n),
+                      key=lambda r: (-r[1], r[0]))
+        got = heavy_hitters(SF, m=m).to_pandas()
+        assert list(map(tuple, got.itertuples(index=False))) == want
+    few = heavy_hitters(SF, m=50).to_pandas()["term"].tolist()
+    many = heavy_hitters(SF, m=200).to_pandas()["term"].tolist()
+    assert set(few) <= set(many)
