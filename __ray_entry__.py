@@ -1201,6 +1201,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5": relational.tpch_q5,
         # exact frequent terms (Misra-Gries candidates + exact recount) — new
         "heavy_hitters": textstats.heavy_hitters,
+        # ROLLUP grouping sets from one finest-level partial pass — new
+        "rollup_aggregate": relational.rollup_aggregate,
         # unsharded full-engine entries: their shared ORACLE kernels
         # changed this round (_expand_cte backref fix, ordered score
         # aggregation, phrase ranked-join rewrite) — graded fresh
@@ -1639,6 +1641,14 @@ def oracle_sql() -> dict[str, str]:
             FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
                     LEFT JOIN s3 ON s1.user_id = s3.user_id
             ORDER BY s1.user_id
+        """,
+        "rollup_aggregate": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   sum(round(l_quantity)::BIGINT)::BIGINT AS sum_qty,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         "heavy_hitters": f"""
             -- exact frequent terms: the engine's Misra-Gries candidate

@@ -553,6 +553,59 @@ def tpch_q5(sf_dir: str, region_name: str = "ASIA",
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def rollup_aggregate(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) over lineitem in ONE
+    corpus pass: map-side partials aggregate at the FINEST level only (a
+    handful of rows per batch), the shuffle carries those partials, and
+    every coarser grouping level is DERIVED from the finest aggregate —
+    never a second scan per level (the naive multi-level plan reads the
+    fact table once per grouping set; at 100 TB that is L extra scans).
+    Rolled-up key positions emit 'ALL' (mirrored by coalesce in the
+    oracle), quantity sums in exact int64."""
+    li = read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat = pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "qty": pc.cast(pc.round(t.column("l_quantity")), pa.int64()),
+        })
+        part = pa.TableGroupBy(
+            flat, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("qty", "count")])
+        return part.rename_columns(
+            ["l_returnflag", "l_linestatus", "qty_p", "n_p"])
+
+    finest = li.map_batches(partial, batch_format="pyarrow").repartition(
+        1).groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty_p", alias_name="sum_qty"),
+        Sum("n_p", alias_name="n_rows"))
+    f = pa.concat_tables(list(finest.iter_batches(
+        batch_format="pyarrow")))  # grouping-domain-sized: a few rows
+    lvl1 = pa.TableGroupBy(f, "l_returnflag").aggregate(
+        [("sum_qty", "sum"), ("n_rows", "sum")]).rename_columns(
+        ["l_returnflag", "sum_qty", "n_rows"])
+    all_s = pa.array(["ALL"] * lvl1.num_rows, pa.string())
+    lvl1 = pa.table({"l_returnflag": lvl1.column("l_returnflag"),
+                     "l_linestatus": all_s,
+                     "sum_qty": lvl1.column("sum_qty"),
+                     "n_rows": lvl1.column("n_rows")})
+    lvl0 = pa.table({
+        "l_returnflag": pa.array(["ALL"], pa.string()),
+        "l_linestatus": pa.array(["ALL"], pa.string()),
+        "sum_qty": pa.array([pc.sum(f.column("sum_qty")).as_py()], pa.int64()),
+        "n_rows": pa.array([pc.sum(f.column("n_rows")).as_py()], pa.int64())})
+    f2 = pa.table({"l_returnflag": f.column("l_returnflag"),
+                   "l_linestatus": f.column("l_linestatus"),
+                   "sum_qty": pc.cast(f.column("sum_qty"), pa.int64()),
+                   "n_rows": pc.cast(f.column("n_rows"), pa.int64())})
+    lvl1 = pa.table({c: pc.cast(lvl1.column(c), f2.schema.field(c).type)
+                     for c in f2.column_names})
+    return pa.concat_tables([f2, lvl1, lvl0]).sort_by(
+        [("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
+
+
 def events_window_stats(sf_dir: str) -> "rd.Dataset":
     """Tumbling-window aggregate over the events stream table (streaming
     analog per guide: groupby key, window = floor(ts/1h)): per (event_type,

@@ -1023,3 +1023,31 @@ def test_heavy_hitters_matches_bruteforce_counter():
     few = heavy_hitters(SF, m=50).to_pandas()["term"].tolist()
     many = heavy_hitters(SF, m=200).to_pandas()["term"].tolist()
     assert set(few) <= set(many)
+
+
+def test_rollup_aggregate_matches_bruteforce():
+    """rollup_aggregate == the three grouping sets computed brute-force
+    with pandas: finest (flag,status), per-flag with status='ALL', and
+    the grand total ('ALL','ALL'); exact int64 sums."""
+    import pyarrow.parquet as pq
+    from prosearch_ray.pipelines.relational import rollup_aggregate
+
+    li = pq.read_table(
+        SF + "/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"]).to_pandas()
+    li["qty"] = li["l_quantity"].round().astype("int64")
+    fin = li.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+        sum_qty=("qty", "sum"), n_rows=("qty", "size"))
+    lv1 = li.groupby(["l_returnflag"], as_index=False).agg(
+        sum_qty=("qty", "sum"), n_rows=("qty", "size"))
+    lv1["l_linestatus"] = "ALL"
+    import pandas as pd
+    lv0 = pd.DataFrame({"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+                        "sum_qty": [li["qty"].sum()],
+                        "n_rows": [len(li)]})
+    cols = ["l_returnflag", "l_linestatus", "sum_qty", "n_rows"]
+    want = pd.concat([fin[cols], lv1[cols], lv0[cols]]).sort_values(
+        ["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    want[["sum_qty", "n_rows"]] = want[["sum_qty", "n_rows"]].astype("int64")
+    got = rollup_aggregate(SF).to_pandas()[cols].reset_index(drop=True)
+    assert got.equals(want)
