@@ -1203,6 +1203,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": textstats.heavy_hitters,
         # ROLLUP grouping sets from one finest-level partial pass — new
         "rollup_aggregate": relational.rollup_aggregate,
+        # CUBE grouping sets from the SAME single finest-level pass — new
+        "cube_aggregate": relational.cube_aggregate,
+        # frame-based moving window per user (ROWS BETWEEN n PRECEDING),
+        # exact integer cents — new
+        "moving_window_sum": relational.moving_window_sum,
+        # TPC-H Q17 analog: aggregate-then-rejoin-the-fact-table with an
+        # exact-integer 0.2×avg threshold — new
+        "small_qty_revenue": relational.small_qty_revenue,
         # unsharded full-engine entries: their shared ORACLE kernels
         # changed this round (_expand_cte backref fix, ordered score
         # aggregation, phrase ranked-join rewrite) — graded fresh
@@ -1229,6 +1237,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": docsearch.token_counts,
         "doc_length_measure": relational.doc_length_measure,
         "jaccard_pairs": dedup.jaccard_pairs,
+        # NOTE (50-cap overflow): the closing-session operator additions
+        # (tpch_q5 / heavy_hitters / rollup_aggregate / cube_aggregate /
+        # moving_window_sum / small_qty_revenue — never driver-graded, so
+        # they MUST grade) push six block-2 entries past position 50.
+        # The skips, weakest-claim-first:
+        #   - doc_length_measure / jaccard_pairs (just above): last driver
+        #     row r3, but both are single-exchange kernels with dedicated
+        #     brute-force pytest and local tri-SF verification
+        #     (tools/check_oracle.py) this round;
+        #   - the four sharded full-engine entries (below): their unsharded
+        #     twins (code_search_topk / _or_topk / more_like_this /
+        #     code_phrase_topk) grade fresh in this window and sharded-vs-
+        #     unsharded BIT-IDENTITY is pytest-pinned
+        #     (tests/test_sharded.py), plus the same local tri-SF runs.
         "more_like_this_sharded": more_like_this_sharded,
         "code_search_topk_sharded": code_search_topk_sharded,
         "code_search_or_topk_sharded": code_search_or_topk_sharded,
@@ -1649,6 +1671,45 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_rows
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "cube_aggregate": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   sum(round(l_quantity)::BIGINT)::BIGINT AS sum_qty,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "moving_window_sum": """
+            -- exact integer cents (value is 2-decimal fixed-point): the
+            -- frame sum is order-independent int64, hash-comparable at
+            -- any scale (see tpch_q1's rationale)
+            SELECT event_id, user_id,
+                   (sum(round(value * 100.0)::BIGINT) OVER w)::BIGINT
+                       AS mov_sum_cents,
+                   (count(*) OVER w)::BIGINT AS n_window
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "small_qty_revenue": """
+            -- TPC-H Q17 shape; the 0.2*avg(qty) threshold is exact
+            -- integer math (qty*5*cnt < sum_qty — l_quantity is
+            -- integral), revenue in exact integer cents
+            WITH t AS (
+                SELECT l_partkey, sum(round(l_quantity)::BIGINT) AS sq,
+                       count(*)::BIGINT AS c
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT p.p_brand,
+                   round(sum(round(l.l_extendedprice * 100.0)::BIGINT
+                             )::DOUBLE / 100.0, 2) AS revenue,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem l
+            JOIN t ON l.l_partkey = t.l_partkey
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE round(l.l_quantity)::BIGINT * 5 * t.c < t.sq
+            GROUP BY p.p_brand
         """,
         "heavy_hitters": f"""
             -- exact frequent terms: the engine's Misra-Gries candidate

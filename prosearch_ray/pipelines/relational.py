@@ -553,15 +553,14 @@ def tpch_q5(sf_dir: str, region_name: str = "ASIA",
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
-def rollup_aggregate(sf_dir: str) -> pa.Table:
-    """GROUP BY ROLLUP(l_returnflag, l_linestatus) over lineitem in ONE
-    corpus pass: map-side partials aggregate at the FINEST level only (a
-    handful of rows per batch), the shuffle carries those partials, and
-    every coarser grouping level is DERIVED from the finest aggregate —
-    never a second scan per level (the naive multi-level plan reads the
-    fact table once per grouping set; at 100 TB that is L extra scans).
-    Rolled-up key positions emit 'ALL' (mirrored by coalesce in the
-    oracle), quantity sums in exact int64."""
+def _finest_flag_status(sf_dir: str) -> pa.Table:
+    """Shared grouping-sets kernel: the FINEST-level (l_returnflag,
+    l_linestatus) aggregate over lineitem in ONE corpus pass — map-side
+    partials (a handful of rows per batch), one tiny shuffle.  Every
+    coarser grouping level of ROLLUP/CUBE is DERIVED from this table,
+    never a second fact-table scan per level (the naive multi-level plan
+    reads the fact table once per grouping set; at 100 TB that is L extra
+    scans).  Quantity sums in exact int64."""
     li = read(sf_dir, "lineitem",
               columns=["l_returnflag", "l_linestatus", "l_quantity"])
 
@@ -583,27 +582,270 @@ def rollup_aggregate(sf_dir: str) -> pa.Table:
         Sum("n_p", alias_name="n_rows"))
     f = pa.concat_tables(list(finest.iter_batches(
         batch_format="pyarrow")))  # grouping-domain-sized: a few rows
-    lvl1 = pa.TableGroupBy(f, "l_returnflag").aggregate(
+    return pa.table({"l_returnflag": pc.cast(f.column("l_returnflag"),
+                                             pa.string()),
+                     "l_linestatus": pc.cast(f.column("l_linestatus"),
+                                             pa.string()),
+                     "sum_qty": pc.cast(f.column("sum_qty"), pa.int64()),
+                     "n_rows": pc.cast(f.column("n_rows"), pa.int64())})
+
+
+def _coarsen(f: pa.Table, keep_key: str | None) -> pa.Table:
+    """Derive one coarser grouping level from the finest aggregate: group
+    by ``keep_key`` (or nothing, for the grand total); rolled-up key
+    positions emit 'ALL' (mirrored by coalesce in the oracles)."""
+    cols = ["l_returnflag", "l_linestatus"]
+    if keep_key is None:
+        return pa.table({
+            "l_returnflag": pa.array(["ALL"], pa.string()),
+            "l_linestatus": pa.array(["ALL"], pa.string()),
+            "sum_qty": pa.array([pc.sum(f.column("sum_qty")).as_py()],
+                                pa.int64()),
+            "n_rows": pa.array([pc.sum(f.column("n_rows")).as_py()],
+                               pa.int64())})
+    g = pa.TableGroupBy(f, keep_key).aggregate(
         [("sum_qty", "sum"), ("n_rows", "sum")]).rename_columns(
-        ["l_returnflag", "sum_qty", "n_rows"])
-    all_s = pa.array(["ALL"] * lvl1.num_rows, pa.string())
-    lvl1 = pa.table({"l_returnflag": lvl1.column("l_returnflag"),
-                     "l_linestatus": all_s,
-                     "sum_qty": lvl1.column("sum_qty"),
-                     "n_rows": lvl1.column("n_rows")})
-    lvl0 = pa.table({
-        "l_returnflag": pa.array(["ALL"], pa.string()),
-        "l_linestatus": pa.array(["ALL"], pa.string()),
-        "sum_qty": pa.array([pc.sum(f.column("sum_qty")).as_py()], pa.int64()),
-        "n_rows": pa.array([pc.sum(f.column("n_rows")).as_py()], pa.int64())})
-    f2 = pa.table({"l_returnflag": f.column("l_returnflag"),
-                   "l_linestatus": f.column("l_linestatus"),
-                   "sum_qty": pc.cast(f.column("sum_qty"), pa.int64()),
-                   "n_rows": pc.cast(f.column("n_rows"), pa.int64())})
-    lvl1 = pa.table({c: pc.cast(lvl1.column(c), f2.schema.field(c).type)
-                     for c in f2.column_names})
-    return pa.concat_tables([f2, lvl1, lvl0]).sort_by(
+        [keep_key, "sum_qty", "n_rows"])
+    out = {}
+    for c in cols:
+        out[c] = (g.column(keep_key) if c == keep_key
+                  else pa.array(["ALL"] * g.num_rows, pa.string()))
+    out["sum_qty"] = pc.cast(g.column("sum_qty"), pa.int64())
+    out["n_rows"] = pc.cast(g.column("n_rows"), pa.int64())
+    return pa.table(out)
+
+
+def rollup_aggregate(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): grouping sets
+    {(flag,status), (flag), ()}, all derived from ONE finest-level corpus
+    pass (see _finest_flag_status)."""
+    f = _finest_flag_status(sf_dir)
+    return pa.concat_tables(
+        [f, _coarsen(f, "l_returnflag"), _coarsen(f, None)]).sort_by(
         [("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
+
+
+def cube_aggregate(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE(l_returnflag, l_linestatus): all four grouping sets
+    {(flag,status), (flag), (status), ()}, derived from the SAME single
+    finest-level pass — the one-scan grouping-sets plan at any scale."""
+    f = _finest_flag_status(sf_dir)
+    return pa.concat_tables(
+        [f, _coarsen(f, "l_returnflag"), _coarsen(f, "l_linestatus"),
+         _coarsen(f, None)]).sort_by(
+        [("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
+
+
+def moving_window_sum(sf_dir: str, frame: int = 3, n_buckets: int = 256
+                      ) -> "rd.Dataset":
+    """Frame-based moving window per user over the events stream —
+    ``SUM(value) OVER (PARTITION BY user ORDER BY ts ROWS BETWEEN
+    frame PRECEDING AND CURRENT ROW)``, the rolling-metric shape every
+    event pipeline needs (the windowed-RANK analog `topk_per_group`
+    covers ranking; this covers sliding frames).
+
+    Scale plan: ONE bounded ``hash(user) % n_buckets`` exchange (never a
+    group per user); inside each bucket the frame sum is vectorized
+    shifted adds over the lexsorted segment layout — no per-row Python,
+    no full sort of the stream.  Sums are exact integer cents (value is
+    2-decimal fixed-point; see tpch_q1's rationale), so the result is
+    order-independent and hash-comparable at any scale."""
+    from prosearch_ray.pipelines.dedup import _mix64
+
+    ev = read(sf_dir, "events",
+              columns=["event_id", "ts", "user_id", "value"])
+    nb = np.uint64(n_buckets)
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = pc.cast(t.column("user_id"), pa.int64()).to_numpy()
+        return t.append_column(
+            "bkt", pa.array((_mix64(u.astype(np.int64)) % nb
+                             ).astype(np.int64), pa.int64()))
+
+    def bucket(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy()
+        ts = g.column("ts").to_numpy().astype("datetime64[us]"
+                                              ).astype(np.int64)
+        eid = g.column("event_id").to_numpy()
+        v = np.round(g.column("value").to_numpy() * 100.0).astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        us, vs, es = u[order], v[order], eid[order]
+        starts = np.flatnonzero(np.concatenate(([True], us[1:] != us[:-1])))
+        sizes = np.diff(np.append(starts, len(us)))
+        rel = np.arange(len(us)) - np.repeat(starts, sizes)
+        s = vs.copy()
+        for k in range(1, frame + 1):
+            m = rel >= k  # i-k stays inside i's user segment
+            s[m] += vs[np.flatnonzero(m) - k]
+        return pa.table({
+            "event_id": pa.array(es, pa.int64()),
+            "user_id": pa.array(us, pa.int64()),
+            "mov_sum_cents": pa.array(s, pa.int64()),
+            "n_window": pa.array(np.minimum(rel + 1, frame + 1), pa.int64()),
+        })
+
+    return ev.map_batches(tag, batch_format="pyarrow").groupby(
+        "bkt").map_groups(bucket, batch_format="pyarrow")
+
+
+def small_qty_revenue(sf_dir: str,
+                      bcast_max: int = JOIN_BCAST_MAX_DIM_ROWS,
+                      n_buckets: int = 64) -> "rd.Dataset":
+    """TPC-H Q17 analog: per-brand revenue from lineitems whose quantity
+    is below 20% of that PART's average quantity — the aggregate-then-
+    rejoin-the-fact-table shape (a correlated subquery in SQL).
+
+    Scale plan (100 TB): pass 1 computes per-part (sum_qty, cnt) via
+    map-side partials + one part-domain groupby; the 0.2×avg comparison
+    is EXACT integer math (qty·5·cnt < sum_qty — l_quantity is integral),
+    so no float threshold is ever materialized.  Pass 2 re-probes
+    lineitem: below ``bcast_max`` parts the threshold+brand arrays are
+    broadcast once via ray.put; above it the probe is ONE bounded-bucket
+    co-group on hash(partkey) % n_buckets over three tagged streams
+    (thresholds ∪ part brands ∪ lineitem rows) whose buckets emit
+    per-brand int64-cents PARTIALS, never joined line rows.  Both paths
+    are pytest-pinned equal."""
+    from prosearch_ray.pipelines.dedup import _mix64
+
+    li = read(sf_dir, "lineitem",
+              columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    part_ds = read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+    def thr_partial(t: pa.Table) -> pa.Table:
+        flat = pa.table({
+            "l_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+            "qty": pc.cast(pc.round(t.column("l_quantity")), pa.int64()),
+        })
+        g = pa.TableGroupBy(flat, "l_partkey").aggregate(
+            [("qty", "sum"), ("qty", "count")])
+        return g.rename_columns(["l_partkey", "sq_p", "c_p"])
+
+    thr = li.map_batches(thr_partial, batch_format="pyarrow").groupby(
+        "l_partkey").aggregate(Sum("sq_p", alias_name="sq"),
+                               Sum("c_p", alias_name="c"))
+
+    def li_cols(t: pa.Table):
+        k = pc.cast(t.column("l_partkey"), pa.int64()).to_numpy()
+        q = pc.cast(pc.round(t.column("l_quantity")), pa.int64()).to_numpy()
+        p = np.round(t.column("l_extendedprice").to_numpy() * 100.0
+                     ).astype(np.int64)
+        return k, q, p
+
+    if part_ds.count() <= bcast_max:
+        # broadcast path: sorted partkey -> (sq, c, brand) arrays, ONE
+        # ray.put, probed by searchsorted in every lineitem batch
+        tt = pa.concat_tables(list(thr.iter_batches(batch_format="pyarrow")))
+        tt = tt.sort_by([("l_partkey", "ascending")])
+        pt = pa.concat_tables(list(
+            part_ds.iter_batches(batch_format="pyarrow")))
+        pt = pt.sort_by([("p_partkey", "ascending")])
+        ref = bput((tt.column("l_partkey").to_numpy(),
+                    tt.column("sq").to_numpy().astype(np.int64),
+                    tt.column("c").to_numpy().astype(np.int64),
+                    pt.column("p_partkey").to_numpy(),
+                    pt.column("p_brand").to_numpy(zero_copy_only=False)))
+
+        def probe(t: pa.Table) -> pa.Table:
+            tk, sq, c, pk, br = bget(ref)
+            k, q, p = li_cols(t)
+            pos = np.searchsorted(tk, k)  # every partkey exists in thr
+            keep = q * 5 * c[pos] < sq[pos]
+            k, p = k[keep], p[keep]
+            bpos = np.searchsorted(pk, k)
+            hit = (bpos < len(pk)) & (pk[np.minimum(bpos, len(pk) - 1)] == k)
+            brand = br[np.minimum(bpos, len(pk) - 1)][hit]
+            un, inv = np.unique(brand, return_inverse=True)
+            rev = np.zeros(len(un), np.int64)
+            np.add.at(rev, inv, p[hit])
+            n = np.bincount(inv, minlength=len(un)).astype(np.int64)
+            return pa.table({"p_brand": pa.array(un, pa.string()),
+                             "rev_p": pa.array(rev, pa.int64()),
+                             "n_p": pa.array(n, pa.int64())})
+
+        parts = li.map_batches(probe, batch_format="pyarrow")
+    else:
+        nb = np.uint64(n_buckets)
+
+        def _bkt(k: np.ndarray) -> pa.Array:
+            return pa.array((_mix64(k.astype(np.int64)) % nb
+                             ).astype(np.int64), pa.int64())
+
+        def thr_rows(t: pa.Table) -> pa.Table:
+            k = pc.cast(t.column("l_partkey"), pa.int64()).to_numpy()
+            return pa.table({
+                "bkt": _bkt(k), "kind": pa.array(
+                    np.zeros(len(k), np.int8), pa.int8()),
+                "key": pa.array(k, pa.int64()),
+                "a": pc.cast(t.column("sq"), pa.int64()),
+                "b": pc.cast(t.column("c"), pa.int64()),
+                "brand": pa.array([None] * len(k), pa.string())})
+
+        def part_rows(t: pa.Table) -> pa.Table:
+            k = pc.cast(t.column("p_partkey"), pa.int64()).to_numpy()
+            z = pa.array(np.zeros(len(k), np.int64), pa.int64())
+            return pa.table({
+                "bkt": _bkt(k), "kind": pa.array(
+                    np.ones(len(k), np.int8), pa.int8()),
+                "key": pa.array(k, pa.int64()), "a": z, "b": z,
+                "brand": pc.cast(t.column("p_brand"), pa.string())})
+
+        def li_rows(t: pa.Table) -> pa.Table:
+            k, q, p = li_cols(t)
+            return pa.table({
+                "bkt": _bkt(k), "kind": pa.array(
+                    np.full(len(k), 2, np.int8), pa.int8()),
+                "key": pa.array(k, pa.int64()),
+                "a": pa.array(q, pa.int64()), "b": pa.array(p, pa.int64()),
+                "brand": pa.array([None] * len(k), pa.string())})
+
+        def probe_bucket(g: pa.Table) -> pa.Table:
+            kind = g.column("kind").to_numpy()
+            key = g.column("key").to_numpy()
+            a = g.column("a").to_numpy()
+            b = g.column("b").to_numpy()
+            tm, pm, lm = kind == 0, kind == 1, kind == 2
+            if not lm.any() or not tm.any():
+                return pa.table({"p_brand": pa.array([], pa.string()),
+                                 "rev_p": pa.array([], pa.int64()),
+                                 "n_p": pa.array([], pa.int64())})
+            to = np.argsort(key[tm])
+            tk, sq, c = key[tm][to], a[tm][to], b[tm][to]
+            po = np.argsort(key[pm])
+            pk = key[pm][po]
+            br = g.column("brand").to_numpy(zero_copy_only=False)[pm][po]
+            k, q, p = key[lm], a[lm], b[lm]
+            pos = np.minimum(np.searchsorted(tk, k), len(tk) - 1)
+            keep = (tk[pos] == k) & (q * 5 * c[pos] < sq[pos])
+            k, p = k[keep], p[keep]
+            bpos = np.minimum(np.searchsorted(pk, k), max(len(pk) - 1, 0))
+            hit = len(pk) > 0 and (pk[bpos] == k)
+            if not len(pk):
+                hit = np.zeros(len(k), bool)
+            brand = br[bpos][hit]
+            un, inv = np.unique(brand, return_inverse=True)
+            rev = np.zeros(len(un), np.int64)
+            np.add.at(rev, inv, p[hit])
+            n = np.bincount(inv, minlength=len(un)).astype(np.int64)
+            return pa.table({"p_brand": pa.array(un, pa.string()),
+                             "rev_p": pa.array(rev, pa.int64()),
+                             "n_p": pa.array(n, pa.int64())})
+
+        parts = thr.map_batches(thr_rows, batch_format="pyarrow").union(
+            part_ds.map_batches(part_rows, batch_format="pyarrow"),
+            li.map_batches(li_rows, batch_format="pyarrow")).groupby(
+            "bkt").map_groups(probe_bucket, batch_format="pyarrow")
+
+    agg = parts.groupby("p_brand").aggregate(
+        Sum("rev_p", alias_name="rev_c"), Sum("n_p", alias_name="n_items"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": t.column("p_brand"),
+            "revenue": pa.array(sql_round(
+                t.column("rev_c").to_numpy() / 100.0, 2), pa.float64()),
+            "n_items": pc.cast(t.column("n_items"), pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
 
 
 def events_window_stats(sf_dir: str) -> "rd.Dataset":

@@ -1051,3 +1051,73 @@ def test_rollup_aggregate_matches_bruteforce():
     want[["sum_qty", "n_rows"]] = want[["sum_qty", "n_rows"]].astype("int64")
     got = rollup_aggregate(SF).to_pandas()[cols].reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_cube_aggregate_matches_bruteforce():
+    """cube_aggregate == rollup levels plus the status-only grouping set,
+    all derived from one finest-level pass."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from prosearch_ray.pipelines.relational import cube_aggregate
+
+    li = pq.read_table(
+        SF + "/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"]).to_pandas()
+    li["qty"] = li["l_quantity"].round().astype("int64")
+    cols = ["l_returnflag", "l_linestatus", "sum_qty", "n_rows"]
+    lvls = []
+    for keys in (["l_returnflag", "l_linestatus"], ["l_returnflag"],
+                 ["l_linestatus"], []):
+        if keys:
+            g = li.groupby(keys, as_index=False).agg(
+                sum_qty=("qty", "sum"), n_rows=("qty", "size"))
+        else:
+            g = pd.DataFrame({"sum_qty": [li["qty"].sum()],
+                              "n_rows": [len(li)]})
+        for c in ("l_returnflag", "l_linestatus"):
+            if c not in g.columns:
+                g[c] = "ALL"
+        lvls.append(g[cols])
+    want = pd.concat(lvls).sort_values(
+        ["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    want[["sum_qty", "n_rows"]] = want[["sum_qty", "n_rows"]].astype("int64")
+    got = cube_aggregate(SF).to_pandas()[cols].reset_index(drop=True)
+    assert got.equals(want)
+
+
+def test_moving_window_sum_matches_bruteforce():
+    """moving_window_sum == a per-user rolling int-cents sum computed with
+    pandas; window count matches the ROWS frame size."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from prosearch_ray.pipelines.relational import moving_window_sum
+
+    ev = pq.read_table(
+        SF + "/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"]).to_pandas()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    ev = ev.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    g = ev.groupby("user_id")["cents"]
+    ev["mov_sum_cents"] = g.transform(
+        lambda s: s.rolling(4, min_periods=1).sum()).astype("int64")
+    ev["n_window"] = g.transform(
+        lambda s: s.rolling(4, min_periods=1).count()).astype("int64")
+    want = ev[["event_id", "user_id", "mov_sum_cents", "n_window"]
+              ].sort_values("event_id").reset_index(drop=True)
+    got = moving_window_sum(SF).to_pandas().sort_values(
+        "event_id").reset_index(drop=True)[want.columns.tolist()]
+    assert got.equals(want)
+
+
+def test_small_qty_revenue_bucketed_matches_broadcast():
+    """Forcing the bounded-bucket co-group (bcast_max=0) must produce the
+    broadcast path's exact per-brand revenue and item counts."""
+    from prosearch_ray.pipelines.relational import small_qty_revenue
+
+    bc = small_qty_revenue(SF).to_pandas().sort_values(
+        "p_brand").reset_index(drop=True)
+    sj = small_qty_revenue(SF, bcast_max=0).to_pandas().sort_values(
+        "p_brand").reset_index(drop=True)
+    assert list(bc.columns) == list(sj.columns)
+    assert bc.equals(sj)
+    assert len(bc) > 0 and (bc["n_items"] > 0).all()
