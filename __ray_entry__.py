@@ -1211,6 +1211,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q17 analog: aggregate-then-rejoin-the-fact-table with an
         # exact-integer 0.2×avg threshold — new
         "small_qty_revenue": relational.small_qty_revenue,
+        # hopping (overlapping) windows — in-kernel replicate + partials,
+        # the exchange carries grouping-domain rows only — new
+        "hopping_window_stats": relational.hopping_window_stats,
         # unsharded full-engine entries: their shared ORACLE kernels
         # changed this round (_expand_cte backref fix, ordered score
         # aggregation, phrase ranked-join rewrite) — graded fresh
@@ -1691,6 +1694,21 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "hopping_window_stats": """
+            -- hopping windows (size 2h, hop 1h): every event lands in
+            -- size/hop windows; sums in exact integer cents
+            WITH b AS (
+                SELECT event_type,
+                       floor(epoch(ts) / 3600)::BIGINT AS eh,
+                       round(value * 100.0)::BIGINT AS cents
+                FROM events
+            )
+            SELECT event_type, (eh - i)::BIGINT AS window_start_hour,
+                   count(*)::BIGINT AS n_events,
+                   sum(cents)::BIGINT AS sum_cents
+            FROM b, range(0, 2) t(i)
+            GROUP BY 1, 2
         """,
         "small_qty_revenue": """
             -- TPC-H Q17 shape; the 0.2*avg(qty) threshold is exact

@@ -879,6 +879,60 @@ def events_window_stats(sf_dir: str) -> "rd.Dataset":
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def hopping_window_stats(sf_dir: str, size_hours: int = 2,
+                         hop_hours: int = 1) -> "rd.Dataset":
+    """Hopping (overlapping) window aggregate over the events stream —
+    the last streaming window shape the suite needed (tumbling =
+    events_window_stats, session = user_sessions, row frame =
+    moving_window_sum): per (event_type, window_start) count + sum over
+    windows of ``size_hours`` advancing every ``hop_hours``.
+
+    Scale plan: each event replicates into its size/hop covering windows
+    INSIDE the batch kernel and immediately collapses into per-batch
+    (type, window) partials, so the only exchange carries
+    grouping-domain-sized partial rows — never the replicated stream.
+    Sums in exact integer cents (order-independent at any scale)."""
+    if size_hours % hop_hours:
+        raise ValueError("size_hours must be a multiple of hop_hours")
+    k = size_hours // hop_hours
+    ev = read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        eh = t.column("ts").to_numpy().astype("datetime64[h]"
+                                              ).astype(np.int64)
+        hop_idx = np.floor_divide(eh, hop_hours)
+        cents = np.round(t.column("value").to_numpy() * 100.0
+                         ).astype(np.int64)
+        et = t.column("event_type")
+        reps = [pa.table({
+            "event_type": et,
+            "window_start_hour": pa.array((hop_idx - i) * hop_hours,
+                                          pa.int64()),
+            "cents": pa.array(cents, pa.int64())}) for i in range(k)]
+        g = pa.TableGroupBy(
+            pa.concat_tables(reps),
+            ["event_type", "window_start_hour"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(
+            ["event_type", "window_start_hour", "c_p", "n_p"])
+
+    agg = ev.map_batches(partial, batch_format="pyarrow").groupby(
+        ["event_type", "window_start_hour"]).aggregate(
+        Sum("c_p", alias_name="sum_cents"),
+        Sum("n_p", alias_name="n_events"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "window_start_hour": pc.cast(t.column("window_start_hour"),
+                                         pa.int64()),
+            "n_events": pc.cast(t.column("n_events"), pa.int64()),
+            "sum_cents": pc.cast(t.column("sum_cents"), pa.int64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def quota_filter(sf_dir: str, limit: int = 20) -> "rd.Dataset":
     """Per-key quota gate — the reference's per-host crawl limit
     (``per-host-crawling-limit`` default 10000; fast-reject M10/M11,

@@ -1121,3 +1121,34 @@ def test_small_qty_revenue_bucketed_matches_broadcast():
     assert list(bc.columns) == list(sj.columns)
     assert bc.equals(sj)
     assert len(bc) > 0 and (bc["n_items"] > 0).all()
+
+
+def test_hopping_window_stats_matches_bruteforce():
+    """hopping_window_stats == brute-force replication: every event lands
+    in the size/hop windows covering it (size 2h, hop 1h → eh and eh-1)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from prosearch_ray.pipelines.relational import hopping_window_stats
+
+    ev = pq.read_table(SF + "/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["eh"] = (ev["ts"].astype("datetime64[us]").astype("int64")
+                // 3_600_000_000).astype("int64")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    reps = pd.concat([
+        ev.assign(window_start_hour=ev["eh"]),
+        ev.assign(window_start_hour=ev["eh"] - 1)])
+    want = reps.groupby(["event_type", "window_start_hour"],
+                        as_index=False).agg(
+        n_events=("cents", "size"), sum_cents=("cents", "sum"))
+    want = want.sort_values(["event_type", "window_start_hour"]
+                            ).reset_index(drop=True)
+    want[["n_events", "sum_cents"]] = want[
+        ["n_events", "sum_cents"]].astype("int64")
+    got = hopping_window_stats(SF).to_pandas().sort_values(
+        ["event_type", "window_start_hour"]).reset_index(drop=True)
+    assert got[want.columns.tolist()].equals(want)
+
+    import pytest
+    with pytest.raises(ValueError):
+        hopping_window_stats(SF, size_hours=3, hop_hours=2)
