@@ -817,9 +817,11 @@ def small_qty_revenue(sf_dir: str,
             pos = np.minimum(np.searchsorted(tk, k), len(tk) - 1)
             keep = (tk[pos] == k) & (q * 5 * c[pos] < sq[pos])
             k, p = k[keep], p[keep]
-            bpos = np.minimum(np.searchsorted(pk, k), max(len(pk) - 1, 0))
-            hit = len(pk) > 0 and (pk[bpos] == k)
-            if not len(pk):
+            if len(pk):
+                bpos = np.minimum(np.searchsorted(pk, k), len(pk) - 1)
+                hit = pk[bpos] == k
+            else:
+                bpos = np.zeros(len(k), np.int64)
                 hit = np.zeros(len(k), bool)
             brand = br[bpos][hit]
             un, inv = np.unique(brand, return_inverse=True)
