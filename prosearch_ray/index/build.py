@@ -61,9 +61,23 @@ CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 SourceT = Union[str, "ray.data.Dataset"]
 
 
-def _atomic_write_table(table: pa.Table, path: str, row_group_size: int = 8192) -> int:
+# Archive-target writer knobs (ROADMAP disk-writer tuning).  Defaults are
+# the long-standing snappy/8192 config; disk-backed index roots (virtio,
+# object storage) can trade CPU for write volume with
+# GRAFT_PARQUET_COMPRESSION=zstd and larger GRAFT_ROW_GROUP_SIZE — logical
+# file content is identical, so every reader (searcher, delta fold,
+# compaction, resume) is unaffected.  Measured decision recorded in
+# BASELINE.md (round 5 disk-writer probe).
+_PQ_COMPRESSION = os.environ.get("GRAFT_PARQUET_COMPRESSION", "snappy")
+_PQ_ROW_GROUP = int(os.environ.get("GRAFT_ROW_GROUP_SIZE", "8192"))
+
+
+def _atomic_write_table(table: pa.Table, path: str,
+                        row_group_size: int = None) -> int:
     tmp = f"{path}.tmp-{os.getpid()}"
-    pq.write_table(table, tmp, row_group_size=row_group_size)
+    pq.write_table(table, tmp,
+                   row_group_size=row_group_size or _PQ_ROW_GROUP,
+                   compression=_PQ_COMPRESSION)
     os.replace(tmp, path)
     return os.path.getsize(path)
 

@@ -75,3 +75,29 @@ def test_dead_run_partition_is_recomputed(tmp_path):
     assert t.num_rows == 12
     b = t.filter(pa.compute.equal(t.column("shard"), "b"))
     assert sorted(b.column("x").to_pylist()) == [4, 5, 6, 7]
+
+
+def test_atomic_write_table_codec_knob(tmp_path, monkeypatch):
+    """Archive-target writer knob (GRAFT_PARQUET_COMPRESSION /
+    GRAFT_ROW_GROUP_SIZE): the codec changes the file bytes, never the
+    logical content — any reader sees identical rows."""
+    from prosearch_ray.index import build
+
+    t = pa.table({"term": [f"t{i:04d}" for i in range(5000)],
+                  "df": pa.array(range(5000), pa.int64())})
+    p_snappy = str(tmp_path / "snappy.parquet")
+    p_zstd = str(tmp_path / "zstd.parquet")
+    build._atomic_write_table(t, p_snappy)
+    monkeypatch.setattr(build, "_PQ_COMPRESSION", "zstd")
+    monkeypatch.setattr(build, "_PQ_ROW_GROUP", 2048)
+    build._atomic_write_table(t, p_zstd)
+
+    meta = pq.ParquetFile(p_zstd).metadata
+    assert meta.row_group(0).column(0).compression == "ZSTD"
+    assert meta.row_group(0).num_rows == 2048
+    assert pq.ParquetFile(p_snappy).metadata.row_group(0).column(
+        0).compression == "SNAPPY"
+    # logical equality — the decision is bytes-vs-CPU only
+    assert pq.read_table(p_zstd).equals(pq.read_table(p_snappy))
+    # zstd is the archive-target recommendation because it writes less
+    assert os.path.getsize(p_zstd) < os.path.getsize(p_snappy)
