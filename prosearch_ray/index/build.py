@@ -161,11 +161,14 @@ def _canonicalize_bucket(group: pa.Table) -> pa.Table:
     group = group.sort_by([("doc_key", "ascending"),
                            ("commit", "descending"),
                            ("sha_hex", "descending")])
-    keys = group.column("doc_key").to_pylist()
-    keep = np.ones(len(keys), dtype=bool)
-    for i in range(1, len(keys)):
-        if keys[i] == keys[i - 1]:
-            keep[i] = False
+    if group.num_rows <= 1:
+        return group
+    # keep-first per doc_key, vectorized: a row is dropped iff its key
+    # equals the previous row's (keys are sorted and never null)
+    keys = group.column("doc_key").combine_chunks()
+    n = len(keys)
+    keep = np.ones(n, dtype=bool)
+    keep[1:] = ~np.asarray(pc.equal(keys.slice(1), keys.slice(0, n - 1)))
     return group.filter(pa.array(keep))
 
 
