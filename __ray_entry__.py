@@ -1142,6 +1142,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #      row was additionally re-verified locally this round at
         #      sf0.001 AND sf0.01 AND sf0.1 (tools/check_oracle.py).
         # --- block 1: changed this round (r5) ---
+        # DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+        # log-likelihood-ratio data selection — new this round
+        "dsir_weights": curate.dsir_weights,
+        # SemDeDup (Abbas et al. 2023): within-cluster semantic keep/drop
+        # labels — new this round
+        "semdedup_labels": dedup.semdedup_labels,
         # pair dedup is now a distributed groupby, not a driver dict
         "simhash_dup_pairs": dedup.simhash_dup_pairs,
         # tf pass materialized (corpus tokenize runs once)
@@ -2352,6 +2358,72 @@ SELECT h.pattern, h.tok AS term,
        (SELECT count(DISTINCT doc) FROM ttok WHERE tok = h.tok)::BIGINT AS df_title,
        (SELECT count(DISTINCT doc) FROM btok WHERE tok = h.tok)::BIGINT AS df_body
 FROM hits h ORDER BY h.pattern, h.tok
+"""
+    # SemDeDup labels: nearest-seed clusters (the cluster_assign CTEs),
+    # then a vector is a duplicate iff some smaller-id vector in the SAME
+    # cluster reaches the cosine threshold; dup_of = that smallest id
+    from prosearch_ray.pipelines.dedup import (COSINE_DUP_THRESHOLD,
+                                               SEMDEDUP_CLUSTERS)
+    d["semdedup_labels"] = f"""
+WITH s AS (SELECT vec_id AS sid, embedding AS semb
+           FROM embeddings WHERE vec_id < {SEMDEDUP_CLUSTERS}),
+sims AS (SELECT e.vec_id, s.sid,
+                list_sum(list_transform(generate_series(1, len(e.embedding)),
+                    i -> e.embedding[i]::DOUBLE * s.semb[i]::DOUBLE))
+                / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                   * sqrt(list_sum(list_transform(s.semb, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+         FROM embeddings e CROSS JOIN s),
+asg AS (SELECT vec_id, sid AS cluster FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY sim DESC, sid) AS rn FROM sims) WHERE rn = 1),
+p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+             list_sum(list_transform(generate_series(1, len(a.embedding)),
+                 i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+      FROM embeddings a JOIN asg ca ON a.vec_id = ca.vec_id
+           JOIN asg cb ON ca.cluster = cb.cluster
+           JOIN embeddings b ON b.vec_id = cb.vec_id AND b.vec_id < a.vec_id),
+dup AS (SELECT ia AS vec_id, min(ib) AS dup_of FROM p
+        WHERE cos >= {COSINE_DUP_THRESHOLD} GROUP BY ia)
+SELECT asg.vec_id, asg.cluster,
+       (dup.dup_of IS NULL) AS keep,
+       coalesce(dup.dup_of, -1)::BIGINT AS dup_of
+FROM asg LEFT JOIN dup USING (vec_id) ORDER BY asg.vec_id
+"""
+    # DSIR importance weights: hashed unigram+bigram buckets (md5 % dim,
+    # the doc_vectors convention), Laplace-smoothed target-vs-raw log
+    # ratio, per-doc ordered bucket-ascending sums (matches the engine's
+    # np.add.reduceat sequential segment sums bit-for-bit)
+    from prosearch_ray.pipelines.curate import DSIR_DIM, DSIR_TARGET_LANG
+    d["dsir_weights"] = f"""
+WITH tok AS (SELECT doc_id, lang, {TOK_SQL} AS ts FROM documents),
+feats AS (
+    SELECT doc_id, lang, unnest(ts) AS f FROM tok
+    UNION ALL
+    SELECT doc_id, lang,
+           unnest(list_transform(generate_series(1, len(ts) - 1),
+                                 i -> ts[i] || ' ' || ts[i + 1])) AS f
+    FROM tok),
+fb AS (SELECT doc_id, lang,
+              (md5_number_lower(f) % {DSIR_DIM})::BIGINT AS b FROM feats),
+raw AS (SELECT b, count(*)::DOUBLE c FROM fb GROUP BY 1),
+tgt AS (SELECT b, count(*)::DOUBLE c FROM fb
+        WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1),
+rt AS (SELECT sum(c) t FROM raw),
+tt AS (SELECT coalesce(sum(c), 0) t FROM tgt),
+lam AS (SELECT raw.b,
+               ln((coalesce(tgt.c, 0) + 1) / (tt.t + {DSIR_DIM}))
+             - ln((raw.c + 1) / (rt.t + {DSIR_DIM})) AS lam
+        FROM raw LEFT JOIN tgt USING (b) CROSS JOIN rt CROSS JOIN tt),
+tf AS (SELECT doc_id, b, count(*)::DOUBLE tf FROM fb GROUP BY 1, 2),
+w AS (SELECT tf.doc_id, sum(tf.tf * lam.lam ORDER BY tf.b) AS s
+      FROM tf JOIN lam USING (b) GROUP BY tf.doc_id),
+nf AS (SELECT doc_id, count(*)::BIGINT n FROM fb GROUP BY 1)
+SELECT d.doc_id, coalesce(nf.n, 0)::BIGINT AS n_feats,
+       round(coalesce(w.s, 0), 4) AS logw
+FROM documents d LEFT JOIN nf USING (doc_id) LEFT JOIN w USING (doc_id)
+ORDER BY d.doc_id
 """
     d["term_fuzzy_df"] = f"""
 WITH {_CODE_IDS_CTES},

@@ -533,3 +533,117 @@ def redact_text(sf_dir: str, patterns=PII_PATTERNS) -> "rd.Dataset":
                          "clean_text": txt, **counts})
 
     return docs.map_batches(scrub, batch_format="pyarrow")
+
+
+# DSIR defaults: hashed-feature dimension and the target domain selector.
+# dim is deliberately small at test scale so the oracle's per-bucket CTEs
+# stay cheap; production uses 10k+ buckets (the paper's setting) — the
+# pipeline shape is dim-independent (every exchange is dim-sized).
+DSIR_DIM = 128
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_feats(col, dim: int):
+    """Hashed unigram+bigram feature occurrences of a text column:
+    ``(doc_of, bucket)`` per occurrence + batch doc count.  Features hash
+    token -> md5 % dim with the DuckDB ``md5_number_lower`` convention
+    (digest[8:] little-endian, same as trainprep.doc_vectors), computed
+    once per DISTINCT feature per batch via dictionary-encode."""
+    import hashlib
+
+    from prosearch_ray.pipelines.trainprep import _split_tokens, doc_ngrams
+
+    pre = _split_tokens(col)
+    flat, doc_of, n_docs = pre
+    bi, bi_doc = doc_ngrams(col, 2, pre=pre)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    feats = pa.concat_arrays([flat, bi])
+    fdoc = np.concatenate([doc_of, bi_doc]) if len(feats) else doc_of
+    enc = feats.dictionary_encode()
+    hd = np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode()).digest()[8:],
+                        "little") % dim
+         for s in enc.dictionary.to_pylist()),
+        dtype=np.int64, count=len(enc.dictionary))
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    buckets = hd[codes] if len(codes) else np.array([], np.int64)
+    return fdoc.astype(np.int64), buckets, n_docs
+
+
+def dsir_weights(sf_dir: str, dim: int = DSIR_DIM,
+                 target_lang: str = DSIR_TARGET_LANG) -> "rd.Dataset":
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): every document gets the
+    log importance ratio of a hashed-n-gram bag-of-features model fit on a
+    TARGET domain (here: the corpus' ``lang = target_lang`` slice) vs the
+    RAW corpus —
+
+        logw(doc) = sum_b tf_b * [ln p_target(b) - ln p_raw(b)]
+
+    with Laplace-smoothed bucket probabilities p(b) = (c_b + 1)/(total +
+    dim) over unigram+bigram features hashed to ``dim`` buckets.  High
+    logw = "looks like the target domain"; a selection pass keeps the
+    top-weighted docs (the resampling step is a trivial weighted sample on
+    this column).
+
+    Scale shape: pass 1 is map-side dim-sized bucket-count partials (raw
+    and target counted in the same pass) -> one dim-sized groupby -> a
+    dim-sized log-ratio vector broadcast once; pass 2 is a pure vectorized
+    probe (per-doc tf via np.unique + per-doc SEQUENTIAL bucket-ascending
+    sums via np.add.reduceat, matching the oracle's ``sum(... ORDER BY
+    b)`` bit-for-bit).  No corpus shuffle on either pass.  The corpus is
+    tokenized twice (once per pass) — same measured trade as
+    boilerplate_flags: the per-occurrence feature stream is larger than
+    the column-pruned re-read it would save."""
+    from ray.data.aggregate import Sum
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    arange = pa.array(np.arange(dim, dtype=np.int64), pa.int64())
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        fdoc, buckets, _ = _dsir_feats(t.column("text"), dim)
+        is_tgt = pc.equal(t.column("lang"), target_lang).to_numpy(
+            zero_copy_only=False).astype(bool)
+        raw = np.bincount(buckets, minlength=dim)
+        tgt = (np.bincount(buckets[is_tgt[fdoc]], minlength=dim)
+               if len(fdoc) else np.zeros(dim, np.int64))
+        return pa.table({"b": arange,
+                         "raw_part": pa.array(raw.astype(np.int64)),
+                         "tgt_part": pa.array(tgt.astype(np.int64))})
+
+    rows = docs.map_batches(bucket_partial, batch_format="pyarrow").groupby(
+        "b").aggregate(Sum("raw_part", alias_name="raw"),
+                       Sum("tgt_part", alias_name="tgt")).take_all()
+    raw = np.zeros(dim, np.float64)
+    tgt = np.zeros(dim, np.float64)
+    for r in rows:
+        raw[int(r["b"])] = float(r["raw"])
+        tgt[int(r["b"])] = float(r["tgt"])
+    # exactly the oracle's expression order: (c + 1) / (tot + dim), ln,
+    # subtract — so the float64 vector is bit-identical to DuckDB's
+    lam = (np.log((tgt + 1.0) / (tgt.sum() + dim))
+           - np.log((raw + 1.0) / (raw.sum() + dim)))
+    ref = bput(lam)
+
+    def score(t: pa.Table) -> pa.Table:
+        lam_l = bget(ref)
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        fdoc, buckets, n = _dsir_feats(t.column("text"), dim)
+        keys, tf = np.unique(fdoc * dim + buckets, return_counts=True)
+        d_i = (keys // dim).astype(np.int64)
+        contrib = tf.astype(np.float64) * lam_l[(keys % dim).astype(np.int64)]
+        logw = np.zeros(n, np.float64)
+        if len(d_i):
+            udocs, dstart = np.unique(d_i, return_index=True)
+            # sequential left-to-right segment sums, buckets ascending
+            # within each doc (np.unique key order) == sum(ORDER BY b)
+            logw[udocs] = np.add.reduceat(contrib, dstart)
+        nf = np.bincount(fdoc, minlength=n).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_feats": pa.array(nf, pa.int64()),
+            "logw": pa.array(sql_round(logw, 4), pa.float64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")

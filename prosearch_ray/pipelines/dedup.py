@@ -1281,3 +1281,80 @@ def span_dedup(sf_dir: str, k: int = SPAN_K,
     both = docs.map_batches(doc_rows, batch_format="pyarrow").union(
         loser_ds.map_batches(lose_rows, batch_format="pyarrow"))
     return both.groupby("bkt").map_groups(rebuild, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ semdedup
+SEMDEDUP_CLUSTERS = 8    # oracle-scale seed count; production sizes k so
+                         # clusters stay ~10^4 rows (per-cluster work is
+                         # blocked O(|c|^2) — k grows with the corpus)
+SEMDEDUP_BLOCK = 4096    # rows per within-cluster compare block
+
+
+def semdedup_labels(sf_dir: str, n_clusters: int = SEMDEDUP_CLUSTERS,
+                    threshold: float = COSINE_DUP_THRESHOLD) -> "rd.Dataset":
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) keep/drop labels:
+    cluster the embedding space, then mark a vector as a semantic
+    duplicate iff some SMALLER-id vector in the SAME cluster has cosine
+    >= threshold; kept rows are each near-dup group's min-id
+    representative.  Unlike ``embedding_dup_pairs`` (the global pair
+    table) this is the paper's cheap selection pass: cross-cluster pairs
+    are never examined, so compute is O(sum |c|^2) with k chosen to bound
+    cluster sizes.
+
+    Output: one row per vector — ``(vec_id, cluster, keep, dup_of)`` with
+    ``dup_of`` the smallest qualifying earlier id (-1 when kept).
+
+    Scale shape: nearest-seed assignment is a broadcast-matrix matmul per
+    batch (the cluster_assign kernel); the ONLY exchange is the
+    cluster-partitioned groupby that co-locates each cluster's normalized
+    vectors; within a cluster the compare runs in id-ascending blocks
+    (``SEMDEDUP_BLOCK`` rows vs all prior rows — bounded working set, no
+    all-pairs materialization).  No driver-side collect anywhere."""
+    from prosearch_ray.pipelines.similarity import (_grab_query_rows,
+                                                    _mat_of, _normalized)
+
+    emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    s_ids, s_mat = _grab_query_rows(emb, list(range(n_clusters)))
+    order = np.argsort(s_ids)
+    ref = bput((s_ids[order], s_mat[order]))
+
+    def assign(t: pa.Table) -> pa.Table:
+        sids, sm = bget(ref)
+        ids = t.column("vec_id").to_numpy().astype(np.int64, copy=False)
+        m = _normalized(_mat_of(t.column("embedding")))
+        best = np.argmax(m @ sm.T, axis=1)  # first max = smallest sid
+        dim = m.shape[1] if m.size else 0
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(sids[best], pa.int64()),
+            "norm": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.ravel(), pa.float64()), dim),
+        })
+
+    def dedup_group(g: pa.Table) -> pa.Table:
+        ids = g.column("vec_id").to_numpy().astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = _mat_of(g.column("norm"))[order]
+        n = len(ids)
+        dup_of = np.full(n, -1, np.int64)
+        B = SEMDEDUP_BLOCK
+        for s in range(0, n, B):
+            e = min(s + B, n)
+            cos = m[s:e] @ m[:e].T  # block rows vs ALL prior + own block
+            hit = cos >= threshold
+            # only strictly-earlier columns qualify (ids ascending)
+            hit &= np.arange(e)[None, :] < np.arange(s, e)[:, None]
+            anyhit = hit.any(axis=1)
+            first = np.argmax(hit, axis=1)  # first True = smallest id
+            dup_of[s:e][anyhit] = ids[first[anyhit]]
+        cl = np.full(n, int(g.column("cluster")[0].as_py()), np.int64)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(cl, pa.int64()),
+            "keep": pa.array(dup_of < 0, pa.bool_()),
+            "dup_of": pa.array(dup_of, pa.int64()),
+        })
+
+    return emb.map_batches(assign, batch_format="pyarrow").groupby(
+        "cluster").map_groups(dedup_group, batch_format="pyarrow")

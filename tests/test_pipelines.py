@@ -1152,3 +1152,82 @@ def test_hopping_window_stats_matches_bruteforce():
     import pytest
     with pytest.raises(ValueError):
         hopping_window_stats(SF, size_hours=3, hop_hours=2)
+
+
+def test_dsir_weights_matches_bruteforce():
+    """DSIR logw must equal a pure-Python hashed-feature LLR computation
+    (Laplace-smoothed target-vs-raw, unigrams+bigrams, md5 % dim)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from prosearch_ray.pipelines.curate import (DSIR_DIM, DSIR_TARGET_LANG,
+                                                dsir_weights)
+
+    got = {int(r["doc_id"]): (int(r["n_feats"]), float(r["logw"]))
+           for r in dsir_weights(SF).take_all()}
+
+    t = pq.read_table(SF + "/documents.parquet",
+                      columns=["doc_id", "text", "lang"])
+    import re
+    docs = {}
+    raw = Counter()
+    tgt = Counter()
+    for did, text, lang in zip(t.column("doc_id").to_pylist(),
+                               t.column("text").to_pylist(),
+                               t.column("lang").to_pylist()):
+        toks = [x for x in re.split(r"[^a-z0-9]+", text.lower()) if x]
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        bs = [int.from_bytes(hashlib.md5(f.encode()).digest()[8:],
+                             "little") % DSIR_DIM for f in feats]
+        docs[did] = bs
+        raw.update(bs)
+        if lang == DSIR_TARGET_LANG:
+            tgt.update(bs)
+    rt, tt = sum(raw.values()), sum(tgt.values())
+    lam = {b: (math.log((tgt.get(b, 0) + 1.0) / (tt + DSIR_DIM))
+               - math.log((raw.get(b, 0) + 1.0) / (rt + DSIR_DIM)))
+           for b in range(DSIR_DIM)}
+    assert set(got) == set(docs)
+    for did, bs in docs.items():
+        nf, logw = got[did]
+        assert nf == len(bs)
+        want = sum(c * lam[b] for b, c in sorted(Counter(bs).items()))
+        assert abs(logw - round(want, 4)) < 1e-6, did
+
+
+def test_semdedup_labels_matches_bruteforce():
+    """SemDeDup keep/drop labels must equal the O(n^2) within-cluster
+    reference: duplicate iff a smaller-id same-cluster vector reaches the
+    cosine threshold, dup_of = the smallest such id."""
+    import pyarrow.parquet as pq
+
+    from prosearch_ray.pipelines.dedup import (COSINE_DUP_THRESHOLD,
+                                               SEMDEDUP_CLUSTERS,
+                                               semdedup_labels)
+
+    got = {int(r["vec_id"]): (int(r["cluster"]), bool(r["keep"]),
+                              int(r["dup_of"]))
+           for r in semdedup_labels(SF).take_all()}
+
+    t = pq.read_table(SF + "/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), np.int64)
+    m = np.asarray(t.column("embedding").to_pylist(), np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    seeds = m[np.searchsorted(ids, np.arange(SEMDEDUP_CLUSTERS))]
+    best = np.argmax(m @ seeds.T, axis=1)
+    assert set(got) == set(ids.tolist())
+    for i, vid in enumerate(ids.tolist()):
+        cl, keep, dup_of = got[vid]
+        assert cl == best[i]
+        prior = np.nonzero((best[:i] == best[i])
+                           & (m[:i] @ m[i] >= COSINE_DUP_THRESHOLD))[0]
+        if len(prior):
+            assert not keep and dup_of == ids[prior[0]]
+        else:
+            assert keep and dup_of == -1
