@@ -1148,6 +1148,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SemDeDup (Abbas et al. 2023): within-cluster semantic keep/drop
         # labels — new this round
         "semdedup_labels": dedup.semdedup_labels,
+        # BPE tokenizer TRAINING (Sennrich et al. 2016): distributed merge
+        # learning over the distinct-word table — new this round.  No SQL
+        # oracle (inherently iterative — the driver records the rows-only
+        # check); exactness is pinned against a pure-Python Sennrich
+        # reference in tests/test_pipelines.py.
+        "bpe_train": trainprep.bpe_train,
         # pair dedup is now a distributed groupby, not a driver dict
         "simhash_dup_pairs": dedup.simhash_dup_pairs,
         # tf pass materialized (corpus tokenize runs once)

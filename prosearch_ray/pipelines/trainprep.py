@@ -736,3 +736,152 @@ def skipgram_counts(sf_dir: str, window: int = SKIP_WINDOW,
         "w2": pa.array([p[1] for p, _ in split], pa.string()),
         "n": pa.array([n for _, n in split], pa.int64()),
     })
+
+
+# ------------------------------------------------------------------ BPE train
+BPE_MERGES = 16  # merge rules learned by the driver entry
+
+
+def _apply_merge(flat: np.ndarray, word_of: np.ndarray, left: str,
+                 right: str, merged: str):
+    """Apply one BPE merge to a flat symbol stream: replace every
+    LEFTMOST-GREEDY non-overlapping (left, right) adjacency within a word
+    by ``merged``.  Vectorized adjacency match; the only loop is over the
+    (rare) runs of OVERLAPPING matches ("aaa" + merge (a,a) -> "aa","a"),
+    which is match-sized, not stream-sized.  Returns (flat, word_of)."""
+    if len(flat) < 2:
+        return flat, word_of
+    cand = np.nonzero((flat[:-1] == left) & (flat[1:] == right)
+                      & (word_of[:-1] == word_of[1:]))[0]
+    if len(cand) == 0:
+        return flat, word_of
+    # greedy leftmost: drop a match that starts where the previous kept
+    # match ended (only possible when left == right chains overlap)
+    if left == right:
+        sel = []
+        prev = -2
+        for p in cand.tolist():
+            if p > prev + 1:
+                sel.append(p)
+                prev = p
+        cand = np.asarray(sel, np.int64)
+    out = flat.copy()
+    out[cand] = merged
+    keep = np.ones(len(flat), bool)
+    keep[cand + 1] = False
+    return out[keep], word_of[keep]
+
+
+def bpe_train(sf_dir: str, n_merges: int = BPE_MERGES) -> pa.Table:
+    """Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016): learn
+    the ``n_merges`` highest-frequency symbol merges over the corpus.
+    Classic semantics: pair statistics count every adjacent symbol
+    position weighted by word frequency (overlaps included); applying a
+    merge is leftmost-greedy; ties break to the lexicographically
+    smallest (left, right).
+
+    Output: one row per learned rule — (rank, left, right, merged, freq)
+    with freq the pair count at merge time.  Deterministic, pinned
+    against a pure-Python Sennrich reference in pytest (no SQL oracle —
+    the merge loop is inherently iterative).
+
+    Scale shape: the ONE corpus-sized pass is the word-frequency
+    aggregate (map-side partial counts -> vocabulary-keyed groupby);
+    every merge round then runs over the DISTINCT-WORD table only
+    (vocabulary-sized, orders of magnitude below the corpus), as one
+    vectorized pair-stats pass (dictionary-encoded pair keys, weighted
+    bincount partials -> pair-keyed groupby -> per-block local winners ->
+    tiny driver reduce) plus one vectorized merge-apply pass; the vocab
+    Dataset is re-materialized per round so lineage stays flat."""
+    docs = read(sf_dir, "documents", columns=["text"])
+
+    def wc_partial(t: pa.Table) -> pa.Table:
+        flat, _, _ = _split_tokens(t.column("text"))
+        enc = flat.dictionary_encode()
+        cnt = np.bincount(enc.indices.to_numpy(zero_copy_only=False),
+                          minlength=len(enc.dictionary))
+        return pa.table({"term": enc.dictionary,
+                         "c_part": pa.array(cnt.astype(np.int64))})
+
+    vocab = docs.map_batches(wc_partial, batch_format="pyarrow").groupby(
+        "term").aggregate(Sum("c_part", alias_name="c"))
+
+    def symbolize(t: pa.Table) -> pa.Table:
+        terms = t.column("term").combine_chunks()
+        # split each word into single-character symbols: a cast to
+        # list<string> via python is vocab-sized, not corpus-sized
+        syms = pa.array([list(w) for w in terms.to_pylist()],
+                        pa.list_(pa.string()))
+        return pa.table({"syms": syms,
+                         "c": pc.cast(t.column("c"), pa.int64())})
+
+    vocab = vocab.map_batches(symbolize, batch_format="pyarrow").materialize()
+
+    def _flat(t: pa.Table):
+        syms = t.column("syms").combine_chunks()
+        off = syms.offsets.to_numpy().astype(np.int64)
+        counts = np.diff(off)
+        word_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        flat = np.asarray(syms.flatten().to_pylist(), dtype=object)
+        return flat, word_of, t.column("c").to_numpy().astype(np.int64)
+
+    merges = []
+    for rank in range(n_merges):
+        def pair_partial(t: pa.Table) -> pa.Table:
+            flat, word_of, c = _flat(t)
+            if len(flat) < 2:
+                return pa.table({"pair": pa.array([], pa.string()),
+                                 "c_part": pa.array([], pa.int64())})
+            same = word_of[:-1] == word_of[1:]
+            la = pa.array(flat[:-1][same], pa.string())
+            ra = pa.array(flat[1:][same], pa.string())
+            keys = pc.binary_join_element_wise(la, ra, " ")
+            w = c[word_of[:-1][same]]
+            enc = keys.dictionary_encode()
+            cnt = np.bincount(enc.indices.to_numpy(zero_copy_only=False),
+                              weights=w, minlength=len(enc.dictionary))
+            return pa.table({"pair": enc.dictionary,
+                             "c_part": pa.array(cnt.astype(np.int64))})
+
+        stats = vocab.map_batches(
+            pair_partial, batch_format="pyarrow").groupby("pair").aggregate(
+            Sum("c_part", alias_name="c"))
+
+        def local_winner(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            idx = pc.sort_indices(t, sort_keys=[("c", "descending"),
+                                                ("pair", "ascending")])
+            return t.take(idx[:1])
+
+        cand = stats.map_batches(local_winner,
+                                 batch_format="pyarrow").take_all()
+        if not cand:
+            break
+        best = sorted(cand, key=lambda r: (-int(r["c"]), r["pair"]))[0]
+        left, right = str(best["pair"]).split(" ", 1)
+        merged = left + right
+        merges.append((rank, left, right, merged, int(best["c"])))
+
+        def apply_batch(t: pa.Table, left=left, right=right,
+                        merged=merged) -> pa.Table:
+            flat, word_of, c = _flat(t)
+            flat, word_of = _apply_merge(flat, word_of, left, right, merged)
+            counts = np.bincount(word_of, minlength=t.num_rows)
+            off = np.zeros(len(counts) + 1, np.int64)
+            np.cumsum(counts, out=off[1:])
+            syms = pa.ListArray.from_arrays(
+                pa.array(off, pa.int64()).cast(pa.int32()),
+                pa.array(flat, pa.string()))
+            return pa.table({"syms": syms, "c": t.column("c")})
+
+        vocab = vocab.map_batches(apply_batch,
+                                  batch_format="pyarrow").materialize()
+
+    return pa.table({
+        "rank": pa.array([m[0] for m in merges], pa.int64()),
+        "left": pa.array([m[1] for m in merges], pa.string()),
+        "right": pa.array([m[2] for m in merges], pa.string()),
+        "merged": pa.array([m[3] for m in merges], pa.string()),
+        "freq": pa.array([m[4] for m in merges], pa.int64()),
+    })

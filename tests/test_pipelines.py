@@ -1231,3 +1231,71 @@ def test_semdedup_labels_matches_bruteforce():
             assert not keep and dup_of == ids[prior[0]]
         else:
             assert keep and dup_of == -1
+
+
+def test_apply_merge_overlap_is_leftmost_greedy():
+    """'aaa' + merge (a,a) must become ['aa','a'] (never ['a','aa'] or
+    ['aa','aa']); cross-word adjacency must not merge."""
+    from prosearch_ray.pipelines.trainprep import _apply_merge
+
+    flat = np.asarray(["a", "a", "a", "a", "a"], dtype=object)
+    word_of = np.asarray([0, 0, 0, 1, 1], np.int64)
+    out, wo = _apply_merge(flat, word_of, "a", "a", "aa")
+    assert out.tolist() == ["aa", "a", "aa"]
+    assert wo.tolist() == [0, 0, 1]
+    # distinct-symbol merges keep every non-overlapping adjacency
+    flat = np.asarray(["x", "y", "x", "y"], dtype=object)
+    word_of = np.zeros(4, np.int64)
+    out, _ = _apply_merge(flat, word_of, "x", "y", "xy")
+    assert out.tolist() == ["xy", "xy"]
+
+
+def test_bpe_train_matches_sennrich_reference():
+    """The distributed merge learner must output exactly the pure-Python
+    Sennrich reference's merge table (stats count overlaps, application
+    is leftmost-greedy, ties break to the smallest 'left right' key)."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from prosearch_ray.pipelines.trainprep import bpe_train
+
+    got = bpe_train(SF, n_merges=12).to_pylist()
+
+    t = pq.read_table(SF + "/documents.parquet", columns=["text"])
+    wf = Counter()
+    for text in t.column("text").to_pylist():
+        wf.update(x for x in re.split(r"[^a-z0-9]+", text.lower()) if x)
+    vocab = Counter()
+    for w, f in wf.items():
+        vocab[tuple(w)] += f
+
+    want = []
+    for rank in range(12):
+        stats = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += f
+        if not stats:
+            break
+        (l, r), c = sorted(stats.items(),
+                           key=lambda kv: (-kv[1],
+                                           kv[0][0] + " " + kv[0][1]))[0]
+        want.append({"rank": rank, "left": l, "right": r,
+                     "merged": l + r, "freq": c})
+        new = Counter()
+        for syms, f in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == l
+                        and syms[i + 1] == r):
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] += f
+        vocab = new
+    assert got == want
