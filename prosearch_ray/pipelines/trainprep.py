@@ -740,6 +740,11 @@ def skipgram_counts(sf_dir: str, window: int = SKIP_WINDOW,
 
 # ------------------------------------------------------------------ BPE train
 BPE_MERGES = 16  # merge rules learned by the driver entry
+# vocab-size gate between the driver-local merge loop and the distributed
+# per-round Dataset passes (the clean_corpus broadcast-vs-anti-join shape):
+# below this many DISTINCT words the whole merge loop is a sub-second local
+# computation — pytest pins both paths equal
+BPE_LOCAL_MAX_VOCAB = 200_000
 
 
 def _apply_merge(flat: np.ndarray, word_of: np.ndarray, left: str,
@@ -772,7 +777,34 @@ def _apply_merge(flat: np.ndarray, word_of: np.ndarray, left: str,
     return out[keep], word_of[keep]
 
 
-def bpe_train(sf_dir: str, n_merges: int = BPE_MERGES) -> pa.Table:
+def _local_bpe(flat: np.ndarray, word_of: np.ndarray, c: np.ndarray,
+               n_merges: int) -> list:
+    """Driver-local merge loop over a flattened vocab symbol stream —
+    the small-vocab fast path of ``bpe_train`` (numpy-vectorized stats,
+    identical tie-break and greedy semantics to the distributed loop;
+    pytest pins both paths equal)."""
+    merges = []
+    for rank in range(n_merges):
+        if len(flat) < 2:
+            break
+        same = word_of[:-1] == word_of[1:]
+        if not same.any():
+            break
+        pairs = flat[:-1][same] + " " + flat[1:][same]
+        keys, inv = np.unique(pairs, return_inverse=True)
+        cnt = np.bincount(inv, weights=c[word_of[:-1][same]]).astype(np.int64)
+        # max count, tie to the smallest pair key (keys are ascending, so
+        # the FIRST max is the lexicographically smallest)
+        best = int(np.flatnonzero(cnt == cnt.max())[0])
+        left, right = str(keys[best]).split(" ", 1)
+        merged = left + right
+        merges.append((rank, left, right, merged, int(cnt[best])))
+        flat, word_of = _apply_merge(flat, word_of, left, right, merged)
+    return merges
+
+
+def bpe_train(sf_dir: str, n_merges: int = BPE_MERGES,
+              local_max_vocab: int = BPE_LOCAL_MAX_VOCAB) -> pa.Table:
     """Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016): learn
     the ``n_merges`` highest-frequency symbol merges over the corpus.
     Classic semantics: pair statistics count every adjacent symbol
@@ -786,13 +818,17 @@ def bpe_train(sf_dir: str, n_merges: int = BPE_MERGES) -> pa.Table:
     the merge loop is inherently iterative).
 
     Scale shape: the ONE corpus-sized pass is the word-frequency
-    aggregate (map-side partial counts -> vocabulary-keyed groupby);
-    every merge round then runs over the DISTINCT-WORD table only
-    (vocabulary-sized, orders of magnitude below the corpus), as one
-    vectorized pair-stats pass (dictionary-encoded pair keys, weighted
-    bincount partials -> pair-keyed groupby -> per-block local winners ->
-    tiny driver reduce) plus one vectorized merge-apply pass; the vocab
-    Dataset is re-materialized per round so lineage stays flat."""
+    aggregate (map-side partial counts -> vocabulary-keyed groupby).
+    The merge loop then runs over the DISTINCT-WORD table only
+    (vocabulary-sized, orders of magnitude below the corpus) on one of
+    two pytest-pinned-equal paths: at or below ``local_max_vocab``
+    distinct words the whole loop is DRIVER-LOCAL numpy (sub-second —
+    per-round Dataset barriers would dominate by 100x); above it each
+    round is one vectorized pair-stats pass (dictionary-encoded pair
+    keys, weighted bincount partials -> pair-keyed groupby -> per-block
+    local winners -> tiny driver reduce) plus one vectorized merge-apply
+    pass, with the vocab Dataset re-materialized per round so lineage
+    stays flat."""
     docs = read(sf_dir, "documents", columns=["text"])
 
     def wc_partial(t: pa.Table) -> pa.Table:
@@ -824,6 +860,20 @@ def bpe_train(sf_dir: str, n_merges: int = BPE_MERGES) -> pa.Table:
         word_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
         flat = np.asarray(syms.flatten().to_pylist(), dtype=object)
         return flat, word_of, t.column("c").to_numpy().astype(np.int64)
+
+    def _merge_table(merges: list) -> pa.Table:
+        return pa.table({
+            "rank": pa.array([m[0] for m in merges], pa.int64()),
+            "left": pa.array([m[1] for m in merges], pa.string()),
+            "right": pa.array([m[2] for m in merges], pa.string()),
+            "merged": pa.array([m[3] for m in merges], pa.string()),
+            "freq": pa.array([m[4] for m in merges], pa.int64()),
+        })
+
+    if vocab.count() <= local_max_vocab:
+        t = pa.concat_tables(list(
+            vocab.iter_batches(batch_format="pyarrow")))
+        return _merge_table(_local_bpe(*_flat(t), n_merges))
 
     merges = []
     for rank in range(n_merges):
@@ -878,10 +928,4 @@ def bpe_train(sf_dir: str, n_merges: int = BPE_MERGES) -> pa.Table:
         vocab = vocab.map_batches(apply_batch,
                                   batch_format="pyarrow").materialize()
 
-    return pa.table({
-        "rank": pa.array([m[0] for m in merges], pa.int64()),
-        "left": pa.array([m[1] for m in merges], pa.string()),
-        "right": pa.array([m[2] for m in merges], pa.string()),
-        "merged": pa.array([m[3] for m in merges], pa.string()),
-        "freq": pa.array([m[4] for m in merges], pa.int64()),
-    })
+    return _merge_table(merges)

@@ -1262,6 +1262,10 @@ def test_bpe_train_matches_sennrich_reference():
     from prosearch_ray.pipelines.trainprep import bpe_train
 
     got = bpe_train(SF, n_merges=12).to_pylist()
+    # the distributed per-round path (forced) must produce the exact same
+    # merge table as the driver-local small-vocab path
+    forced = bpe_train(SF, n_merges=12, local_max_vocab=0).to_pylist()
+    assert forced == got
 
     t = pq.read_table(SF + "/documents.parquet", columns=["text"])
     wf = Counter()
@@ -1299,3 +1303,22 @@ def test_bpe_train_matches_sennrich_reference():
             new[tuple(out)] += f
         vocab = new
     assert got == want
+
+
+def test_token_counts_matches_bruteforce():
+    """Per-doc token counts must equal a pure-Python re-tokenization
+    (the simple-tokenizer semantics: lowercase, split on non-[a-z0-9])."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from prosearch_ray.pipelines.docsearch import token_counts
+
+    got = {int(r["doc_id"]): int(r["n_tokens"])
+           for r in token_counts(SF).take_all()}
+    t = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    for did, text in zip(t.column("doc_id").to_pylist(),
+                         t.column("text").to_pylist()):
+        want = len([x for x in re.split(r"[^a-z0-9]+", text.lower()) if x])
+        assert got[did] == want, did
+    assert len(got) == t.num_rows
