@@ -929,3 +929,56 @@ def bpe_train(sf_dir: str, n_merges: int = BPE_MERGES,
                                   batch_format="pyarrow").materialize()
 
     return _merge_table(merges)
+
+
+def bpe_encode(sf_dir: str, merges: pa.Table | None = None,
+               n_merges: int = BPE_MERGES) -> "rd.Dataset":
+    """Apply a trained BPE merge table to the corpus (the tokenize step a
+    training pipeline runs after ``bpe_train``): every doc gets its
+    pre-merge simple-token count and its post-merge BPE token count.
+    ``merges`` defaults to training on the same corpus first.
+
+    Semantics mirror training exactly: each word is transformed by the
+    merge rules IN RANK ORDER with leftmost-greedy application — so a
+    corpus word that existed at training time encodes to precisely the
+    symbols the trainer left it with (pytest-pinned).
+
+    Scale shape: the merge table broadcasts once; each batch encodes its
+    DISTINCT words only (dictionary-encode, then the per-word merge loop
+    — vocabulary-bounded per batch, never per occurrence; for
+    production-sized merge lists swap the rank-scan for the min-rank
+    priority walk) and per-doc counts are one gathered bincount.  One
+    corpus pass, no shuffle."""
+    if merges is None:
+        merges = bpe_train(sf_dir, n_merges=n_merges)
+    rules = [(str(l), str(r), str(m)) for l, r, m in
+             zip(merges.column("left").to_pylist(),
+                 merges.column("right").to_pylist(),
+                 merges.column("merged").to_pylist())]
+    ref = bput(rules)
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def encode(t: pa.Table) -> pa.Table:
+        rl = bget(ref)
+        flat, doc_of, n_docs = _split_tokens(t.column("text"))
+        enc = flat.dictionary_encode()
+        n_len = np.empty(len(enc.dictionary), np.int64)
+        for wi, w in enumerate(enc.dictionary.to_pylist()):
+            syms = np.asarray(list(w), dtype=object)
+            wo = np.zeros(len(syms), np.int64)
+            for left, right, merged in rl:
+                syms, wo = _apply_merge(syms, wo, left, right, merged)
+            n_len[wi] = len(syms)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        per_tok = n_len[codes] if len(codes) else np.array([], np.int64)
+        n_bpe = np.bincount(doc_of, weights=per_tok,
+                            minlength=n_docs).astype(np.int64)
+        n_tok = np.bincount(doc_of, minlength=n_docs).astype(np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_bpe": pa.array(n_bpe, pa.int64()),
+        })
+
+    return docs.map_batches(encode, batch_format="pyarrow")

@@ -1322,3 +1322,43 @@ def test_token_counts_matches_bruteforce():
         want = len([x for x in re.split(r"[^a-z0-9]+", text.lower()) if x])
         assert got[did] == want, did
     assert len(got) == t.num_rows
+
+
+def test_bpe_encode_matches_reference_apply():
+    """Per-doc BPE token counts must equal an independent pure-Python
+    application of the learned merge table (rank order, leftmost-greedy
+    scan per word)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from prosearch_ray.pipelines.trainprep import bpe_encode, bpe_train
+
+    merges = bpe_train(SF, n_merges=12)
+    rules = list(zip(merges.column("left").to_pylist(),
+                     merges.column("right").to_pylist()))
+    got = {int(r["doc_id"]): (int(r["n_tokens"]), int(r["n_bpe"]))
+           for r in bpe_encode(SF, merges=merges).take_all()}
+
+    def enc_len(word: str) -> int:
+        syms = list(word)
+        for l, r in rules:
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    cache = {}
+    t = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    for did, text in zip(t.column("doc_id").to_pylist(),
+                         t.column("text").to_pylist()):
+        toks = [x for x in re.split(r"[^a-z0-9]+", text.lower()) if x]
+        want = sum(cache.setdefault(w, enc_len(w)) for w in toks)
+        assert got[did] == (len(toks), want), did

@@ -94,10 +94,15 @@ def generate(out_root: str, n_docs: int) -> None:
 
 
 def run_ops(d: str, n: int) -> dict:
+    import ray.data as rd
+
     from prosearch_ray.pipelines.curate import dsir_weights
     from prosearch_ray.pipelines.dedup import semdedup_labels
     from prosearch_ray.pipelines.trainprep import bpe_train
 
+    # warm the cluster (worker spawn + first-read setup) so the SMALL
+    # point's timings aren't dominated by one-time session costs
+    rd.read_parquet(os.path.join(d, "documents.parquet")).count()
     out = {}
     t0 = time.monotonic()
     out["dsir_rows"] = dsir_weights(d).count()
