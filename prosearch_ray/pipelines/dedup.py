@@ -1291,7 +1291,8 @@ SEMDEDUP_BLOCK = 4096    # rows per within-cluster compare block
 
 
 def semdedup_labels(sf_dir: str, n_clusters: int = SEMDEDUP_CLUSTERS,
-                    threshold: float = COSINE_DUP_THRESHOLD) -> "rd.Dataset":
+                    threshold: float = COSINE_DUP_THRESHOLD,
+                    block: int = SEMDEDUP_BLOCK) -> "rd.Dataset":
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) keep/drop labels:
     cluster the embedding space, then mark a vector as a semantic
     duplicate iff some SMALLER-id vector in the SAME cluster has cosine
@@ -1314,9 +1315,11 @@ def semdedup_labels(sf_dir: str, n_clusters: int = SEMDEDUP_CLUSTERS,
                                                     _mat_of, _normalized)
 
     emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # _grab_query_rows returns id-ascending seeds; the broadcast-argmax
+    # kernel below mirrors similarity.cluster_assign's assign (first max =
+    # smallest sid) so the two operators can never disagree on clusters
     s_ids, s_mat = _grab_query_rows(emb, list(range(n_clusters)))
-    order = np.argsort(s_ids)
-    ref = bput((s_ids[order], s_mat[order]))
+    ref = bput((s_ids, s_mat))
 
     def assign(t: pa.Table) -> pa.Table:
         sids, sm = bget(ref)
@@ -1338,7 +1341,7 @@ def semdedup_labels(sf_dir: str, n_clusters: int = SEMDEDUP_CLUSTERS,
         m = _mat_of(g.column("norm"))[order]
         n = len(ids)
         dup_of = np.full(n, -1, np.int64)
-        B = SEMDEDUP_BLOCK
+        B = max(1, int(block))
         for s in range(0, n, B):
             e = min(s + B, n)
             cos = m[s:e] @ m[:e].T  # block rows vs ALL prior + own block

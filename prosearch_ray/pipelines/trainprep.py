@@ -777,6 +777,28 @@ def _apply_merge(flat: np.ndarray, word_of: np.ndarray, left: str,
     return out[keep], word_of[keep]
 
 
+def word_frequencies(docs: "rd.Dataset") -> "rd.Dataset":
+    """Distributed word-frequency table of a ``text`` Dataset under the
+    simple tokenizer: map-side dictionary-encode + bincount partials ->
+    one vocabulary-keyed groupby.  Returns (term, c).  Same kernel shape
+    as ``curate.lm_perplexity``'s term-count pass — kept here as THE
+    reusable helper (tokenizer semantics ride on ``_split_tokens``, whose
+    SQL parity is pinned)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _, _ = _split_tokens(t.column("text"))
+        enc = flat.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        cnt = np.bincount(enc.indices.to_numpy(zero_copy_only=False),
+                          minlength=len(enc.dictionary))
+        return pa.table({"term": enc.dictionary,
+                         "c_part": pa.array(cnt.astype(np.int64))})
+
+    return docs.map_batches(partial, batch_format="pyarrow").groupby(
+        "term").aggregate(Sum("c_part", alias_name="c"))
+
+
 def _local_bpe(flat: np.ndarray, word_of: np.ndarray, c: np.ndarray,
                n_merges: int) -> list:
     """Driver-local merge loop over a flattened vocab symbol stream —
@@ -831,16 +853,7 @@ def bpe_train(sf_dir: str, n_merges: int = BPE_MERGES,
     stays flat."""
     docs = read(sf_dir, "documents", columns=["text"])
 
-    def wc_partial(t: pa.Table) -> pa.Table:
-        flat, _, _ = _split_tokens(t.column("text"))
-        enc = flat.dictionary_encode()
-        cnt = np.bincount(enc.indices.to_numpy(zero_copy_only=False),
-                          minlength=len(enc.dictionary))
-        return pa.table({"term": enc.dictionary,
-                         "c_part": pa.array(cnt.astype(np.int64))})
-
-    vocab = docs.map_batches(wc_partial, batch_format="pyarrow").groupby(
-        "term").aggregate(Sum("c_part", alias_name="c"))
+    vocab = word_frequencies(docs)
 
     def symbolize(t: pa.Table) -> pa.Table:
         terms = t.column("term").combine_chunks()
@@ -871,9 +884,11 @@ def bpe_train(sf_dir: str, n_merges: int = BPE_MERGES,
         })
 
     if vocab.count() <= local_max_vocab:
-        t = pa.concat_tables(list(
-            vocab.iter_batches(batch_format="pyarrow")))
-        return _merge_table(_local_bpe(*_flat(t), n_merges))
+        batches = list(vocab.iter_batches(batch_format="pyarrow"))
+        if not batches:  # empty corpus: nothing to merge
+            return _merge_table([])
+        return _merge_table(_local_bpe(*_flat(pa.concat_tables(batches)),
+                                       n_merges))
 
     merges = []
     for rank in range(n_merges):

@@ -1362,3 +1362,40 @@ def test_bpe_encode_matches_reference_apply():
         toks = [x for x in re.split(r"[^a-z0-9]+", text.lower()) if x]
         want = sum(cache.setdefault(w, enc_len(w)) for w in toks)
         assert got[did] == (len(toks), want), did
+
+
+def test_semdedup_forced_multiblock_equals_default():
+    """The within-cluster compare must give identical labels when forced
+    through the multi-block path (block=2 -> every group runs the
+    block-vs-prior masking the scale path uses)."""
+    from prosearch_ray.pipelines.dedup import semdedup_labels
+
+    want = sorted(semdedup_labels(SF).take_all(),
+                  key=lambda r: r["vec_id"])
+    got = sorted(semdedup_labels(SF, block=2).take_all(),
+                 key=lambda r: r["vec_id"])
+    assert got == want
+
+
+def test_bpe_train_empty_corpus_returns_empty_table():
+    """An all-empty corpus must yield an empty merge table on BOTH paths,
+    not crash."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from prosearch_ray.pipelines.trainprep import bpe_train
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["", "   "], pa.string()),
+        }), os.path.join(d, "documents.parquet"))
+        for forced in (None, 0):
+            kw = {} if forced is None else {"local_max_vocab": 0}
+            out = bpe_train(d, n_merges=4, **kw)
+            assert out.num_rows == 0
+            assert out.column_names == ["rank", "left", "right",
+                                        "merged", "freq"]

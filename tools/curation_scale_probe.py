@@ -57,6 +57,20 @@ def generate(out_root: str, n_docs: int) -> None:
     emb_dir = os.path.join(out_root, "embeddings.parquet")
     os.makedirs(doc_dir, exist_ok=True)
     os.makedirs(emb_dir, exist_ok=True)
+    # chunk reuse is keyed on this fingerprint: a parameter change with a
+    # stale out_root must regenerate, never silently measure old data
+    params = json.dumps({"chunk": CHUNK, "vocab": VOCAB_N,
+                         "toks": TOKS_PER_DOC, "dim": EMB_DIM,
+                         "langs": LANG_P.tolist()})
+    marker = os.path.join(out_root, "_params.json")
+    if os.path.exists(marker) and open(marker).read() != params:
+        import shutil
+        shutil.rmtree(doc_dir)
+        shutil.rmtree(emb_dir)
+        os.makedirs(doc_dir)
+        os.makedirs(emb_dir)
+    with open(marker, "w") as f:
+        f.write(params)
     for ci, start in enumerate(range(0, n_docs, CHUNK)):
         n = min(CHUNK, n_docs - start)
         dpath = os.path.join(doc_dir, f"part-{ci:05d}.parquet")
