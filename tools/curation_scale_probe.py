@@ -129,6 +129,13 @@ def run_ops(d: str, n: int) -> dict:
     t0 = time.monotonic()
     out["bpe_rows"] = bpe_train(d, n_merges=8).num_rows
     out["bpe_sec"] = round(time.monotonic() - t0, 2)
+    from prosearch_ray.pipelines.dedup import exact_substr_spans
+
+    # the heaviest new op: two corpus-sized bounded-bucket exchanges;
+    # key="hash" is the documented at-scale configuration
+    t0 = time.monotonic()
+    out["substr_rows"] = exact_substr_spans(d, key="hash").count()
+    out["substr_sec"] = round(time.monotonic() - t0, 2)
     return out
 
 
@@ -159,7 +166,7 @@ def main() -> None:
         print(json.dumps(r), flush=True)
 
     r1, r2 = results[n1], results[n2]
-    for op in ("dsir", "semdedup", "bpe"):
+    for op in ("dsir", "semdedup", "bpe", "substr"):
         ratio = (r2[f"{op}_sec"] / r1[f"{op}_sec"]) / (n2 / n1)
         print(f"{op}: {n1}->{n2} docs, time x{r2[f'{op}_sec']/r1[f'{op}_sec']:.2f} "
               f"(per-row ratio {ratio:.2f}; <=1.0 is linear-or-better)")
