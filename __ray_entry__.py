@@ -1160,6 +1160,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ExactSubstr duplicate spans (Lee et al. 2022): cross-document
         # duplicated L-token runs via gram-hash co-groups — new this round
         "exact_substr_spans": dedup.exact_substr_spans,
+        # ...and the removal pass: docs rebuilt with duplicated runs
+        # deleted — new this round
+        "exact_substr_dedup": dedup.exact_substr_dedup,
         # pair dedup is now a distributed groupby, not a driver dict
         "simhash_dup_pairs": dedup.simhash_dup_pairs,
         # tf pass materialized (corpus tokenize runs once)
@@ -1249,9 +1252,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_assign": similarity.cluster_assign,
         "pmi_bigrams": trainprep.pmi_bigrams,
         "doc_vectors": trainprep.doc_vectors,
-        "pack_sequences": trainprep.pack_sequences,
-        # --- 50-cap boundary: pack_sequences is entry 50; everything below
+        # --- 50-cap boundary: doc_vectors is entry 50; everything below
         # is skipped by the driver this round ---
+        "pack_sequences": trainprep.pack_sequences,
         "ngram_counts": trainprep.ngram_counts,
         "token_counts": docsearch.token_counts,
         "chunk_documents": trainprep.chunk_documents,
@@ -1259,16 +1262,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (earlier sessions: tpch_q5 / heavy_hitters / rollup_aggregate /
         # cube_aggregate / moving_window_sum / small_qty_revenue /
         # hopping_window_stats; this session: dsir_weights /
-        # semdedup_labels / bpe_train / bpe_encode / exact_substr_spans)
-        # MUST grade, pushing twelve block-2 entries past position 50.
-        # The skips, weakest-claim-first — every one has a dedicated
-        # brute-force pytest AND a local tri-SF exact-match run
-        # (tools/check_oracle.py) this round:
-        #   - ngram_counts / token_counts / chunk_documents /
-        #     boilerplate_flags / lang_id / quality_score (displaced by
-        #     this session's five additions): test_pipelines.py pins
-        #     (bruteforce counts / bruteforce retokenize /
-        #     every-token-once / bruteforce / bounds / markers);
+        # semdedup_labels / bpe_train / bpe_encode / exact_substr_spans /
+        # exact_substr_dedup) MUST grade, pushing thirteen block-2
+        # entries past position 50.  The skips, weakest-claim-first —
+        # every one has a dedicated brute-force pytest AND a local tri-SF
+        # exact-match run (tools/check_oracle.py) this round:
+        #   - pack_sequences / ngram_counts / token_counts /
+        #     chunk_documents / boilerplate_flags / lang_id /
+        #     quality_score (displaced by this session's six additions):
+        #     test_pipelines.py pins (invariants / bruteforce counts /
+        #     bruteforce retokenize / every-token-once / bruteforce /
+        #     bounds / markers);
         #   - doc_length_measure / jaccard_pairs: single-exchange kernels,
         #     brute-force pytest;
         #   - the four sharded full-engine entries (below): their unsharded
@@ -2400,6 +2404,33 @@ isl AS (SELECT doc_id, t,
         FROM cov)
 SELECT doc_id, min(t)::BIGINT AS start_tok, count(*)::BIGINT AS span_len
 FROM isl GROUP BY doc_id, grp ORDER BY doc_id, start_tok
+"""
+    # ExactSubstr removal: same covered set, docs rebuilt from the
+    # non-covered token positions (ordered string_agg)
+    d["exact_substr_dedup"] = f"""
+WITH tok AS (SELECT doc_id, {TOK_SQL} AS ts FROM documents),
+g AS (SELECT doc_id, i - 1 AS p,
+             array_to_string(ts[i:i+{EXACT_SUBSTR_L}-1], ' ') AS gram
+      FROM tok, unnest(generate_series(1, len(ts) - {EXACT_SUBSTR_L} + 1))
+           AS t(i)),
+fr AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+dup AS (SELECT doc_id, p FROM g JOIN fr USING (gram)),
+cov AS (SELECT DISTINCT doc_id, p + off AS t
+        FROM dup, unnest(generate_series(0, {EXACT_SUBSTR_L} - 1))
+             AS o(off)),
+pos AS (SELECT doc_id, unnest(ts) AS tokv, unnest(range(len(ts))) AS t
+        FROM tok),
+clean AS (SELECT p.doc_id, count(*)::BIGINT AS n_tokens,
+                 count(*) FILTER (WHERE c.t IS NOT NULL)::BIGINT
+                     AS n_removed,
+                 coalesce(string_agg(CASE WHEN c.t IS NULL THEN p.tokv END,
+                                     ' ' ORDER BY p.t), '') AS text_clean
+          FROM pos p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.t = c.t
+          GROUP BY p.doc_id)
+SELECT t.doc_id, coalesce(cl.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(cl.n_removed, 0)::BIGINT AS n_removed,
+       coalesce(cl.text_clean, '') AS text_clean
+FROM tok t LEFT JOIN clean cl USING (doc_id) ORDER BY t.doc_id
 """
     # SemDeDup labels: nearest-seed clusters (the cluster_assign CTEs),
     # then a vector is a duplicate iff some smaller-id vector in the SAME

@@ -1469,3 +1469,89 @@ def exact_substr_spans(sf_dir: str, L: int = EXACT_SUBSTR_L,
         })
 
     return dup_ds.groupby("bkt2").map_groups(runs, batch_format="pyarrow")
+
+
+def exact_substr_dedup(sf_dir: str, L: int = EXACT_SUBSTR_L,
+                       n_buckets: int = EXACT_SUBSTR_BUCKETS,
+                       key: str = "gram") -> "rd.Dataset":
+    """ExactSubstr REMOVAL (the actionable output of
+    ``exact_substr_spans``): every doc re-emitted over the simple-token
+    stream with its duplicated runs deleted — ``(doc_id, n_tokens,
+    n_removed, text_clean)``.  Lee et al. cut the duplicated bytes out of
+    the training copy exactly like this (both occurrences go; the
+    deduplicated corpus keeps only tokens no duplicated window covers).
+
+    Scale shape: the two span exchanges (see exact_substr_spans) plus ONE
+    more bounded-bucket co-group — span rows meet their documents in
+    ``hash(doc_id) % n_buckets`` groups and each doc is rebuilt with a
+    vectorized coverage smear + one list-join (the span_dedup stage-2
+    idiom).  No corpus-sized broadcast or driver state."""
+    from prosearch_ray.pipelines.trainprep import _split_tokens
+
+    spans = exact_substr_spans(sf_dir, L=L, n_buckets=n_buckets, key=key)
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    nb = np.uint64(n_buckets)
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array((_mix64(ids) % nb).astype(np.int64), pa.int64()),
+            "kind": pa.array(np.ones(len(ids), np.int8), pa.int8()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": t.column("text"),
+            "start_tok": pa.array(np.full(len(ids), -1, np.int64),
+                                  pa.int64()),
+            "span_len": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+        })
+
+    def span_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "bkt": pa.array((_mix64(ids) % nb).astype(np.int64), pa.int64()),
+            "kind": pa.array(np.zeros(len(ids), np.int8), pa.int8()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.nulls(len(ids), pa.string()),
+            "start_tok": t.column("start_tok"),
+            "span_len": t.column("span_len"),
+        })
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        kind = g.column("kind").to_numpy()
+        dm = kind == 1
+        dt = g.filter(pa.array(dm))
+        ids = dt.column("doc_id").to_numpy().astype(np.int64)
+        flat, doc_of, n_docs = _split_tokens(dt.column("text"))
+        n_tok = np.bincount(doc_of, minlength=n_docs)
+        base = np.concatenate(([0], np.cumsum(n_tok)))  # doc -> flat offset
+        # doc_id unique per bucket: map span doc_ids to local doc indexes
+        order = np.argsort(ids)
+        s_ids = g.column("doc_id").to_numpy()[~dm].astype(np.int64)
+        s_loc = order[np.searchsorted(ids[order], s_ids)]
+        s_start = g.column("start_tok").to_numpy()[~dm]
+        s_len = g.column("span_len").to_numpy()[~dm]
+        # coverage smear over the flattened token stream (runs never cross
+        # doc bounds by construction)
+        diff = np.zeros(len(flat) + 1, np.int64)
+        np.add.at(diff, base[s_loc] + s_start, 1)
+        np.add.at(diff, base[s_loc] + s_start + s_len, -1)
+        covered = np.cumsum(diff[:-1]) > 0
+        n_removed = np.bincount(doc_of[covered], minlength=n_docs)
+        kept = flat.filter(pa.array(~covered))
+        if isinstance(kept, pa.ChunkedArray):
+            kept = kept.combine_chunks()
+        kept_counts = n_tok - n_removed
+        offsets = np.concatenate(([0], np.cumsum(kept_counts))).astype(
+            np.int32)
+        text_clean = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept),
+            " ")
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_tok.astype(np.int64), pa.int64()),
+            "n_removed": pa.array(n_removed.astype(np.int64), pa.int64()),
+            "text_clean": text_clean,
+        })
+
+    both = docs.map_batches(doc_rows, batch_format="pyarrow").union(
+        spans.map_batches(span_rows, batch_format="pyarrow"))
+    return both.groupby("bkt").map_groups(rebuild, batch_format="pyarrow")

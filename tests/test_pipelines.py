@@ -1440,3 +1440,37 @@ def test_exact_substr_spans_matches_bruteforce():
             if tt + 1 not in cov:
                 want.append((did, start, tt - start + 1))
     assert got == sorted(want)
+
+
+def test_exact_substr_dedup_consistent_with_spans():
+    """The removal pass must agree with the spans table (n_removed ==
+    sum of the doc's span lengths) and with a pure-Python rebuild of the
+    non-covered token stream."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from prosearch_ray.pipelines.dedup import (exact_substr_dedup,
+                                               exact_substr_spans)
+
+    spans = {}
+    for r in exact_substr_spans(SF).take_all():
+        spans.setdefault(int(r["doc_id"]), []).append(
+            (int(r["start_tok"]), int(r["span_len"])))
+    got = {int(r["doc_id"]): (int(r["n_tokens"]), int(r["n_removed"]),
+                              r["text_clean"])
+           for r in exact_substr_dedup(SF).take_all()}
+
+    t = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    assert len(got) == t.num_rows
+    for did, text in zip(t.column("doc_id").to_pylist(),
+                         t.column("text").to_pylist()):
+        ts = [x for x in re.split(r"[^a-z0-9]+", text.lower()) if x]
+        cov = set()
+        for s, ln in spans.get(did, []):
+            cov.update(range(s, s + ln))
+        n_tok, n_rm, clean = got[did]
+        assert n_tok == len(ts)
+        assert n_rm == len(cov) == sum(ln for _, ln in spans.get(did, []))
+        assert clean == " ".join(tok for i, tok in enumerate(ts)
+                                 if i not in cov)
